@@ -1,0 +1,70 @@
+"""Local replica of the driver's correctness gate.
+
+Runs a declared Spark query and its DuckDB oracle on the same sf directory
+and compares row count, column names, and order-insensitive values. Used by
+``test_oracle_parity.py`` so every declared query is self-checked before the
+driver sees it.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+
+
+def _norm_cell(v):
+    """Normalize a cell for cross-engine comparison."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # exact float compare -- the driver hashes values, so we must too
+        return v
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm_cell(x)) for k, x in v.items()))
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def _sorted_rows(cols: list[str], rows: list[tuple]):
+    """Column-name-sorted, order-insensitive canonical form."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    canon = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(canon, key=repr)
+
+
+def compare(spark, duck, fn, sql: str, sf_dir: str) -> list[str]:
+    """Return a list of mismatch descriptions (empty == parity)."""
+    sdf = fn(spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    res = duck.execute(sql)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    problems: list[str] = []
+    if sorted(scols) != sorted(dcols):
+        problems.append(f"columns differ: spark={sorted(scols)} duck={sorted(dcols)}")
+        return problems
+    if len(srows) != len(drows):
+        problems.append(f"row count differs: spark={len(srows)} duck={len(drows)}")
+    s_canon = _sorted_rows(scols, srows)
+    d_canon = _sorted_rows(dcols, drows)
+    if s_canon != d_canon:
+        diffs = [
+            (a, b) for a, b in zip(s_canon, d_canon) if a != b
+        ]
+        n_only_s = len([r for r in s_canon if r not in set(map(repr, d_canon))])
+        problems.append(
+            f"values differ: {len(diffs)} aligned diffs of {len(s_canon)} rows; "
+            f"first few: {diffs[:3]}"
+        )
+        _ = n_only_s
+    return problems

@@ -1,0 +1,266 @@
+"""Aggregation queries (SURVEY.md section 2.2 "Aggregations").
+
+Reference anchors: per-raster min/max and full statistics
+(``WROS/Weighted Raster Overlay Service.pyt:303-304, 853-855, 897-900``),
+cardinality checks (``.pyt:1052-1055``), duplicate detection
+(``.pyt:738-740, 1151-1155``).
+
+Scale notes: every groupBy below is a hash aggregate with map-side partial
+aggregation (one shuffle of the *partially aggregated* data, not the raw
+rows); group keys are low-cardinality strings/ints so the shuffle is tiny
+even at 100 TB. ``countDistinct`` expands to a two-phase distinct+agg plan;
+``approx_count_distinct`` (HLL) is the 100 TB path and is registered as its
+own query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import davg, dsum, money, oavg, osum, query
+
+
+@query(
+    "q_agg_group",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {osum('l_quantity', 'sum_qty')},
+           {osum('l_extendedprice', 'sum_base_price')},
+           CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))), 2)
+                AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))
+                * (1 + CAST(l_tax AS DECIMAL(12,2)))), 2)
+                AS DOUBLE) AS sum_charge,
+           {oavg('l_quantity', 'avg_qty')},
+           {oavg('l_extendedprice', 'avg_price')},
+           {oavg('l_discount', 'avg_disc', 4)},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style grouped aggregate; the flagship ``entry()`` query.
+
+    Plan shape: parquet scan (shipdate predicate pushed to row groups) ->
+    partial hash agg -> single shuffle on 2 tiny keys -> final hash agg.
+    Survives 100x scale: shuffle volume is O(groups), not O(rows).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = (
+        money("l_extendedprice") * (F.lit(1) - money("l_discount"))
+    ).cast("decimal(18,4)")
+    charge = disc_price * (F.lit(1) + money("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price", cast=False),
+            dsum(charge, "sum_charge", cast=False),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc", 4),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_agg_global",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           {osum('l_quantity', 'total_qty')},
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
+           {oavg('l_extendedprice', 'avg_price')}
+    FROM lineitem
+    """,
+)
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (keyless) aggregate -- count/sum/min/max/avg in one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity", "total_qty"),
+        F.min("l_extendedprice").cast("double").alias("min_price"),
+        F.max("l_extendedprice").cast("double").alias("max_price"),
+        davg("l_extendedprice", "avg_price"),
+    )
+
+
+@query(
+    "q_agg_stats",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
+           {oavg('l_quantity', 'avg_qty')},
+           CAST(ROUND(STDDEV_POP(l_quantity), 2) AS DOUBLE) AS std_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group count/min/max/avg/stddev -- the reference's
+    ``CalculateStatistics_management`` (R14, ``.pyt:853-855``) as a grouped
+    aggregate over the long cell table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_quantity").cast("double").alias("min_qty"),
+        F.max("l_quantity").cast("double").alias("max_qty"),
+        davg("l_quantity", "avg_qty"),
+        F.round(F.stddev_pop("l_quantity"), 2).cast("double").alias("std_qty"),
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group. Spark plans this as expand + two-phase
+    aggregate; distinct-key shuffle is bounded by |custkey| not |rows|."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "q_agg_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) > 12
+    """,
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter -- the reference's duplicate-name detection
+    (R22, ``.pyt:738-740``) generalized: groupBy + count + HAVING."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") > 12)
+    )
+
+
+@query(
+    "q_agg_filtered",
+    oracle=f"""
+    SELECT l_linestatus,
+           {osum("CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END",
+                 'returned_revenue')},
+           COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_high_discount,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: sum(when(...)) / count(when(...))."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        dsum(
+            F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice")).otherwise(
+                F.lit(0.0)
+            ),
+            "returned_revenue",
+        ),
+        F.count(F.when(F.col("l_discount") > 0.05, F.lit(1))).alias(
+            "n_high_discount"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {osum('l_quantity', 'sum_qty')},
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP (flag, status) including grand total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {osum('l_quantity', 'sum_qty')},
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping-set combinations via CUBE."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_agg_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {osum('l_quantity', 'sum_qty')}
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS -- by flag only and by status only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@query("q_agg_approx_distinct", oracle=None)  # rows-only: HLL is approximate
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) -- the 100 TB path for
+    distinct counting: mergeable sketches, no distinct-key shuffle.
+    Oracle is rows-only (approximation differs across engines); the unit
+    test asserts <2% relative error against the exact count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -1,0 +1,46 @@
+"""SparkSession factory.
+
+Local test posture: single JVM, ``local[$SPARK_GRAFT_CPUS]`` threads.
+Cluster posture (100 TB north star): the same builder works unchanged on a
+real master; the configs below are chosen to be correct at both scales --
+AQE handles runtime coalescing/skew so ``shuffle.partitions`` is a ceiling,
+not a hand-tuned constant.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "wros-spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    Scale notes:
+    - AQE on: runtime partition coalescing, skew-join splitting, and
+      dynamic join-strategy switching replace hand-tuning at 100 TB.
+    - ``autoBroadcastJoinThreshold`` left at default (10 MB): dimension
+      tables (region/nation/supplier/part and the WRO catalog itself)
+      broadcast automatically; fact-fact joins sort-merge.
+    - Arrow enabled for the Pandas-UDF slow path (similarity search,
+      multimodal decode) -- batch transfer, never per-row pickling.
+    """
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    if not os.environ.get("SPARK_MASTER"):  # pragma: no branch - local default
+        builder = builder.master(f"local[{cpus}]")
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,41 @@
+"""Fixture-table loaders.
+
+The reference accesses its catalog through geodatabase cursors with explicit
+field lists and where clauses (``WROS/Weighted Raster Overlay Service.pyt:122,
+152``); here every scan is a parquet read whose projection and predicates
+Catalyst pushes into the scan (``PushedFilters`` / ``ReadSchema``).
+
+At 100 TB the same call reads a partitioned parquet/Delta layout; nothing in
+the API changes -- partition pruning comes from Catalyst, not from code here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Plain parquet scan -- column pruning and
+    predicate pushdown are applied by Catalyst at the call sites."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql queries."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
