@@ -1,1 +1,273 @@
-"""Placeholder -- queries registered in later milestones."""
+"""Join queries (SURVEY.md section 2.2 "Joins").
+
+Reference anchors: keyed lookup (R2, ``WROS/Weighted Raster Overlay
+Service.pyt:151-152``), label-matching nested-loop equi-join (R20,
+``.pyt:1059-1068``), catalog-vs-stats join (R26, ``.pyt:281-314``).
+
+Scale notes per query are inline; the general posture: dimension tables
+(region/nation/supplier/customer at TPC-H ratios) broadcast automatically
+under the 10 MB threshold; fact-fact joins sort-merge on the join key and
+AQE converts to broadcast/skew-split at runtime when stats allow. Plan
+shapes asserted in ``tests/test_plans.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..operators.asof import asof_join
+from ..sources import load_table
+from .registry import query
+
+
+@query(
+    "q_join_inner",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_custkey, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash equi-join orders x customer. Customer is the build side;
+    at fixture ratios Catalyst broadcasts it (checked in plan tests)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "q_join_multikey",
+    oracle="""
+    WITH last_line AS (
+        SELECT l_orderkey, MAX(l_linenumber) AS l_linenumber
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice,
+           o.o_orderstatus, c.c_mktsegment
+    FROM lineitem l
+    JOIN last_line x
+      ON l.l_orderkey = x.l_orderkey AND l.l_linenumber = x.l_linenumber
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_join_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key join (orderkey, linenumber) + 3-table chain.
+
+    The (l_orderkey, max(l_linenumber)) aggregate and the join both key on
+    l_orderkey, so Catalyst reuses one shuffle for agg + join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    last_line = li.groupBy("l_orderkey").agg(
+        F.max("l_linenumber").alias("l_linenumber")
+    )
+    return (
+        li.join(last_line, ["l_orderkey", "l_linenumber"])
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "l_orderkey", "l_linenumber", "l_extendedprice",
+            "o_orderstatus", "c_mktsegment",
+        )
+    )
+
+
+_OUTER_ORACLE = """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c {kind} JOIN
+         (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+      ON c.c_custkey = o.o_custkey
+"""
+
+
+def _outer(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, kind).select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query("q_join_left", oracle=_OUTER_ORACLE.format(kind="LEFT"))
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer: every customer, nulls where no 'P' order exists."""
+    return _outer(spark, sf_dir, "left")
+
+
+@query("q_join_right", oracle=_OUTER_ORACLE.format(kind="RIGHT"))
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer (kept side is the filtered orders)."""
+    return _outer(spark, sf_dir, "right")
+
+
+@query("q_join_full", oracle=_OUTER_ORACLE.format(kind="FULL"))
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join. Note: full outer cannot broadcast -- sort-merge."""
+    return _outer(spark, sf_dir, "full")
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi = EXISTS: customers having a >250k order. Semi joins never
+    duplicate the probe side and broadcast the distinct keys."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti = NOT EXISTS -- the reference's orphan/duplicate checks
+    (R22) as a join: customers with no orders at all."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two tiny dims (5 x 25). Only ever sane when one
+    side is broadcastable -- which Catalyst does here."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "q_join_theta",
+    oracle="""
+    SELECT a.s_suppkey AS s1, b.s_suppkey AS s2,
+           a.s_acctbal AS bal1, b.s_acctbal AS bal2
+    FROM supplier a JOIN supplier b
+      ON a.s_acctbal < b.s_acctbal AND a.s_nationkey = b.s_nationkey
+    """,
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta) join: supplier pairs in the same nation where one
+    balance strictly exceeds the other. The equi conjunct (nationkey) lets
+    Spark hash-partition; the inequality evaluates as a post-join filter --
+    without the equi key this would degrade to BNL join."""
+    s = load_table(spark, sf_dir, "supplier")
+    a = s.alias("a")
+    b = s.alias("b")
+    return a.join(
+        b,
+        (F.col("a.s_acctbal") < F.col("b.s_acctbal"))
+        & (F.col("a.s_nationkey") == F.col("b.s_nationkey")),
+    ).select(
+        F.col("a.s_suppkey").alias("s1"),
+        F.col("b.s_suppkey").alias("s2"),
+        F.col("a.s_acctbal").alias("bal1"),
+        F.col("b.s_acctbal").alias("bal2"),
+    )
+
+
+#: literal suitability ranges -- min-inclusive / max-exclusive, the
+#: reference's remap convention (``.pyt:1119-1138``).
+_RANGES = [(0.0, 50.0, 1), (50.0, 100.0, 3), (100.0, 150.0, 5), (150.0, 260.0, 9)]
+_RANGES_SQL = ", ".join(f"({lo}, {hi}, {out})" for lo, hi, out in _RANGES)
+
+
+@query(
+    "q_join_range",
+    oracle=f"""
+    SELECT e.event_id, e.value, r.out AS suitability
+    FROM events e
+    JOIN (VALUES {_RANGES_SQL}) AS r(lo, hi, out)
+      ON e.value >= r.lo AND e.value < r.hi
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-in-range join -- the WRO remap (R39) expressed as a join
+    against a ranges table instead of a CASE chain. The ranges side is a
+    handful of rows: broadcast + band predicate, no shuffle of events."""
+    e = load_table(spark, sf_dir, "events")
+    r = spark.createDataFrame(_RANGES, "lo double, hi double, out int")
+    return e.join(
+        broadcast(r), (e.value >= r.lo) & (e.value < r.hi)
+    ).select("event_id", "value", F.col("out").alias("suitability"))
+
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name, r.r_name
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast hints on both dims: the snowflake pattern at
+    100 TB -- fact stays in place, dims ship to every executor."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "c_name", "n_name", "r_name")
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    WITH r AS (
+        SELECT user_id, ts, MAX_BY(value, event_id) AS ref_value
+        FROM events WHERE event_type = 'signup'
+        GROUP BY user_id, ts
+    ), p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           r.ts AS ts_ref, r.ref_value AS ref_value_ref
+    FROM p ASOF LEFT JOIN r
+      ON p.user_id = r.user_id AND p.ts >= r.ts
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each 'error' event, the user's most recent 'signup'
+    at-or-before it. Spark side uses the union+window single-shuffle
+    operator (``operators/asof.py``); oracle uses DuckDB's native ASOF
+    LEFT JOIN. Reference rows deduped per (user, ts) for determinism."""
+    ev = load_table(spark, sf_dir, "events")
+    ref = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("ref_value"))
+    )
+    probe = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(probe, ref, on=["user_id"], ts="ts", ref_value_cols=["ref_value"])

@@ -1,1 +1,105 @@
-"""Placeholder -- queries registered in later milestones."""
+"""Scan / source / sink queries (SURVEY.md section 2.2).
+
+Reference anchors: cursor scans with explicit field lists (R1,
+``WROS/Weighted Raster Overlay Service.pyt:122, 152``), where-clause
+pushdown (R2/R3, ``.pyt:152, 290``), bulk load (R5, ``.pyt:842``).
+
+Scale notes: the point of these queries is the *plan*, checked in
+``tests/test_plans.py`` -- projection must reach the parquet ``ReadSchema``
+and key predicates must appear in ``PushedFilters`` so at 100 TB the scan
+reads only the needed columns/row groups. Sinks write partitioned,
+splittable formats; CSV/JSON round-trips carry explicit schemas (schema
+inference at 100 TB means a full extra pass).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import query
+
+#: scratch dir for sink round-trips (inside the repo per sandbox rules).
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
+
+
+def _scratch(name: str) -> str:
+    path = os.path.join(SCRATCH, name)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(SCRATCH, exist_ok=True)
+    return path
+
+
+@query(
+    "q_scan_full",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+           o_orderpriority
+    FROM orders
+    """,
+)
+def q_scan_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-table parquet scan, all columns (R1)."""
+    return load_table(spark, sf_dir, "orders")
+
+
+@query(
+    "q_scan_prune",
+    oracle="SELECT l_orderkey, l_quantity FROM lineitem",
+)
+def q_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection pushdown: 2 of 11 columns; ReadSchema must shrink (R1)."""
+    return load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+
+
+@query(
+    "q_scan_filter_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_orderkey <= 200
+    """,
+)
+def q_scan_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key predicate pushed into the scan (R2/R3: the reference pushes
+    ``Name = 'x'`` / ``SourceOID = id`` where clauses into its cursors)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 200)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+@query("q_sink_parquet", oracle=None)  # rows-only: round-trip, no SQL analogue
+def q_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet sink + readback (R5/R6 create-and-load). Snappy parquet,
+    written with an explicit partition count -- at 100 TB this would be
+    ``partitionBy`` on a natural key; here the check is lossless round-trip."""
+    path = _scratch("sink_parquet")
+    df = load_table(spark, sf_dir, "supplier")
+    df.repartition(4).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+@query("q_sink_csv_roundtrip", oracle=None)  # rows-only
+def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink/source with explicit schema on read (no inference pass).
+    Timestamp handling is the lossy edge: write ISO-8601, read back with
+    the same schema so values survive exactly."""
+    path = _scratch("sink_csv")
+    df = load_table(spark, sf_dir, "nation")
+    df.write.mode("overwrite").option("header", "true").csv(path)
+    return spark.read.schema(df.schema).option("header", "true").csv(path)
+
+
+@query("q_sink_json_roundtrip", oracle=None)  # rows-only
+def q_sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink/source with explicit schema on read."""
+    path = _scratch("sink_json")
+    df = load_table(spark, sf_dir, "region")
+    df.write.mode("overwrite").json(path)
+    return spark.read.schema(df.schema).json(path)

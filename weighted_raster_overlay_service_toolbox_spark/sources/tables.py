@@ -12,6 +12,7 @@ the API changes -- partition pruning comes from Catalyst, not from code here.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -32,6 +33,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     predicate pushdown are applied by Catalyst at the call sites."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # ts is parquet TIMESTAMP(NANOS): Spark's reader has no nanosecond
+        # timestamp type, so read nanos-as-long and truncate to micros the
+        # way DuckDB does. Integer division -- double division loses
+        # microsecond precision at 1.7e18 nanoseconds.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
