@@ -1,0 +1,87 @@
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints::
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Headline set: one representative per operator family, weighted toward the
+reference's core (WRO classify/remap/overlay) plus the heaviest relational
+and LLM-pipeline shapes -- the queries whose plans matter at 100 TB.
+
+Timing is end-to-end per query (plan + execute + materialize via count on
+a cached-nothing session), preceded by one warm-up of the flagship to
+amortize JVM/codegen startup out of the first measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from weighted_raster_overlay_service_toolbox_spark.queries import QUERIES
+    from weighted_raster_overlay_service_toolbox_spark.session import get_spark
+
+    spark = get_spark("wros-spark-bench")
+
+    headline = [
+        # reference core: classify -> remap -> overlay -> validate
+        "q_wro_equal_interval",
+        "q_wro_remap",
+        "q_wro_overlay",
+        "q_wro_nodata",
+        "q_wro_stats",
+        "q_wro_catalog_update",
+        # relational heavy-hitters
+        "q_agg_group",
+        "q_agg_stats",
+        "q_join_inner",
+        "q_join_multikey",
+        "q_join_range",
+        "q_join_asof",
+        "q_win_rank",
+        "q_win_frame_rows",
+        "q_topk_per_group",
+        # scalar/array pipeline
+        "q_project_expr",
+        "q_array_funcs",
+        "q_csv_encode",
+        # streaming (real micro-batch execution)
+        "q_stream_tumbling",
+        # LLM pipeline
+        "q_dedup_exact",
+        "q_dedup_minhash",
+        "q_text_top_terms",
+        "q_tfidf",
+        "q_cosine_topk",
+    ]
+
+    # Warm-up: JVM, codegen, parquet footer caches.
+    QUERIES["q_agg_group"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    result = {
+        "metric": "headline_query_wall_clock_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(m.group(1)) if m else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

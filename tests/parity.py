@@ -61,10 +61,8 @@ def compare(spark, duck, fn, sql: str, sf_dir: str) -> list[str]:
         diffs = [
             (a, b) for a, b in zip(s_canon, d_canon) if a != b
         ]
-        n_only_s = len([r for r in s_canon if r not in set(map(repr, d_canon))])
         problems.append(
             f"values differ: {len(diffs)} aligned diffs of {len(s_canon)} rows; "
             f"first few: {diffs[:3]}"
         )
-        _ = n_only_s
     return problems

@@ -1,0 +1,70 @@
+"""Physical-plan assertions (SURVEY.md section 4): the properties that make
+these plans survive a 100x scale-up. Checked against the formatted explain
+output -- projection pruning must reach the parquet ReadSchema, key
+predicates must appear in PushedFilters, dimension joins must broadcast,
+and hot-path operators must stay inside WholeStageCodegen (no Python UDFs
+in relational/WRO queries)."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from weighted_raster_overlay_service_toolbox_spark.queries import QUERIES
+
+from .conftest import SF_SMOKE
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_SMOKE)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_projection_reaches_scan(spark):
+    """q_scan_prune must read 2 columns, not 11 (ReadSchema pruning)."""
+    plan = plan_of(spark, "q_scan_prune")
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" in read and "l_quantity" in read
+    assert "l_extendedprice" not in read and "l_shipdate" not in read
+
+
+def test_filter_pushed_to_parquet(spark):
+    """q_scan_filter_pushdown's key predicate must reach PushedFilters."""
+    plan = plan_of(spark, "q_scan_filter_pushdown")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and any("IsNotNull" in l or "EqualTo" in l or "GreaterThan" in l
+                          for l in pushed), plan
+
+
+def test_dimension_join_broadcasts(spark):
+    """orders x customer: the dimension side must broadcast (no sort-merge
+    shuffle of the fact table against a tiny dim)."""
+    plan = plan_of(spark, "q_join_inner")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_wro_overlay_stays_jvm_side(spark):
+    """The reference-core overlay pipeline must contain no Python UDF eval
+    (BatchEvalPython/ArrowEvalPython) -- remap/overlay are pure column
+    expressions inside codegen."""
+    for name in ("q_wro_remap", "q_wro_overlay", "q_wro_equal_interval"):
+        plan = plan_of(spark, name)
+        assert "EvalPython" not in plan, f"{name} fell off the JVM path"
+        # (codegen-id annotations are absent from AQE's pre-execution
+        # formatted plan, so "no Python eval" is the checkable property)
+
+
+def test_topk_is_take_ordered(spark):
+    """q_topk must be TakeOrderedAndProject, not a global sort + limit."""
+    plan = plan_of(spark, "q_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_agg_has_partial_phase(spark):
+    """Grouped agg must do map-side partial aggregation before the
+    shuffle (HashAggregate appears both sides of the exchange)."""
+    plan = plan_of(spark, "q_agg_group")
+    assert plan.count("HashAggregate") >= 2, plan

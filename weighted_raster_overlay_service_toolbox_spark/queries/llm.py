@@ -1,1 +1,728 @@
-"""Placeholder -- queries registered in later milestones."""
+"""LLM-data-pipeline queries (SURVEY.md section 2.2 north-star extensions):
+deduplication, similarity search, text analysis, multimodal columns over
+the ``documents`` / ``embeddings`` fixture tables.
+
+No anchor in the reference (it has no text pipeline); these are the
+training-data operators a 100 TB corpus needs, built Spark-first:
+
+- everything token-level is ``split``/``explode``/``groupBy`` -- JVM-side,
+  map-side partial aggregation, no Python in the hot path;
+- MinHash / SimHash use ``xxhash64`` with literal seeds -- deterministic
+  across partitionings because min/sum are commutative;
+- the LSH band trick and the IVF-style bucketed ANN bound the candidate
+  set so the quadratic pair space is never materialized at scale (the
+  exact q_jaccard_sim / q_cosine_topk keep small probe sets and exist as
+  ground truth for the approximate variants);
+- multimodal payloads are opaque binary + typed metadata; decode is a
+  clearly-stubbed deterministic fake behind ``mapInPandas`` (the Spark
+  plumbing -- schema, Arrow batching, partitioning -- is real).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..sources import load_table
+from .registry import query
+
+def TOKS():
+    """Tokenization convention for the documents fixture (clean
+    space-separated lowercase tokens -- FIXTURES.md); one definition used
+    everywhere. A function because building a Column requires an active
+    SparkContext (test collection imports this module without one)."""
+    return F.split("text", " ")
+
+# --------------------------------------------------------------------------
+# deduplication
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(text)      AS text_hash,
+           MIN(doc_id)    AS keep_id,
+           COUNT(*)       AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on text, keep lowest doc_id.
+
+    Scale: one shuffle on the 128-bit hash (uniform keys, no skew);
+    map-side partial MIN/COUNT. At 100 TB hash first, never shuffle the
+    full text."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@query(
+    "q_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+               ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: hash of the canonicalized (sorted distinct)
+    token set -- catches reordered/duplicated-token copies that exact
+    dedup misses. Pure column expressions, no shuffle before the hash."""
+    d = load_table(spark, sf_dir, "documents")
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(TOKS())))
+    return d.select("doc_id", F.md5(canon.cast("binary")).alias("fingerprint"))
+
+
+@query(
+    "q_jaccard_sim",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents WHERE doc_id < 50
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(ROUND(CAST(i.n_common AS DOUBLE)
+                / (sa.n + sb.n - i.n_common), 4) AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) > 0
+    """,
+)
+def q_jaccard_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise Jaccard on distinct-token sets (doc_id<50 probe set;
+    ground truth for q_dedup_minhash).
+
+    Scale: the explode/self-join computes |A∩B| only for pairs sharing a
+    token -- sparse, shuffle keyed by token. Token-frequency skew ("the")
+    is the known hazard; at 100 TB drop ultra-frequent tokens first or
+    switch to the MinHash path."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = d.select("doc_id", F.explode(F.array_distinct(TOKS())).alias("tok"))
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+    )
+    return (
+        inter.join(broadcast(sizes.alias("sa")), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(broadcast(sizes.alias("sb")), F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac > 0)
+        .select("doc_a", "doc_b", F.round(jac, 4).cast("double").alias("jaccard"))
+    )
+
+
+#: MinHash configuration: 16 permutations in 4 bands of 4 (threshold ~0.5^(1/4)).
+_MINHASH_K = 16
+_LSH_BANDS = 4
+
+
+def _minhash_sig():
+    """16 seeded min-hashes as one array column -- commutative MIN over
+    tokens, so the signature is partition-order independent."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.array_distinct(TOKS()),
+                    lambda t, i=i: F.xxhash64(F.lit(i), t),
+                )
+            )
+            for i in range(_MINHASH_K)
+        ]
+    )
+
+
+@query("q_dedup_minhash")  # rows-only; validated against q_jaccard_sim in tests
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates via MinHash + LSH banding (fixed seeds).
+
+    shingle -> 16 min-hashes -> 4 bands of 4 -> band-hash bucket join ->
+    candidate pairs -> exact Jaccard verify on the candidates only.
+
+    Scale: never forms the quadratic pair space -- the shuffle is keyed by
+    (band_idx, band_hash) and only same-bucket pairs are joined; estimated
+    similarity then filters before the (expensive) exact verify."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sig = d.select("doc_id", _minhash_sig().alias("sig"))
+    r = _MINHASH_K // _LSH_BANDS
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.col("sig")[i] for i in range(b * r, (b + 1) * r)])
+                    for b in range(_LSH_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda m: m,
+            )
+        ).cast("double")
+        / _MINHASH_K
+    )
+    return cand.select(
+        "doc_a", "doc_b", F.round(est, 4).alias("est_jaccard")
+    ).filter(F.col("est_jaccard") >= 0.25)
+
+
+@query("q_simhash")  # rows-only; deterministic (commutative SUM over tokens)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup: per-token xxhash64, each bit votes +/-1,
+    sign of the vote is the signature bit; pairs at hamming distance <= 3
+    among doc_id<100 are near-dup candidates.
+
+    Scale: signature build is explode + groupBy(doc, bit) + bit-pack --
+    two shuffles on uniform keys. Pairing here is a bounded self-join on a
+    small probe set; at 100 TB block on a signature prefix first (same
+    bucket trick as LSH)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    tok_hash = d.select(
+        "doc_id", F.explode(F.array_distinct(TOKS())).alias("tok")
+    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    bits = tok_hash.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        "h",
+    ).select(
+        "doc_id",
+        "bit",
+        F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1).alias("vote"),
+    )
+    packed = (
+        bits.groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("v"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+                .otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+    )
+    a = packed.alias("a")
+    b = packed.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+@query(
+    "q_ngram_jaccard",
+    oracle="""
+    WITH g AS (
+        SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id,
+                   unnest([substring(text, i, 3)
+                           for i in range(1, length(text) - 1)]) AS sh
+            FROM documents WHERE doc_id < 30
+        )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(ROUND(CAST(i.n_common AS DOUBLE)
+                / (sa.n + sb.n - i.n_common), 4) AS DOUBLE) AS trigram_jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.5
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram Jaccard (shingle dedup; doc_id<30 probe set).
+
+    Same sparse join shape as q_jaccard_sim but on character shingles --
+    the classic n-gram near-dup. The >=0.5 filter keeps only near-dups."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    g = (
+        d.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.length("text") - 2)).alias("i"),
+            "text",
+        )
+        .select("doc_id", F.expr("substring(text, i, 3)").alias("sh"))
+        .distinct()
+    )
+    sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = g.alias("a")
+    b = g.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+    )
+    return (
+        inter.join(broadcast(sizes.alias("sa")), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(broadcast(sizes.alias("sb")), F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 4).cast("double").alias("trigram_jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# similarity search over embeddings
+# --------------------------------------------------------------------------
+
+
+def _dot(a, b):
+    """Sequential double-precision dot product of two array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+@query(
+    "q_cosine_topk",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    p AS (SELECT * FROM v WHERE vec_id < 25),
+    s AS (
+        SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+               CAST(ROUND(list_dot_product(p.e, c.e)
+                    / (sqrt(list_dot_product(p.e, p.e))
+                       * sqrt(list_dot_product(c.e, c.e))), 4) AS DOUBLE) AS sim
+        FROM p JOIN v c ON c.vec_id <> p.vec_id
+    ),
+    r AS (
+        SELECT probe_id, cand_id, sim,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY sim DESC, cand_id) AS rn
+        FROM s
+    )
+    SELECT probe_id, cand_id, sim, CAST(rn AS INT) AS rk
+    FROM r WHERE rn <= 5
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 per probe (vec_id<25) -- the exact ANN
+    baseline. Rank on the ROUNDED similarity with cand_id tiebreak so the
+    selection is cross-engine deterministic.
+
+    Scale: probes broadcast (tiny), candidates stream -- no shuffle of the
+    candidate side; per-partition partial top-k then a final merge (the
+    window over probe_id partitions is the merge)."""
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    p = v.filter(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
+    )
+    joined = v.join(broadcast(p), F.col("vec_id") != F.col("probe_id"))
+    sim = F.round(
+        _dot(F.col("pe"), F.col("e"))
+        / (F.sqrt(_dot(F.col("pe"), F.col("pe"))) * F.sqrt(_dot(F.col("e"), F.col("e")))),
+        4,
+    ).cast("double")
+    scored = joined.select(
+        "probe_id", F.col("vec_id").alias("cand_id"), sim.alias("sim")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("probe_id", "cand_id", "sim", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+#: seeded pseudo-random hyperplanes for the LSH/IVF bucketer (4 planes ->
+#: 16 buckets). Deterministic: generated from a fixed seed, never random
+#: at run time.
+_N_PLANES = 4
+
+
+def _plane(dim: int, seed: int) -> list[float]:
+    """Deterministic unit-free hyperplane from md5(seed, j) -- public-knowledge
+    trick: hash bits as a fixed pseudo-random source."""
+    vals = []
+    for j in range(dim):
+        h = hashlib.md5(f"plane-{seed}-{j}".encode()).digest()
+        vals.append(int.from_bytes(h[:4], "big") / 2**31 - 1.0)
+    return vals
+
+
+@query("q_ann_ivf")  # rows-only: approximate by design; recall tested vs exact
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF/LSH-bucketed approximate nearest neighbor: 4 seeded hyperplanes
+    partition vectors into 16 sign buckets; each probe (vec_id<25) searches
+    ONLY its own bucket -- the scale path where brute force is quadratic.
+
+    Scale: the bucket id is a plain column -> the search is an equi-join
+    on bucket (shuffle keyed by bucket, or broadcast of tiny probe set);
+    partition pruning by bucket works on a bucket-partitioned layout."""
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    dim = 64
+    planes = [F.array(*[F.lit(x) for x in _plane(dim, s)]) for s in range(_N_PLANES)]
+    bucket = sum(
+        (F.when(_dot(F.col("e"), pl) >= 0, 1 << i).otherwise(0) for i, pl in enumerate(planes)),
+        start=F.lit(0),
+    )
+    vb = v.withColumn("bucket", bucket)
+    p = vb.filter(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe"), F.col("bucket").alias("pb")
+    )
+    joined = vb.join(
+        broadcast(p), (F.col("bucket") == F.col("pb")) & (F.col("vec_id") != F.col("probe_id"))
+    )
+    sim = F.round(
+        _dot(F.col("pe"), F.col("e"))
+        / (F.sqrt(_dot(F.col("pe"), F.col("pe"))) * F.sqrt(_dot(F.col("e"), F.col("e")))),
+        4,
+    ).cast("double")
+    scored = joined.select("probe_id", F.col("vec_id").alias("cand_id"), sim.alias("sim"))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("probe_id", "cand_id", "sim", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+@query(
+    "q_embed_near_dup",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+               WHERE vec_id < 200)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(ROUND(list_dot_product(a.e, b.e)
+                / (sqrt(list_dot_product(a.e, a.e))
+                   * sqrt(list_dot_product(b.e, b.e))), 4) AS DOUBLE) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e))
+             * sqrt(list_dot_product(b.e, b.e))) >= 0.60
+    """,
+)
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine >= 0.60, vec_id<200 block).
+
+    Scale: this bounded block is the verify stage; candidate generation at
+    100 TB is q_ann_ivf's bucket join, never the full cross product."""
+    v = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(_dot(F.col("ea"), F.col("ea"))) * F.sqrt(_dot(F.col("eb"), F.col("eb")))
+    )
+    return (
+        a.join(broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= 0.60)
+        .select("vec_a", "vec_b", F.round(cos, 4).cast("double").alias("cosine"))
+    )
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_text_tokenize",
+    oracle="""
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q_text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize to one row per (doc, token) occurrence (doc_id<200)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select("doc_id", F.explode(TOKS()).alias("token"))
+
+
+@query(
+    "q_text_top_terms",
+    oracle="""
+    WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    SELECT token, COUNT(*) AS n
+    FROM t GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+)
+def q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 terms, count desc with token tiebreak.
+
+    Scale: explode -> groupBy(token) benefits from map-side partial
+    aggregation; the final top-k is a TakeOrdered, not a full sort."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(TOKS()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                AS INT)                                        AS n_bpe_ish,
+           CAST(len(string_split(text, ' ')) AS INT)           AS n_ws
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (letter runs / digit runs / single other chars)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).alias(
+            "n_bpe_ish"
+        ),
+        F.size(TOKS()).alias("n_ws"),
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle="""
+    WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INT)                              AS n_toks,
+           CAST(ROUND(CAST(n_chars AS DOUBLE) / len(toks), 4)
+                AS DOUBLE)                                     AS avg_tok_len,
+           CAST(ROUND(CAST(len(list_distinct(toks)) AS DOUBLE)
+                / len(toks), 4) AS DOUBLE)                     AS type_token_ratio,
+           len(toks) >= 5                                      AS long_enough
+    FROM t
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, mean token length, type-token ratio, and a
+    keep/drop flag -- the standard corpus-filter features."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(TOKS())
+    return d.select(
+        "doc_id",
+        n.alias("n_toks"),
+        F.round(F.col("n_chars").cast("double") / n, 4).cast("double").alias("avg_tok_len"),
+        F.round(F.size(F.array_distinct(TOKS())).cast("double") / n, 4)
+        .cast("double")
+        .alias("type_token_ratio"),
+        (n >= 5).alias("long_enough"),
+    )
+
+
+#: tiny seeded marker lexicons for the language-ID heuristic.
+_EN_MARKERS = ["the", "of", "and", "order", "key", "scan"]
+_ES_MARKERS = ["el", "la", "de", "orden", "clave"]
+
+
+@query(
+    "q_lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(ROUND(CAST(len(list_filter(toks,
+                t -> list_contains({_EN_MARKERS!r}, t))) AS DOUBLE)
+                / len(toks), 4) AS DOUBLE) AS en_score,
+           CAST(ROUND(CAST(len(list_filter(toks,
+                t -> list_contains({_ES_MARKERS!r}, t))) AS DOUBLE)
+                / len(toks), 4) AS DOUBLE) AS es_score,
+           CASE WHEN len(list_filter(toks, t -> list_contains({_ES_MARKERS!r}, t)))
+                     > len(list_filter(toks, t -> list_contains({_EN_MARKERS!r}, t)))
+                THEN 'es' ELSE 'en' END AS pred_lang
+    FROM t
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-token hit ratio per language, argmax
+    with 'en' tiebreak. (Fixture text is synthetic; the operator shape --
+    per-doc lexicon scoring in pure column exprs -- is the point.)"""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(TOKS())
+
+    def score(markers: list[str]):
+        arr = F.array(*[F.lit(m) for m in markers])
+        return F.size(F.filter(TOKS(), lambda t: F.array_contains(arr, t)))
+
+    en, es = score(_EN_MARKERS), score(_ES_MARKERS)
+    return d.select(
+        "doc_id",
+        F.round(en.cast("double") / n, 4).cast("double").alias("en_score"),
+        F.round(es.cast("double") / n, 4).cast("double").alias("es_score"),
+        F.when(es > en, "es").otherwise("en").alias("pred_lang"),
+    )
+
+
+@query(
+    "q_tfidf",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.term, tf.tf,
+           CAST(ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4)
+                AS DOUBLE) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    WHERE tf.doc_id < 100
+    """,
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF over the corpus (output restricted to doc_id<100; DF/N always
+    computed over the FULL corpus).
+
+    Scale: two token-keyed aggregations + a token-keyed join; df is tiny
+    (vocabulary-sized) so it broadcasts; n_docs is a scalar cross join."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(TOKS()).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.filter(F.col("doc_id") < 100)
+        .join(broadcast(df), "term")
+        .crossJoin(broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
+            )
+            .cast("double")
+            .alias("tfidf"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# multimodal columns
+# --------------------------------------------------------------------------
+
+
+@query("q_multimodal_struct")  # rows-only: binary/struct canonical forms differ
+def q_multimodal_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column model: opaque binary payload + typed metadata
+    struct + per-"frame" array -- the schema/plumbing for image/audio
+    pipelines. The payload here is the doc text as bytes (the container
+    has no media libs; see q_multimodal_decode for the stubbed decoder)."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    return d.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.col("n_chars").alias("n_bytes"),
+            F.md5(payload).alias("checksum"),
+            F.col("lang").alias("lang"),
+        ).alias("meta"),
+        F.transform(
+            F.sequence(F.lit(0), F.least(F.size(TOKS()) - 1, F.lit(2))),
+            lambda i: F.struct(
+                i.alias("frame_idx"), F.element_at(TOKS(), i + 1).alias("frame_tok")
+            ),
+        ).alias("frames"),
+    )
+
+
+@query("q_multimodal_decode")  # rows-only: decode is a deterministic stub
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stubbed media decode over mapInPandas: Arrow-batched, one output row
+    per input, deterministic fake features derived from payload bytes.
+
+    STUB: a real deployment would decode image/audio here (PIL/librosa are
+    not in this container); the Spark-side contract -- binary in, fixed
+    feature schema out, batch-wise Arrow transfer -- is exactly what a real
+    decoder uses. Raises nothing; the fake is deterministic md5 math."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.str.len().astype("int64"),
+                    # deterministic fake "decoded" dimensions from the hash
+                    "fake_width": [
+                        int.from_bytes(hashlib.md5(p).digest()[:2], "big") % 1920
+                        for p in payloads
+                    ],
+                    "fake_height": [
+                        int.from_bytes(hashlib.md5(p).digest()[2:4], "big") % 1080
+                        for p in payloads
+                    ],
+                }
+            )
+            yield out
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return d.mapInPandas(
+        decode, "doc_id long, n_bytes long, fake_width int, fake_height int"
+    )

@@ -1,1 +1,221 @@
-"""Placeholder -- queries registered in later milestones."""
+"""Streaming queries (SURVEY.md section 2.2 "Streaming") over the events
+fixture, executed through the REAL Structured Streaming engine
+(``streaming/engine.py``: staged file source, one file per micro-batch,
+memory/foreachBatch sinks, availableNow trigger).
+
+No reference anchor -- the reference is batch-only desktop tooling
+(``WROS/Weighted Raster Overlay Service.pyt:46, 350, 579``); these are
+the north-star stream operators. Window-aggregate queries carry DuckDB
+batch-equivalence oracles; watermark/dedup/update queries depend on
+micro-batch sequencing that SQL cannot express, so they are rows-only
+(the driver records the weaker check; tests/test_streaming.py pins the
+exact late-drop behavior).
+
+Scale posture: every aggregation keys its shuffle by (window[, user]);
+watermarks bound state, so the same plan runs unbounded on Kafka at
+100 TB/day -- the file source here is just the deterministic test rig.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from ..streaming.engine import (
+    read_event_stream,
+    run_foreach_batch,
+    run_to_memory,
+    stage_event_files,
+)
+from .registry import query
+
+
+@query(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts)  AS win_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
+           COUNT(*)                AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+                                   AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window counts/sums, run as a real stream (complete
+    mode -> memory sink), batch-equivalent to date_trunc grouping."""
+    staged = stage_event_files(spark, sf_dir, "tumbling")
+    agg = (
+        read_event_stream(spark, staged)
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    out = run_to_memory(agg, "sink_tumbling", "complete")
+    return out.select(
+        F.col("win.start").alias("win_start"),
+        F.col("win.end").alias("win_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
+@query(
+    "q_stream_sliding",
+    oracle="""
+    WITH starts AS (
+        SELECT ts, value,
+               CAST(to_timestamp(FLOOR(epoch(ts) / 1800) * 1800)
+                    AS TIMESTAMP) AS b
+        FROM events
+    ),
+    assigned AS (
+        SELECT b AS win_start, value FROM starts
+        UNION ALL
+        SELECT b - INTERVAL 30 MINUTE AS win_start, value FROM starts
+    )
+    SELECT win_start,
+           win_start + INTERVAL 1 HOUR AS win_end,
+           COUNT(*)                    AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+                                       AS sum_value
+    FROM assigned
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 30 minutes (each event lands in 2
+    windows), real stream in complete mode. The oracle assigns each event
+    to its two covering windows explicitly."""
+    staged = stage_event_files(spark, sf_dir, "sliding")
+    agg = (
+        read_event_stream(spark, staged)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    out = run_to_memory(agg, "sink_sliding", "complete")
+    return out.select(
+        F.col("win.start").alias("win_start"),
+        F.col("win.end").alias("win_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
+@query(
+    "q_stream_session",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 5 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    grp AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ts)                        AS session_start,
+           MAX(ts) + INTERVAL 5 MINUTE    AS session_end,
+           COUNT(*)                       AS n_events
+    FROM grp
+    GROUP BY user_id, session_id
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 5-minute gap per user via the
+    ``session_window`` operator (same operator streaming uses; batch
+    execution here because finalized-session output in a finite test
+    stream needs the watermark push exercised in tests/test_streaming.py).
+    Oracle is the classic gaps-and-islands rewrite."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "5 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query("q_stream_watermark")  # rows-only: drop set depends on batch sequencing
+def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data drop beyond a 10-minute watermark: 200 early events are
+    replayed in a final late file after the watermark has advanced past
+    them; append-mode tumbling counts therefore exclude them. The exact
+    drop set is pinned in tests/test_streaming.py."""
+    staged = stage_event_files(spark, sf_dir, "watermark", n_files=4, late_events=200)
+    agg = (
+        read_event_stream(spark, staged)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_to_memory(agg, "sink_watermark", "append")
+    return out.select(
+        F.col("win.start").alias("win_start"),
+        F.col("win.end").alias("win_end"),
+        "n_events",
+    )
+
+
+@query("q_stream_dedup")  # rows-only: stateful, watermark-scoped
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dropDuplicates on event_id within a 10-minute
+    watermark: the late replay file re-sends 200 already-seen events; state
+    dedups them while bounded by the watermark. Emits the surviving
+    per-hour counts (append)."""
+    staged = stage_event_files(spark, sf_dir, "dedup", n_files=4, late_events=200)
+    deduped = (
+        read_event_stream(spark, staged)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicates(["event_id"])
+    )
+    agg = deduped.groupBy(F.window("ts", "1 hour").alias("win")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    out = run_to_memory(agg, "sink_dedup", "append")
+    return out.select(
+        F.col("win.start").alias("win_start"),
+        F.col("win.end").alias("win_end"),
+        "n_events",
+    )
+
+
+@query("q_stream_agg_update")  # rows-only: per-micro-batch emission log
+def q_stream_agg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update-mode stateful running aggregate: per event_type counts,
+    foreachBatch captures WHICH rows each micro-batch re-emits (only
+    updated keys). Returns the emission log (batch_id, event_type, n)."""
+    staged = stage_event_files(spark, sf_dir, "agg_update")
+    agg = (
+        read_event_stream(spark, staged)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    emitted = run_foreach_batch(agg, "update")
+    rows = [
+        (int(batch_id), r["event_type"], int(r["n"]))
+        for batch_id, batch_rows in emitted
+        for r in batch_rows
+    ]
+    return spark.createDataFrame(rows, "batch_id int, event_type string, n long")

@@ -1,1 +1,203 @@
-"""Placeholder -- queries registered in later milestones."""
+"""Window-function queries (SURVEY.md section 2.2 "Window functions").
+
+Reference anchors: lead-based range construction (R18/R19,
+``WROS/Weighted Raster Overlay Service.pyt:1119-1138``) and contiguity
+checks (R25, ``.pyt:199-217``) are genuinely window-shaped.
+
+Scale notes: every window here partitions by a real key (order, segment,
+user), so the sort is per-partition after one hash shuffle -- no global
+sort, no single-partition window over data-sized input (the empty-
+partitionBy window in ``q_win_running`` runs over supplier, a fixed
+100-row dimension, by design).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import query
+
+
+@query(
+    "q_win_rank",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER w AS rk,
+           DENSE_RANK() OVER w AS drk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+)
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank per customer with unique tiebreak."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+    )
+
+
+@query(
+    "q_win_lead_lag",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           LAG(l_quantity) OVER w AS prev_qty,
+           LEAD(l_quantity) OVER w AS next_qty,
+           LEAD(l_quantity, 2, -1.0) OVER w AS next2_qty
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_partkey, l_suppkey)
+    """,
+)
+def q_win_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag with offset + default -- the reference's range-pairing and
+    contiguity idioms (R19/R25)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the fixture data --
+    # l_partkey/l_suppkey complete a unique ordering (ROWS frames and
+    # lead/lag are only deterministic under a total order).
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.lag("l_quantity").over(w).alias("prev_qty"),
+        F.lead("l_quantity").over(w).alias("next_qty"),
+        F.lead("l_quantity", 2, -1.0).over(w).alias("next2_qty"),
+    )
+
+
+@query(
+    "q_win_running",
+    oracle="""
+    SELECT s_suppkey, s_nationkey, s_acctbal,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) OVER (
+               ORDER BY s_suppkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_bal
+    FROM supplier
+    """,
+)
+def q_win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum, unbounded-preceding..current. Global ordering over
+    the fixed-size supplier dimension (100 rows at every sf) -- a
+    data-sized cumulative sum would partition by key instead."""
+    s = load_table(spark, sf_dir, "supplier")
+    w = (
+        Window.orderBy("s_suppkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.sum(F.col("s_acctbal").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("running_bal"),
+    )
+
+
+@query(
+    "q_win_frame_rows",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           CAST(ROUND(AVG(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_partkey, l_suppkey
+               ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+           ), 2) AS DOUBLE) AS smooth_qty
+    FROM lineitem
+    """,
+)
+def q_win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding rows frame (-1..+1 moving average) within each order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey", "l_suppkey")
+        .rowsBetween(-1, 1)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.round(F.avg(F.col("l_quantity").cast("decimal(18,4)")).over(w), 2)
+        .cast("double")
+        .alias("smooth_qty"),
+    )
+
+
+@query(
+    "q_win_frame_range",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           COUNT(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice
+               RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING
+           ) AS n_similar
+    FROM orders
+    """,
+)
+def q_win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: how many of the customer's orders fall within +-10k of
+    this one's price (value-based frame, not row-based)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, 10000)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_similar"),
+    )
+
+
+@query(
+    "q_win_ntile_first_last",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           NTILE(4) OVER w AS quartile,
+           FIRST_VALUE(c_custkey) OVER w AS richest_key,
+           LAST_VALUE(c_custkey) OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY c_acctbal DESC, c_custkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS poorest_key
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal DESC, c_custkey ASC)
+    """,
+)
+def q_win_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile + first/last value. last_value needs the full-partition frame
+    (the default frame stops at CURRENT ROW in both engines)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("c_custkey").over(w).alias("richest_key"),
+        F.last("c_custkey").over(w_full).alias("poorest_key"),
+    )

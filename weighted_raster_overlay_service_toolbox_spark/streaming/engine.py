@@ -1,0 +1,122 @@
+"""Structured-Streaming harness over the ``events`` fixture table.
+
+The reference is batch-only (SURVEY.md section 1.2); streaming is the
+north-star extension. The harness turns the static events parquet into a
+REAL file stream with deterministic replay:
+
+- the table is split into N scratch parquet files in event-time order
+  (optionally with a controlled out-of-order "late" slice) so
+  ``maxFilesPerTrigger=1`` yields a fixed micro-batch sequence;
+- results go to the in-memory sink and come back as a batch DataFrame, so
+  driver/oracle comparison works on the materialized output;
+- watermark semantics (late-data drops, state eviction) are therefore
+  reproducible: batch k's watermark is applied to batch k+1, and the file
+  order is pinned.
+
+Scale posture: at 100 TB the same plan reads a Kafka/file source with
+event-time partitioning; watermarks bound state size, and the shuffle is
+keyed by (window, user) exactly as here.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+
+_SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch"
+)
+
+
+def stage_event_files(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    n_files: int = 4,
+    late_events: int = 0,
+) -> str:
+    """Write events as ``n_files`` single-file parquets in ts order.
+
+    With ``late_events > 0``, that many events are cut from the FIRST
+    time-quantile and appended as a final late file -- they arrive after
+    the watermark has advanced past them, which is the deterministic
+    late-data scenario for watermark/dedup queries.
+    """
+    out = os.path.join(_SCRATCH, f"stream_{name}")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events").orderBy("ts", "event_id")
+    rows_total = ev.count()
+    chunk = rows_total // n_files + 1
+    ranked = ev.withColumn(
+        "_rn", F.row_number().over(Window.orderBy("ts", "event_id"))
+    )
+    late = ranked.filter(F.col("_rn") <= late_events)
+    on_time = ranked.filter(F.col("_rn") > late_events)
+    for i in range(n_files):
+        part = on_time.filter(
+            (F.col("_rn") > i * chunk) & (F.col("_rn") <= (i + 1) * chunk)
+        ).drop("_rn")
+        part.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, f"batch_{i:03d}.parquet")
+        )
+    if late_events:
+        late.drop("_rn").coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, f"batch_{n_files:03d}_late.parquet")
+        )
+    return out
+
+
+def read_event_stream(spark: SparkSession, staged_dir: str) -> DataFrame:
+    """File-source stream over the staged dir, one file per micro-batch
+    (files are globbed in name order => deterministic batch sequence)."""
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(staged_dir)
+    )
+
+
+def run_to_memory(
+    streaming_df: DataFrame, name: str, output_mode: str
+) -> DataFrame:
+    """Execute the streaming plan to completion (availableNow) into the
+    in-memory sink; return the sink contents as a batch DataFrame."""
+    spark = streaming_df.sparkSession
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def run_foreach_batch(streaming_df: DataFrame, output_mode: str) -> list:
+    """Execute with foreachBatch, returning [(batch_id, rows)] -- the
+    per-micro-batch emission log used by update-mode and golden checks."""
+    captured: list = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        captured.append((batch_id, batch_df.collect()))
+
+    q = (
+        streaming_df.writeStream.foreachBatch(sink)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return captured
