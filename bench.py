@@ -63,8 +63,10 @@ def main() -> None:
         "q_cosine_topk",
     ]
 
-    # Warm-up: JVM, codegen, parquet footer caches.
+    # Warm-up: JVM, codegen, parquet footer caches, and the Python/Arrow
+    # worker pool (first pandas_udf call pays worker startup once).
     QUERIES["q_agg_group"](spark, sf_dir).count()
+    QUERIES["q_cosine_topk"](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in headline:

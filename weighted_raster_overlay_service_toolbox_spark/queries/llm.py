@@ -27,7 +27,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.functions import broadcast
+from pyspark.sql.functions import broadcast, pandas_udf
 
 from ..sources import load_table
 from .registry import query
@@ -327,10 +327,37 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dot(a, b):
-    """Sequential double-precision dot product of two array columns."""
+    """Sequential double-precision dot product of two array columns.
+
+    Pure column expression (higher-order aggregate): right for one-off
+    norms and small pair sets. For large pair sets use :func:`_dot_pandas`
+    -- HOF lambdas are interpreted per element, so at ~100k+ pairs the
+    Arrow-vectorized numpy path wins by an order of magnitude."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
+
+
+_DOT_PANDAS = None
+
+
+def _dot_pandas(a, b):
+    """Arrow-batched numpy dot product over two array<double> columns:
+    one einsum per Arrow batch, no per-row Python. Lazily built because
+    pandas_udf type parsing needs an active SparkSession."""
+    global _DOT_PANDAS
+    if _DOT_PANDAS is None:
+
+        @pandas_udf("double")
+        def dot(x: pd.Series, y: pd.Series) -> pd.Series:
+            import numpy as np
+
+            xv = np.stack(x.to_numpy())
+            yv = np.stack(y.to_numpy())
+            return pd.Series(np.einsum("ij,ij->i", xv, yv))
+
+        _DOT_PANDAS = dot
+    return _DOT_PANDAS(a, b)
 
 
 @query(
@@ -363,17 +390,19 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: probes broadcast (tiny), candidates stream -- no shuffle of the
     candidate side; per-partition partial top-k then a final merge (the
     window over probe_id partitions is the merge)."""
+    # norms are computed ONCE per vector (not per pair): at N probes x M
+    # candidates that is N+M norm evaluations instead of 2*N*M.
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
+    ).withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
     p = v.filter(F.col("vec_id") < 25).select(
-        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
+        F.col("vec_id").alias("probe_id"),
+        F.col("e").alias("pe"),
+        F.col("nrm").alias("pnrm"),
     )
     joined = v.join(broadcast(p), F.col("vec_id") != F.col("probe_id"))
     sim = F.round(
-        _dot(F.col("pe"), F.col("e"))
-        / (F.sqrt(_dot(F.col("pe"), F.col("pe"))) * F.sqrt(_dot(F.col("e"), F.col("e")))),
-        4,
+        _dot_pandas(F.col("pe"), F.col("e")) / (F.col("pnrm") * F.col("nrm")), 4
     ).cast("double")
     scored = joined.select(
         "probe_id", F.col("vec_id").alias("cand_id"), sim.alias("sim")
@@ -420,17 +449,20 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.when(_dot(F.col("e"), pl) >= 0, 1 << i).otherwise(0) for i, pl in enumerate(planes)),
         start=F.lit(0),
     )
-    vb = v.withColumn("bucket", bucket)
+    vb = v.withColumn("bucket", bucket).withColumn(
+        "nrm", F.sqrt(_dot(F.col("e"), F.col("e")))
+    )
     p = vb.filter(F.col("vec_id") < 25).select(
-        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe"), F.col("bucket").alias("pb")
+        F.col("vec_id").alias("probe_id"),
+        F.col("e").alias("pe"),
+        F.col("bucket").alias("pb"),
+        F.col("nrm").alias("pnrm"),
     )
     joined = vb.join(
         broadcast(p), (F.col("bucket") == F.col("pb")) & (F.col("vec_id") != F.col("probe_id"))
     )
     sim = F.round(
-        _dot(F.col("pe"), F.col("e"))
-        / (F.sqrt(_dot(F.col("pe"), F.col("pe"))) * F.sqrt(_dot(F.col("e"), F.col("e")))),
-        4,
+        _dot(F.col("pe"), F.col("e")) / (F.col("pnrm") * F.col("nrm")), 4
     ).cast("double")
     scored = joined.select("probe_id", F.col("vec_id").alias("cand_id"), sim.alias("sim"))
     w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("cand_id"))
@@ -463,12 +495,14 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB is q_ann_ivf's bucket join, never the full cross product."""
     v = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    ).withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    a = v.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("nrm").alias("na")
     )
-    a = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
-    b = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
-    cos = _dot(F.col("ea"), F.col("eb")) / (
-        F.sqrt(_dot(F.col("ea"), F.col("ea"))) * F.sqrt(_dot(F.col("eb"), F.col("eb")))
+    b = v.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
     )
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(broadcast(b), F.col("vec_a") < F.col("vec_b"))
         .filter(cos >= 0.60)

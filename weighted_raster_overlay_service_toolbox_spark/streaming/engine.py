@@ -46,16 +46,28 @@ def stage_event_files(
     time-quantile and appended as a final late file -- they arrive after
     the watermark has advanced past them, which is the deterministic
     late-data scenario for watermark/dedup queries.
+
+    Staged dirs are content-addressed by (sf_dir, params) and reused: the
+    fixture tables are read-only and the split is deterministic, so a
+    completed staging (marker file present) is valid across runs.
     """
-    out = os.path.join(_SCRATCH, f"stream_{name}")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(
+        _SCRATCH, f"stream_{name}_{sf_tag}_f{n_files}_l{late_events}"
+    )
+    marker = os.path.join(out, "_STAGED")
+    if os.path.exists(marker):
+        return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     ev = load_table(spark, sf_dir, "events").orderBy("ts", "event_id")
     rows_total = ev.count()
     chunk = rows_total // n_files + 1
+    # one pass: rank, then cache so each batch-file write re-filters the
+    # in-memory ranked set instead of re-sorting the source
     ranked = ev.withColumn(
         "_rn", F.row_number().over(Window.orderBy("ts", "event_id"))
-    )
+    ).cache()
     late = ranked.filter(F.col("_rn") <= late_events)
     on_time = ranked.filter(F.col("_rn") > late_events)
     for i in range(n_files):
@@ -69,6 +81,9 @@ def stage_event_files(
         late.drop("_rn").coalesce(1).write.mode("overwrite").parquet(
             os.path.join(out, f"batch_{n_files:03d}_late.parquet")
         )
+    ranked.unpersist()
+    with open(marker, "w") as f:
+        f.write("ok")
     return out
 
 
@@ -87,20 +102,38 @@ def read_event_stream(spark: SparkSession, staged_dir: str) -> DataFrame:
     )
 
 
+class _few_state_partitions:
+    """Micro-batch state stores cost per-partition overhead each batch;
+    the test streams are small, so run them with 8 state partitions
+    (a fresh checkpoint per run pins the count; batch queries are
+    unaffected because the conf is restored)."""
+
+    def __init__(self, spark: SparkSession, n: int = 8):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 def run_to_memory(
     streaming_df: DataFrame, name: str, output_mode: str
 ) -> DataFrame:
     """Execute the streaming plan to completion (availableNow) into the
     in-memory sink; return the sink contents as a batch DataFrame."""
     spark = streaming_df.sparkSession
-    q = (
-        streaming_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _few_state_partitions(spark):
+        q = (
+            streaming_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -112,11 +145,12 @@ def run_foreach_batch(streaming_df: DataFrame, output_mode: str) -> list:
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         captured.append((batch_id, batch_df.collect()))
 
-    q = (
-        streaming_df.writeStream.foreachBatch(sink)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _few_state_partitions(streaming_df.sparkSession):
+        q = (
+            streaming_df.writeStream.foreachBatch(sink)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return captured
