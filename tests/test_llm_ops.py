@@ -1,0 +1,99 @@
+"""Validation of the approximate LLM-pipeline operators against their exact
+ground truths (SURVEY.md section 2.2: q_dedup_minhash is "validated vs
+q_jaccard_sim ground truth"; q_ann_ivf recall vs q_cosine_topk)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from weighted_raster_overlay_service_toolbox_spark.operators.dedup import (
+    minhash_candidates,
+)
+from weighted_raster_overlay_service_toolbox_spark.queries import QUERIES
+from weighted_raster_overlay_service_toolbox_spark.sources import load_table
+
+from .conftest import SF_ORACLE
+
+
+def test_minhash_recall_vs_exact_jaccard(spark):
+    """Every truly-similar pair (exact Jaccard >= 0.7, doc_id<50) must be
+    recalled by the banded MinHash candidates (16 perms, 8 bands of 2 =>
+    ~0.35 LSH threshold; per-pair miss probability (1-j^2)^8 < 0.5% at
+    j=0.7; with fixed seeds the outcome is deterministic, this pins it)."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["q_jaccard_sim"](spark, SF_ORACLE)
+        .filter(F.col("jaccard") >= 0.7)
+        .collect()
+    }
+    d = load_table(spark, SF_ORACLE, "documents").filter(F.col("doc_id") < 50)
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_candidates(
+            d, "doc_id", F.array_distinct(F.split("text", " ")), k=16, bands=8
+        ).collect()
+    }
+    missed = exact - cand
+    assert not missed, f"minhash missed truly-similar pairs: {sorted(missed)[:5]}"
+
+
+def test_minhash_estimate_tracks_exact(spark):
+    """For recalled pairs, |est - exact| <= 0.35 (16 perms is coarse; the
+    bound just catches sign/major errors deterministically)."""
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in QUERIES["q_jaccard_sim"](spark, SF_ORACLE).collect()
+    }
+    d = load_table(spark, SF_ORACLE, "documents").filter(F.col("doc_id") < 50)
+    cand = minhash_candidates(
+        d, "doc_id", F.array_distinct(F.split("text", " ")), k=16, bands=4
+    ).collect()
+    for r in cand:
+        true_j = exact.get((r["doc_a"], r["doc_b"]), 0.0)
+        assert abs(r["est_jaccard"] - true_j) <= 0.35, (
+            f"pair {(r['doc_a'], r['doc_b'])}: est {r['est_jaccard']} vs {true_j}"
+        )
+
+
+def test_ann_ivf_results_are_true_cosines(spark):
+    """Bucketed ANN returns a subset of the exact scored pairs: every
+    (probe, cand, sim) it emits must carry the same sim as brute force."""
+    exact_all = {
+        (r["probe_id"], r["cand_id"]): r["sim"]
+        for r in QUERIES["q_cosine_topk"](spark, SF_ORACLE).collect()
+    }
+    approx = QUERIES["q_ann_ivf"](spark, SF_ORACLE).collect()
+    hits = 0
+    for r in approx:
+        key = (r["probe_id"], r["cand_id"])
+        if key in exact_all:
+            hits += 1
+            assert abs(exact_all[key] - r["sim"]) < 1e-9
+    # same-bucket probes must recover a reasonable share of true top-5
+    recall = hits / len(exact_all)
+    assert recall >= 0.2, f"IVF recall collapsed: {recall:.2f}"
+
+
+def test_simhash_pairs_share_tokens(spark):
+    """Hamming<=3 SimHash pairs must actually share most tokens (sanity:
+    the signature is not noise)."""
+    pairs = QUERIES["q_simhash"](spark, SF_ORACLE).collect()
+    if not pairs:
+        return
+    docs = {
+        r["doc_id"]: set(r["text"].split())
+        for r in load_table(spark, SF_ORACLE, "documents")
+        .filter(F.col("doc_id") < 100)
+        .collect()
+    }
+    for r in pairs:
+        a, b = docs[r["doc_a"]], docs[r["doc_b"]]
+        j = len(a & b) / len(a | b)
+        assert j >= 0.5, f"simhash pair {(r['doc_a'], r['doc_b'])} jaccard {j:.2f}"
+
+
+def test_multimodal_decode_deterministic(spark):
+    """The stubbed decoder is a pure function of the payload bytes."""
+    a = {tuple(r) for r in QUERIES["q_multimodal_decode"](spark, SF_ORACLE).collect()}
+    b = {tuple(r) for r in QUERIES["q_multimodal_decode"](spark, SF_ORACLE).collect()}
+    assert a == b and len(a) > 0

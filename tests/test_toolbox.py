@@ -1,0 +1,156 @@
+"""Tests for the three-tool library API (toolbox.py) -- the surface a user
+of the reference would actually switch to. Edge cases cite the reference
+(SURVEY.md section 5.3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from weighted_raster_overlay_service_toolbox_spark.toolbox import (
+    create_wro_catalog,
+    update_classification,
+    update_layer_info,
+)
+
+
+def _layers(spark, rows):
+    return spark.createDataFrame(rows, "name string, title string")
+
+
+def _cells(spark, rows):
+    return spark.createDataFrame(rows, "layer string, cell_id long, value double")
+
+
+def test_create_catalog_equal_interval(spark):
+    layers = _layers(spark, [("elev", "Elevation")])
+    cells = _cells(spark, [("elev", i, float(v)) for i, v in enumerate([0, 25, 50, 75, 100])])
+    catalog, errors = create_wro_catalog(layers, cells)
+    assert errors.count() == 0
+    row = catalog.first()
+    assert row["Name"] == "elev"
+    # 5 classes over [0, 100]: bounds 0,20,20,40,...,80,101 (max+1 last)
+    assert row["InputRanges"] == "0.0,20.0,20.0,40.0,40.0,60.0,60.0,80.0,80.0,101.0"
+    assert row["OutputValues"] == "1,3,5,7,9"
+    assert row["RangeLabels"].startswith("0.0 to 20.0,")
+
+
+def test_create_catalog_degenerate_single_range(spark):
+    """min==max -> one range [v, v+1) (``.pyt:913-926``)."""
+    layers = _layers(spark, [("flat", "Flat")])
+    cells = _cells(spark, [("flat", 1, 7.0), ("flat", 2, 7.0)])
+    catalog, errors = create_wro_catalog(layers, cells)
+    row = catalog.first()
+    assert row["InputRanges"] == "7.0,8.0"
+    assert row["OutputValues"] == "5"  # default suitability 5 (.pyt:86-87)
+
+
+def test_create_catalog_rejects_dup_and_bad_names(spark):
+    layers = _layers(
+        spark, [("a", "A"), ("a", "A again"), ("bad name", "spacey")]
+    )
+    cells = _cells(spark, [("a", 1, 1.0), ("bad name", 1, 1.0)])
+    catalog, errors = create_wro_catalog(layers, cells)
+    codes = {r["code"] for r in errors.collect()}
+    assert codes == {"duplicate_name", "invalid_name"}
+    assert catalog.count() == 0  # both names dropped
+
+
+def test_update_classification_happy_path(spark):
+    layers = _layers(spark, [("elev", "Elevation")])
+    cells = _cells(spark, [("elev", 1, 0.0), ("elev", 2, 100.0)])
+    catalog, _ = create_wro_catalog(layers, cells)
+    ranges = spark.createDataFrame(
+        [("low", 0.0, 50.0, 2), ("high", 50.0, 101.0, 8)],
+        "label string, lo double, hi double, out int",
+    )
+    stats = spark.createDataFrame([(0.0, 100.0)], "mn double, mx double")
+    updated, errors = update_classification(catalog, "elev", ranges, stats)
+    assert errors.filter("severity = 'error'").count() == 0
+    row = updated.filter("Name = 'elev'").first()
+    assert row["InputRanges"] == "0.0,50.0,50.0,101.0"
+    assert row["OutputValues"] == "2,8"
+    assert row["RangeLabels"] == "low,high"
+
+
+def test_update_classification_contiguity_error(spark):
+    """Gap between ranges aborts the edit (``.pyt:199-217``)."""
+    layers = _layers(spark, [("elev", "Elevation")])
+    cells = _cells(spark, [("elev", 1, 0.0), ("elev", 2, 100.0)])
+    catalog, _ = create_wro_catalog(layers, cells)
+    before = catalog.first()["InputRanges"]
+    ranges = spark.createDataFrame(
+        [("low", 0.0, 40.0, 2), ("high", 50.0, 101.0, 8)],
+        "label string, lo double, hi double, out int",
+    )
+    updated, errors = update_classification(catalog, "elev", ranges)
+    assert errors.filter("code = 'contiguity'").count() == 1
+    assert updated.first()["InputRanges"] == before  # unchanged
+
+
+def test_update_classification_min_snap_and_max_error(spark):
+    """Min snaps with a warning (``.pyt:309-311``); last max <= dataset max
+    is a hard error (``.pyt:312-314``)."""
+    layers = _layers(spark, [("elev", "Elevation")])
+    cells = _cells(spark, [("elev", 1, 0.0), ("elev", 2, 100.0)])
+    catalog, _ = create_wro_catalog(layers, cells)
+    stats = spark.createDataFrame([(0.0, 100.0)], "mn double, mx double")
+
+    snap = spark.createDataFrame(
+        [("low", 10.0, 50.0, 2), ("high", 50.0, 101.0, 8)],
+        "label string, lo double, hi double, out int",
+    )
+    updated, errors = update_classification(catalog, "elev", snap, stats)
+    assert errors.filter("code = 'min_snapped'").count() == 1
+    assert updated.filter("Name = 'elev'").first()["InputRanges"].startswith("0.0,")
+
+    short = spark.createDataFrame(
+        [("low", 0.0, 50.0, 2), ("high", 50.0, 100.0, 8)],  # 100.0 == max
+        "label string, lo double, hi double, out int",
+    )
+    updated2, errors2 = update_classification(catalog, "elev", short, stats)
+    assert errors2.filter("code = 'max_not_covered'").count() == 1
+    assert updated2.first()["InputRanges"] == catalog.first()["InputRanges"]
+
+
+def test_update_classification_suitability_domain(spark):
+    """Outputs constrained to 0-9 (``.pyt:86-87``)."""
+    layers = _layers(spark, [("elev", "Elevation")])
+    cells = _cells(spark, [("elev", 1, 0.0), ("elev", 2, 100.0)])
+    catalog, _ = create_wro_catalog(layers, cells)
+    ranges = spark.createDataFrame(
+        [("x", 0.0, 101.0, 12)], "label string, lo double, hi double, out int"
+    )
+    _, errors = update_classification(catalog, "elev", ranges)
+    assert errors.filter("code = 'suitability_domain'").count() == 1
+
+
+def test_update_layer_info_url_validation_and_blank_null(spark):
+    layers = _layers(spark, [("elev", "Elevation")])
+    cells = _cells(spark, [("elev", 1, 0.0), ("elev", 2, 100.0)])
+    catalog, _ = create_wro_catalog(layers, cells)
+
+    _, errors = update_layer_info(catalog, "elev", url="ftp://nope")
+    assert errors.filter("code = 'invalid_url'").count() == 1
+
+    updated, errors2 = update_layer_info(
+        catalog, "elev", title="New", url="https://ok.example", metadata=""
+    )
+    assert errors2.count() == 0
+    row = updated.filter("Name = 'elev'").first()
+    assert row["Title"] == "New"
+    assert row["Url"] == "https://ok.example"
+    assert row["Metadata"] is None  # blank -> NULL (R29), url untouched
+
+
+def test_update_layer_info_csv_quoted_label_roundtrip(spark):
+    """RFC-4180 quoting survives a classification update with a comma in
+    a label (``.pyt:1319-1323``)."""
+    layers = _layers(spark, [("elev", "Elevation")])
+    cells = _cells(spark, [("elev", 1, 0.0), ("elev", 2, 100.0)])
+    catalog, _ = create_wro_catalog(layers, cells)
+    ranges = spark.createDataFrame(
+        [("lowest, really", 0.0, 101.0, 5)],
+        "label string, lo double, hi double, out int",
+    )
+    updated, _ = update_classification(catalog, "elev", ranges)
+    assert updated.first()["RangeLabels"] == '"lowest, really"'

@@ -16,6 +16,13 @@ Layout:
 - ``plans``      WRO catalog pipelines (create/update/validate)
 - ``streaming``  Structured Streaming variants of the windowed operators
 - ``queries``    the declared query registry checked by the driver
+- ``toolbox``    the reference's three tools as a DataFrame-native API
 """
 
 __version__ = "0.1.0"
+
+from .toolbox import (  # noqa: F401,E402
+    create_wro_catalog,
+    update_classification,
+    update_layer_info,
+)

@@ -1,0 +1,147 @@
+"""Deduplication operators for text corpora: exact, MinHash+LSH, SimHash.
+
+All signatures are deterministic across partitionings -- min/sum over
+seeded ``xxhash64`` values are commutative, and no step depends on row
+order. That property is what makes near-dup results reproducible on a
+1000-executor cluster.
+
+Scale shapes:
+- exact: one shuffle on a 128-bit content hash (uniform, skew-free);
+- MinHash/LSH: signature build is narrow (per-row array exprs); the only
+  shuffle is the band-bucket self-join -- the quadratic pair space is
+  never materialized;
+- SimHash: explode + two keyed aggregations to bit-pack, then a bounded
+  pairing (block on a signature prefix at real scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group by content hash; keep the lowest id (the canonical survivor)."""
+    return df.groupBy(F.md5(F.col(text_col).cast("binary")).alias("text_hash")).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def _seeded_hash(i: int):
+    """One-arg lambda factory. MUST be a factory: a ``lambda t, i=i`` has
+    two parameters, and ``F.transform`` treats two-parameter lambdas as
+    (element, index) -- the "seed" silently becomes the array position and
+    every seed yields the same hash."""
+    return lambda t: F.xxhash64(F.lit(i), t)
+
+
+def minhash_signature(tokens: Column, k: int) -> Column:
+    """k seeded min-hashes over a token array as one array<long> column."""
+    return F.array(
+        *[F.array_min(F.transform(tokens, _seeded_hash(i))) for i in range(k)]
+    )
+
+
+def lsh_band_hashes(sig: Column, k: int, bands: int) -> Column:
+    """Hash each of ``bands`` signature slices into one value; two docs
+    collide in a band iff that slice matches exactly."""
+    r = k // bands
+    return F.array(
+        *[
+            F.xxhash64(*[sig[i] for i in range(b * r, (b + 1) * r)])
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_candidates(
+    docs: DataFrame, id_col: str, tokens_col: Column, k: int = 16, bands: int = 4
+) -> DataFrame:
+    """Near-dup candidate pairs via MinHash + LSH banding.
+
+    Returns ``doc_a, doc_b, est_jaccard`` (signature agreement rate).
+    The shuffle is keyed by (band_idx, band_hash); only same-bucket pairs
+    join. Estimated similarity filters before any exact verify.
+    """
+    sig = docs.select(
+        F.col(id_col).alias("doc_id"), minhash_signature(tokens_col, k).alias("sig")
+    )
+    bandsdf = sig.select(
+        "doc_id",
+        "sig",
+        F.posexplode(lsh_band_hashes(F.col("sig"), k, bands)).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    a = bandsdf.alias("a")
+    b = bandsdf.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    est = (
+        F.size(
+            F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+        ).cast("double")
+        / k
+    )
+    return cand.select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
+
+
+def simhash_signatures(
+    docs: DataFrame, id_col: str, tokens_col: Column
+) -> DataFrame:
+    """64-bit SimHash per doc: each distinct token's xxhash64 votes +/-1
+    per bit position; the sign of the vote becomes the signature bit."""
+    tok_hash = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_col).alias("tok")
+    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    bits = tok_hash.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        "h",
+    ).select(
+        "doc_id",
+        "bit",
+        F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1).alias("vote"),
+    )
+    return (
+        bits.groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("v"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+                .otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_near_pairs(signatures: DataFrame, max_hamming: int) -> DataFrame:
+    """Pairs within a hamming radius. Bounded self-join: block on a
+    signature prefix first at real scale (same trick as LSH banding)."""
+    a = signatures.alias("a")
+    b = signatures.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

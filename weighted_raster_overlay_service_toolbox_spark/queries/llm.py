@@ -25,10 +25,25 @@ from typing import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.functions import broadcast, pandas_udf
+from pyspark.sql.functions import broadcast
 
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_candidates,
+    simhash_near_pairs,
+    simhash_signatures,
+)
+from ..operators.similarity import (
+    cosine_scores,
+    dot_expr,
+    hyperplane_bucket,
+    topk_per_probe,
+    with_norm,
+)
+
+_dot = dot_expr
 from ..sources import load_table
 from .registry import query
 
@@ -60,11 +75,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shuffle on the 128-bit hash (uniform keys, no skew);
     map-side partial MIN/COUNT. At 100 TB hash first, never shuffle the
     full text."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash")).agg(
-        F.min("doc_id").alias("keep_id"),
-        F.count(F.lit(1)).alias("n_copies"),
-    )
+    return exact_dedup(load_table(spark, sf_dir, "documents"), "text", "doc_id")
 
 
 @query(
@@ -136,27 +147,6 @@ def q_jaccard_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: MinHash configuration: 16 permutations in 4 bands of 4 (threshold ~0.5^(1/4)).
-_MINHASH_K = 16
-_LSH_BANDS = 4
-
-
-def _minhash_sig():
-    """16 seeded min-hashes as one array column -- commutative MIN over
-    tokens, so the signature is partition-order independent."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.array_distinct(TOKS()),
-                    lambda t, i=i: F.xxhash64(F.lit(i), t),
-                )
-            )
-            for i in range(_MINHASH_K)
-        ]
-    )
-
-
 @query("q_dedup_minhash")  # rows-only; validated against q_jaccard_sim in tests
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidates via MinHash + LSH banding (fixed seeds).
@@ -168,49 +158,13 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band_idx, band_hash) and only same-bucket pairs are joined; estimated
     similarity then filters before the (expensive) exact verify."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    sig = d.select("doc_id", _minhash_sig().alias("sig"))
-    r = _MINHASH_K // _LSH_BANDS
-    bands = sig.select(
-        "doc_id",
-        "sig",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(*[F.col("sig")[i] for i in range(b * r, (b + 1) * r)])
-                    for b in range(_LSH_BANDS)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
+    # 8 bands of 2: LSH threshold ~(1/8)^(1/2) ~ 0.35, so truly-similar
+    # pairs (j >= 0.8) are recalled with probability ~1 -- 4 bands of 4
+    # misses a third of j=0.7 pairs (1-(1-0.7^4)^4 = 0.67).
+    cand = minhash_candidates(
+        d, "doc_id", F.array_distinct(TOKS()), k=16, bands=8
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .distinct()
-    )
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                lambda m: m,
-            )
-        ).cast("double")
-        / _MINHASH_K
-    )
-    return cand.select(
-        "doc_a", "doc_b", F.round(est, 4).alias("est_jaccard")
-    ).filter(F.col("est_jaccard") >= 0.25)
+    return cand.filter(F.col("est_jaccard") >= 0.25)
 
 
 @query("q_simhash")  # rows-only; deterministic (commutative SUM over tokens)
@@ -224,41 +178,8 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     small probe set; at 100 TB block on a signature prefix first (same
     bucket trick as LSH)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    tok_hash = d.select(
-        "doc_id", F.explode(F.array_distinct(TOKS())).alias("tok")
-    ).select("doc_id", F.xxhash64("tok").alias("h"))
-    bits = tok_hash.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
-        "h",
-    ).select(
-        "doc_id",
-        "bit",
-        F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1).alias("vote"),
-    )
-    packed = (
-        bits.groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("v"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-                .otherwise(F.lit(0).cast("long"))
-            ).alias("simhash")
-        )
-    )
-    a = packed.alias("a")
-    b = packed.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
-        )
-        .filter(F.col("hamming") <= 3)
-    )
+    sigs = simhash_signatures(d, "doc_id", F.array_distinct(TOKS()))
+    return simhash_near_pairs(sigs, max_hamming=3)
 
 
 @query(
@@ -326,40 +247,6 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _dot(a, b):
-    """Sequential double-precision dot product of two array columns.
-
-    Pure column expression (higher-order aggregate): right for one-off
-    norms and small pair sets. For large pair sets use :func:`_dot_pandas`
-    -- HOF lambdas are interpreted per element, so at ~100k+ pairs the
-    Arrow-vectorized numpy path wins by an order of magnitude."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-
-
-_DOT_PANDAS = None
-
-
-def _dot_pandas(a, b):
-    """Arrow-batched numpy dot product over two array<double> columns:
-    one einsum per Arrow batch, no per-row Python. Lazily built because
-    pandas_udf type parsing needs an active SparkSession."""
-    global _DOT_PANDAS
-    if _DOT_PANDAS is None:
-
-        @pandas_udf("double")
-        def dot(x: pd.Series, y: pd.Series) -> pd.Series:
-            import numpy as np
-
-            xv = np.stack(x.to_numpy())
-            yv = np.stack(y.to_numpy())
-            return pd.Series(np.einsum("ij,ij->i", xv, yv))
-
-        _DOT_PANDAS = dot
-    return _DOT_PANDAS(a, b)
-
-
 @query(
     "q_cosine_topk",
     oracle="""
@@ -392,43 +279,17 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over probe_id partitions is the merge)."""
     # norms are computed ONCE per vector (not per pair): at N probes x M
     # candidates that is N+M norm evaluations instead of 2*N*M.
-    v = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    ).withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    v = with_norm(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+    )
     p = v.filter(F.col("vec_id") < 25).select(
         F.col("vec_id").alias("probe_id"),
         F.col("e").alias("pe"),
         F.col("nrm").alias("pnrm"),
     )
-    joined = v.join(broadcast(p), F.col("vec_id") != F.col("probe_id"))
-    sim = F.round(
-        _dot_pandas(F.col("pe"), F.col("e")) / (F.col("pnrm") * F.col("nrm")), 4
-    ).cast("double")
-    scored = joined.select(
-        "probe_id", F.col("vec_id").alias("cand_id"), sim.alias("sim")
-    )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 5)
-        .select("probe_id", "cand_id", "sim", F.col("rk").cast("int").alias("rk"))
-    )
-
-
-#: seeded pseudo-random hyperplanes for the LSH/IVF bucketer (4 planes ->
-#: 16 buckets). Deterministic: generated from a fixed seed, never random
-#: at run time.
-_N_PLANES = 4
-
-
-def _plane(dim: int, seed: int) -> list[float]:
-    """Deterministic unit-free hyperplane from md5(seed, j) -- public-knowledge
-    trick: hash bits as a fixed pseudo-random source."""
-    vals = []
-    for j in range(dim):
-        h = hashlib.md5(f"plane-{seed}-{j}".encode()).digest()
-        vals.append(int.from_bytes(h[:4], "big") / 2**31 - 1.0)
-    return vals
+    return topk_per_probe(cosine_scores(v, p, bulk=True), k=5)
 
 
 @query("q_ann_ivf")  # rows-only: approximate by design; recall tested vs exact
@@ -440,37 +301,39 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the bucket id is a plain column -> the search is an equi-join
     on bucket (shuffle keyed by bucket, or broadcast of tiny probe set);
     partition pruning by bucket works on a bucket-partitioned layout."""
-    v = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    vb = with_norm(
+        hyperplane_bucket(
+            load_table(spark, sf_dir, "embeddings").select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("e")
+            )
+        )
     )
-    dim = 64
-    planes = [F.array(*[F.lit(x) for x in _plane(dim, s)]) for s in range(_N_PLANES)]
-    bucket = sum(
-        (F.when(_dot(F.col("e"), pl) >= 0, 1 << i).otherwise(0) for i, pl in enumerate(planes)),
-        start=F.lit(0),
-    )
-    vb = v.withColumn("bucket", bucket).withColumn(
-        "nrm", F.sqrt(_dot(F.col("e"), F.col("e")))
+    # multi-probe: search the probe's own bucket plus its 4 hamming-1
+    # neighbor buckets (one sign flip per plane) -- the standard IVF
+    # recall fix; the candidate set stays 5/16 of the space and the join
+    # stays bucket-keyed.
+    probe_buckets = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(4)],
     )
     p = vb.filter(F.col("vec_id") < 25).select(
         F.col("vec_id").alias("probe_id"),
         F.col("e").alias("pe"),
-        F.col("bucket").alias("pb"),
+        probe_buckets.alias("pbs"),
         F.col("nrm").alias("pnrm"),
     )
     joined = vb.join(
-        broadcast(p), (F.col("bucket") == F.col("pb")) & (F.col("vec_id") != F.col("probe_id"))
+        broadcast(p),
+        F.array_contains(F.col("pbs"), F.col("bucket"))
+        & (F.col("vec_id") != F.col("probe_id")),
     )
     sim = F.round(
-        _dot(F.col("pe"), F.col("e")) / (F.col("pnrm") * F.col("nrm")), 4
+        dot_expr(F.col("pe"), F.col("e")) / (F.col("pnrm") * F.col("nrm")), 4
     ).cast("double")
-    scored = joined.select("probe_id", F.col("vec_id").alias("cand_id"), sim.alias("sim"))
-    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 5)
-        .select("probe_id", "cand_id", "sim", F.col("rk").cast("int").alias("rk"))
+    scored = joined.select(
+        "probe_id", F.col("vec_id").alias("cand_id"), sim.alias("sim")
     )
+    return topk_per_probe(scored, k=5)
 
 
 @query(
@@ -493,9 +356,11 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: this bounded block is the verify stage; candidate generation at
     100 TB is q_ann_ivf's bucket join, never the full cross product."""
-    v = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    ).withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    v = with_norm(
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    )
     a = v.select(
         F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("nrm").alias("na")
     )
