@@ -20,5 +20,6 @@ from . import scalar_funcs  # noqa: F401,E402
 from . import wro  # noqa: F401,E402
 from . import streaming  # noqa: F401,E402
 from . import llm  # noqa: F401,E402
+from . import extended  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -1,0 +1,170 @@
+"""Extended relational surface: pivot/unpivot, exact percentiles, the
+spark.sql front end, and catalog CSV decode.
+
+Reference anchors: the overlay's long->wide layer pivot is the shape of
+R40 (``WROS/Weighted Raster Overlay Service.pyt`` README overlay
+semantics); CSV decode is R32 (``.pyt:161-175, 1328-1332``) -- the
+reference parses its own catalog TEXT columns back into parallel lists on
+every tool invocation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.wro import wro_catalog, wro_catalog_sql
+from ..sources import load_table
+from .registry import query
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                FILTER (l_linestatus = 'F'), 2) AS DOUBLE) AS qty_f,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                FILTER (l_linestatus = 'O'), 2) AS DOUBLE) AS qty_o
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long->wide pivot on a bounded key set (R40's layer pivot shape).
+
+    Values are enumerated explicitly -- an un-enumerated pivot needs an
+    extra distinct pass over the data at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 2).cast("double"))
+    )
+    return piv.select(
+        "l_returnflag",
+        F.col("F").alias("qty_f"),
+        F.col("O").alias("qty_o"),
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value
+    FROM part
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long unpivot (melt): the inverse of the layer pivot; the
+    wro_cells fixture itself is this shape."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    ).unpivot("p_partkey", ["size", "retailprice"], "metric", "value")
+
+
+@query(
+    "q_agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS DOUBLE)  AS p50,
+           CAST(ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS DOUBLE)  AS p90,
+           CAST(ROUND(quantile_cont(l_extendedprice, 0.99), 2) AS DOUBLE) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation in both engines). At
+    100 TB use approx_percentile -- exact percentile holds per-group
+    values; the exact form here is the correctness anchor."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).cast("double").alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 2).cast("double").alias("p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 2).cast("double").alias("p99"),
+    )
+
+
+@query(
+    "q_sql_api",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql front end over registered temp views -- the same
+    declarative text a SQL-first user would run; Catalyst plans it
+    identically to the DataFrame form."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS revenue
+        FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+@query(
+    "q_wro_decode_ranges",
+    oracle=f"""
+    WITH {wro_catalog_sql()},
+    split AS (
+        SELECT Name, string_split(InputRanges, ',') AS bounds,
+               string_split(OutputValues, ',') AS outs
+        FROM wro_catalog
+    )
+    SELECT Name,
+           CAST(i AS INT)                                   AS range_idx,
+           CAST(bounds[2 * i + 1] AS DOUBLE)                AS lo,
+           CAST(bounds[2 * i + 2] AS DOUBLE)                AS hi,
+           CAST(outs[i + 1] AS INT)                         AS out
+    FROM split, unnest(range(0, len(bounds) // 2)) t(i)
+    """,
+)
+def q_wro_decode_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R32/R33 (``.pyt:161-175``): decode the catalog's CSV-encoded
+    classification back into (range_idx, lo, hi, out) rows -- the
+    reference re-parses these TEXT columns on every tool invocation
+    (InputRanges/OutputValues are unquoted numerics, so a plain split is
+    the reference's own parse; quoted labels go through from_csv)."""
+    cat = wro_catalog(spark)
+    split = cat.select(
+        "Name",
+        F.split("InputRanges", ",").alias("bounds"),
+        F.split("OutputValues", ",").alias("outs"),
+    )
+    return split.select(
+        "Name",
+        F.explode(
+            F.sequence(F.lit(0), (F.size("bounds") / 2 - 1).cast("int"))
+        ).alias("range_idx"),
+        "bounds",
+        "outs",
+    ).select(
+        "Name",
+        F.col("range_idx").cast("int").alias("range_idx"),
+        F.element_at("bounds", F.col("range_idx").cast("int") * 2 + 1)
+        .cast("double")
+        .alias("lo"),
+        F.element_at("bounds", F.col("range_idx").cast("int") * 2 + 2)
+        .cast("double")
+        .alias("hi"),
+        F.element_at("outs", F.col("range_idx").cast("int") + 1).cast("int").alias("out"),
+    )
