@@ -1,0 +1,85 @@
+"""Catalog persistence (R4-R11 surface): create/exists/load/append/replace
+round trip with schema validation."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from weighted_raster_overlay_service_toolbox_spark.sources.catalog_store import (
+    REQUIRED_CLASSIFICATION,
+    append_rows,
+    catalog_exists,
+    create_catalog,
+    load_catalog,
+    missing_columns,
+    replace_catalog,
+)
+
+_STORE = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".scratch", "cat_store")
+
+
+def test_full_lifecycle(spark):
+    # R6 create; R9 exists
+    assert not catalog_exists(_STORE) or create_catalog(spark, _STORE, overwrite=True) is None
+    create_catalog(spark, _STORE, overwrite=True)
+    assert catalog_exists(_STORE)
+    with pytest.raises(FileExistsError):
+        create_catalog(spark, _STORE)  # no silent clobber (.pyt:638-643)
+
+    cat = load_catalog(spark, _STORE)
+    assert cat.count() == 0
+    # R10 introspection
+    assert missing_columns(cat, REQUIRED_CLASSIFICATION) == []
+    assert missing_columns(cat.drop("Title"), REQUIRED_CLASSIFICATION) == ["Title"]
+
+    # R5 append aligns by name, missing columns null-filled
+    rows = spark.createDataFrame(
+        [("layerA", "Layer A")], "Name string, Title string"
+    )
+    append_rows(spark, _STORE, rows)
+    got = load_catalog(spark, _STORE)
+    assert got.count() == 1
+    r = got.first()
+    assert r["Name"] == "layerA" and r["Description"] is None
+
+    # R4 keyed update via snapshot replace
+    updated = got.withColumn(
+        "Title",
+        F.when(F.col("Name") == "layerA", F.lit("Renamed")).otherwise(F.col("Title")),
+    )
+    replace_catalog(_STORE, updated)
+    assert load_catalog(spark, _STORE).first()["Title"] == "Renamed"
+
+
+def test_stateful_custom_final_counts(spark):
+    """applyInPandasWithState: final per-user state equals batch totals."""
+    from weighted_raster_overlay_service_toolbox_spark.queries import QUERIES
+    from weighted_raster_overlay_service_toolbox_spark.sources import load_table
+
+    from .conftest import SF_SMOKE
+
+    rows = QUERIES["q_stream_stateful_custom"](spark, SF_SMOKE).collect()
+    assert rows
+    final: dict[int, tuple[int, float]] = {}
+    for r in sorted(rows, key=lambda r: r["batch_id"]):
+        final[r["user_id"]] = (r["n_events"], r["sum_value"])
+    truth = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("s"),
+        )
+        .collect()
+    }
+    assert set(final) == set(truth)
+    for uid, (n, s) in final.items():
+        assert n == truth[uid][0], f"user {uid} count {n} != {truth[uid][0]}"
+        assert abs(s - truth[uid][1]) < 0.02, f"user {uid} sum {s} != {truth[uid][1]}"

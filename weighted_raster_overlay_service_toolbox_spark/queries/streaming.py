@@ -219,3 +219,54 @@ def q_stream_agg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in batch_rows
     ]
     return spark.createDataFrame(rows, "batch_id int, event_type string, n long")
+
+
+@query("q_stream_stateful_custom")  # rows-only: custom state machine
+def q_stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (event count, value sum) state carried across micro-batches,
+    emitting the updated totals for each user touched in each batch.
+
+    This is the engine's escape hatch for operators Structured Streaming
+    lacks natively (hypertable rollups, custom sessionization, online
+    sketches): keyed state + Arrow-batched Python transitions. State is
+    bounded by the key domain; at 100 TB the shuffle is keyed by user and
+    the state store partitions with it.
+    """
+    import pandas as pd  # noqa: F401  (worker-side)
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, float(total)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(total, 2)]}
+        )
+
+    staged = stage_event_files(spark, sf_dir, "stateful")
+    out = (
+        read_event_stream(spark, staged)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, sum_value double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    emitted = run_foreach_batch(out, "update")
+    rows = [
+        (int(batch_id), int(r["user_id"]), int(r["n_events"]), float(r["sum_value"]))
+        for batch_id, batch_rows in emitted
+        for r in batch_rows
+    ]
+    return spark.createDataFrame(
+        rows, "batch_id int, user_id long, n_events long, sum_value double"
+    )

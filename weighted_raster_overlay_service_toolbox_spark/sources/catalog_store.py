@@ -1,0 +1,109 @@
+"""Catalog persistence: the reference's DDL / existence / introspection
+surface (R6-R11) as a parquet-backed store.
+
+The reference creates a mosaic dataset (``CreateMosaicDataset_management``,
+``WROS/Weighted Raster Overlay Service.pyt:805``), adds its TEXT columns by
+DDL (``AddFields_management``, ``.pyt:814``), drops-if-exists
+(``Delete_management``, ``.pyt:794-796``), existence-checks with
+``arcpy.Exists`` (``.pyt:284, 674, 765``), and validates schema-by-name
+with ``ListFields`` (``.pyt:139-147, 441-449``). Here the catalog is a
+parquet directory: DDL is writing an empty frame with the schema,
+existence is a filesystem check, introspection is ``df.schema``, and the
+keyed read-modify-write update cycle becomes read -> CASE override ->
+atomic replace.
+
+Scale: the catalog is layer-metadata-sized. The store keeps it a plain
+parquet dir (snapshot-replace writes); at real scale the same API maps to
+a table format with MERGE, without changing callers.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+#: canonical catalog schema (``.pyt:592-603`` plus the system Name key).
+CATALOG_SCHEMA = StructType(
+    [
+        StructField("Name", StringType()),
+        StructField("Title", StringType()),
+        StructField("Description", StringType()),
+        StructField("Url", StringType()),
+        StructField("InputRanges", StringType()),
+        StructField("NoDataRanges", StringType()),
+        StructField("RangeLabels", StringType()),
+        StructField("NoDataRangeLabels", StringType()),
+        StructField("OutputValues", StringType()),
+        StructField("Metadata", StringType()),
+        StructField("dataset_id", StringType()),
+    ]
+)
+
+#: required columns each tool validates before touching a catalog
+#: (``.pyt:139-147`` classification; ``.pyt:441-449`` layer info).
+REQUIRED_CLASSIFICATION = ["Name", "Title", "RangeLabels", "InputRanges", "OutputValues"]
+REQUIRED_LAYER_INFO = ["Name", "Title", "Description", "Url", "Metadata"]
+
+
+def catalog_exists(path: str) -> bool:
+    """R9 (``arcpy.Exists``): a catalog exists iff its dir has a footer."""
+    return os.path.isdir(path) and any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    )
+
+
+def create_catalog(spark: SparkSession, path: str, overwrite: bool = False) -> None:
+    """R6/R7/R8: create the empty catalog with the canonical schema;
+    drop-if-exists only when asked (the reference's boolean param,
+    ``.pyt:638-643, 794-796``)."""
+    if catalog_exists(path):
+        if not overwrite:
+            raise FileExistsError(f"catalog already exists: {path}")
+        shutil.rmtree(path)
+    spark.createDataFrame([], CATALOG_SCHEMA).write.parquet(path)
+
+
+def load_catalog(spark: SparkSession, path: str) -> DataFrame:
+    if not catalog_exists(path):
+        raise FileNotFoundError(f"no catalog at {path}")
+    return spark.read.parquet(path)
+
+
+def missing_columns(df: DataFrame, required: list[str]) -> list[str]:
+    """R10 schema introspection: required-by-name validation."""
+    have = set(df.columns)
+    return [c for c in required if c not in have]
+
+
+def append_rows(spark: SparkSession, path: str, rows: DataFrame) -> None:
+    """R5 bulk load (``AddRastersToMosaicDataset``, ``.pyt:842``): align
+    to the catalog schema by name, fill absent columns with NULL."""
+    cat = load_catalog(spark, path)
+    aligned = rows.select(
+        *[
+            F.col(c).cast("string").alias(c)
+            if c in rows.columns
+            else F.lit(None).cast("string").alias(c)
+            for c in cat.columns
+        ]
+    )
+    aligned.write.mode("append").parquet(path)
+
+
+def replace_catalog(path: str, updated: DataFrame) -> None:
+    """Atomic-ish snapshot replace for keyed updates (R4): write the new
+    snapshot beside the old, then swap. The reference's UpdateCursor
+    mutates in place; snapshot-replace is the parquet-world equivalent
+    with the same observable result."""
+    tmp = path.rstrip("/") + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    updated.write.parquet(tmp)
+    old = path.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
