@@ -28,17 +28,26 @@ TABLES = (
 )
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Pin the runtime confs query correctness depends on. The driver may
+    hand us a session built elsewhere (not via ``session.get_spark``):
+    hour()/unix_timestamp() answers follow the session time zone, and the
+    DuckDB oracles assume UTC."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Plain parquet scan -- column pruning and
     predicate pushdown are applied by Catalyst at the call sites."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    _ensure_session_confs(spark)
     if name == "events":
         # ts is parquet TIMESTAMP(NANOS): Spark's reader has no nanosecond
         # timestamp type, so read nanos-as-long and truncate to micros the
         # way DuckDB does. Integer division -- double division loses
         # microsecond precision at 1.7e18 nanoseconds.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         return df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
