@@ -501,3 +501,46 @@ def q_udtf_flatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     return o.mapInPandas(expand, "o_orderkey long, prio_token string")
+
+
+@query(
+    "q_udf_grouped_map",
+    oracle="""
+    SELECT o_orderkey, c_mktsegment,
+           CAST(ROUND(
+               (o_totalprice - AVG(o_totalprice) OVER (PARTITION BY c_mktsegment))
+               / STDDEV_POP(o_totalprice) OVER (PARTITION BY c_mktsegment), 2)
+           AS DOUBLE) AS z
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (the third Pandas-UDF eval type next to
+    grouped-agg and mapInPandas): per-segment z-score of order totals,
+    one Arrow batch per group. The oracle is the window-function rewrite.
+
+    Scale: one shuffle on the group key; each group must fit one worker's
+    memory -- for data-sized groups use the window form instead (also
+    shown in the oracle)."""
+    import pandas as pd
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["o_totalprice"]
+        mu = x.mean()
+        sd = ((x - mu) ** 2).mean() ** 0.5
+        return pd.DataFrame(
+            {
+                "o_orderkey": pdf["o_orderkey"],
+                "c_mktsegment": pdf["c_mktsegment"],
+                "z": ((x - mu) / sd).round(2),
+            }
+        )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "c_mktsegment", "o_totalprice"
+    )
+    return joined.groupBy("c_mktsegment").applyInPandas(
+        zscore, "o_orderkey long, c_mktsegment string, z double"
+    )
