@@ -27,6 +27,7 @@ from ..streaming.engine import (
     run_foreach_batch,
     run_to_memory,
     stage_event_files,
+    stage_with_sentinel,
 )
 from .registry import query
 
@@ -139,21 +140,25 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session windows with a 5-minute gap per user via the
-    ``session_window`` operator (same operator streaming uses; batch
-    execution here because finalized-session output in a finite test
-    stream needs the watermark push exercised in tests/test_streaming.py).
-    Oracle is the classic gaps-and-islands rewrite."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("user_id", F.session_window("ts", "5 minutes").alias("win"))
+    """Session windows (5-minute gap per user) as a REAL stream: stateful
+    ``session_window`` aggregation under a watermark, append mode. A
+    sentinel event one day past the data max pushes the watermark past
+    every real session so the finite stream flushes all state (sessions
+    only emit once the watermark passes their end). Oracle is the classic
+    gaps-and-islands rewrite."""
+    staged = stage_with_sentinel(spark, sf_dir, "session")
+    agg = (
+        read_event_stream(spark, staged)
+        .withWatermark("ts", "1 minute")
+        .groupBy("user_id", F.session_window("ts", "5 minutes").alias("win"))
         .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            F.col("win.start").alias("session_start"),
-            F.col("win.end").alias("session_end"),
-            "n_events",
-        )
+    )
+    out = run_to_memory(agg, "sink_session", "append")
+    return out.filter(F.col("user_id") >= 0).select(
+        "user_id",
+        F.col("win.start").alias("session_start"),
+        F.col("win.end").alias("session_end"),
+        "n_events",
     )
 
 

@@ -87,6 +87,30 @@ def stage_event_files(
     return out
 
 
+def stage_with_sentinel(
+    spark: SparkSession, sf_dir: str, name: str, n_files: int = 4
+) -> str:
+    """Stage event files plus a FINAL sentinel file: one event (user_id=-1)
+    one day past the data max. In append mode, windows/sessions only emit
+    once the watermark passes them -- the sentinel batch pushes the
+    watermark past every real event so the finite test stream flushes all
+    of its state (filter user_id = -1 out of results)."""
+    out = stage_event_files(spark, sf_dir, name, n_files=n_files)
+    sentinel_path = os.path.join(out, f"batch_{n_files + 1:03d}_sentinel.parquet")
+    if not os.path.exists(sentinel_path):
+        ev = load_table(spark, sf_dir, "events")
+        sentinel = ev.agg(F.max("ts").alias("mx")).select(
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.col("mx") + F.expr("INTERVAL 1 DAY")).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        sentinel.coalesce(1).write.mode("overwrite").parquet(sentinel_path)
+    return out
+
+
 def read_event_stream(spark: SparkSession, staged_dir: str) -> DataFrame:
     """File-source stream over the staged dir, one file per micro-batch
     (files are globbed in name order => deterministic batch sequence)."""
