@@ -5,6 +5,7 @@ repeated join keys at 100 TB)."""
 from __future__ import annotations
 
 import io
+import os
 from contextlib import redirect_stdout
 
 from pyspark.sql import functions as F
@@ -51,9 +52,16 @@ def test_bucketed_join_has_no_shuffle(spark):
     """Two tables bucketed on the join key sort-merge WITHOUT an exchange:
     the physical plan must contain no shuffle between scan and join."""
     # default warehouse (spark-warehouse/, gitignored) -- warehouse.dir is
-    # a static conf and cannot be set on a live session
+    # a static conf and cannot be set on a live session. DROP TABLE alone
+    # is not enough across sessions: the in-memory catalog forgets the
+    # table but its directory survives, so clear both.
+    import shutil
+
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(os.path.join(warehouse, "b_orders"), ignore_errors=True)
+    shutil.rmtree(os.path.join(warehouse, "b_lineitem"), ignore_errors=True)
 
     load_table(spark, SF_SMOKE, "orders").write.bucketBy(8, "o_orderkey").sortBy(
         "o_orderkey"
