@@ -1,0 +1,61 @@
+"""Driver-contract invariants: the registry the driver consumes must be
+internally consistent before any query even runs."""
+
+from __future__ import annotations
+
+import inspect
+
+
+def test_registry_contract():
+    import __spark_entry__ as e
+
+    q, o = e.queries(), e.oracle_sql()
+    # every oracle belongs to a query
+    assert not set(o) - set(q), sorted(set(o) - set(q))
+    # flagship present
+    assert "q_agg_group" in q
+    # all callables take (spark, sf_dir)
+    for name, fn in q.items():
+        params = list(inspect.signature(fn).parameters)
+        assert len(params) == 2, f"{name} has params {params}"
+    # oracle SQL strings are non-trivial
+    for name, sql in o.items():
+        assert "SELECT" in sql.upper(), name
+
+
+def test_rows_only_queries_are_the_intended_set():
+    """Queries WITHOUT an oracle must be exactly the genuinely
+    non-SQL-expressible ones (SURVEY.md section 2.2) -- a silently
+    dropped oracle would weaken the correctness gate unnoticed."""
+    import __spark_entry__ as e
+
+    rows_only = set(e.queries()) - set(e.oracle_sql())
+    expected = {
+        # approximate / engine-specific canonical forms
+        "q_agg_approx_distinct",
+        "q_map_funcs",
+        # sink round-trips (no SQL analogue)
+        "q_sink_parquet",
+        "q_sink_csv_roundtrip",
+        "q_sink_json_roundtrip",
+        # schema introspection
+        "q_wro_schema_check",
+        # micro-batch-sequencing-dependent streaming
+        "q_stream_watermark",
+        "q_stream_dedup",
+        "q_stream_agg_update",
+        "q_stream_stateful_custom",
+        # approximate-by-design (validated vs exact ground truth in tests)
+        "q_dedup_minhash",
+        "q_simhash",
+        "q_ann_ivf",
+        # binary/struct canonical forms differ across engines
+        "q_multimodal_struct",
+        "q_multimodal_decode",
+        # mapInPandas row expansion
+        "q_udtf_flatmap",
+    }
+    assert rows_only == expected, (
+        f"unexpected rows-only: {sorted(rows_only - expected)}; "
+        f"lost rows-only: {sorted(expected - rows_only)}"
+    )
