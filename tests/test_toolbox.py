@@ -154,3 +154,70 @@ def test_update_layer_info_csv_quoted_label_roundtrip(spark):
     )
     updated, _ = update_classification(catalog, "elev", ranges)
     assert updated.first()["RangeLabels"] == '"lowest, really"'
+
+
+def test_create_catalog_class_break_dispatch(spark):
+    """R17 (``.pyt:941-1008``): breaks [min,u1..uk] with last bound +1,
+    all-5 outputs, 'a to b' labels."""
+    layers = spark.createDataFrame(
+        [("cls", "Classified", [25.0, 50.0, 100.0])],
+        "name string, title string, breaks array<double>",
+    )
+    cells = spark.createDataFrame(
+        [("cls", 1, 0.0), ("cls", 2, 100.0)],
+        "layer string, cell_id long, value double",
+    )
+    catalog, errors = create_wro_catalog(layers, cells)
+    row = catalog.first()
+    assert row["InputRanges"] == "0.0,25.0,25.0,50.0,50.0,101.0"
+    assert row["OutputValues"] == "5,5,5"
+    assert row["RangeLabels"] == "0.0 to 25.0,25.0 to 50.0,50.0 to 101.0"
+
+
+def test_create_catalog_unique_values_dispatch(spark):
+    """R18 (``.pyt:1012-1114``): distinct values -> consecutive ranges,
+    terminal +1."""
+    layers = spark.createDataFrame(
+        [("uv", "Thematic", [7.0, 1.0, 3.0])],
+        "name string, title string, unique_values array<double>",
+    )
+    cells = spark.createDataFrame(
+        [("uv", 1, 1.0)], "layer string, cell_id long, value double"
+    )
+    catalog, errors = create_wro_catalog(layers, cells)
+    row = catalog.first()
+    assert row["InputRanges"] == "1.0,3.0,3.0,7.0,7.0,8.0"
+    assert row["OutputValues"] == "5,5,5"
+
+
+def test_create_catalog_skips_vector_source_types(spark):
+    """R15 (``.pyt:1246-1249``): VECTOR_UV/MAGDIR layers skipped with a
+    warning."""
+    layers = spark.createDataFrame(
+        [("wind", "Wind", "VECTOR_UV"), ("elev", "Elevation", "GENERIC")],
+        "name string, title string, source_type string",
+    )
+    cells = spark.createDataFrame(
+        [("elev", 1, 0.0), ("elev", 2, 100.0), ("wind", 1, 5.0)],
+        "layer string, cell_id long, value double",
+    )
+    catalog, errors = create_wro_catalog(layers, cells)
+    assert [r["Name"] for r in catalog.collect()] == ["elev"]
+    assert errors.filter("code = 'skipped_source_type'").count() == 1
+
+
+def test_create_catalog_default_fallback_when_no_cells(spark):
+    """R38 (``.pyt:1268, 1279-1280``): a layer with no cells gets the
+    hardcoded default classification and a warning."""
+    layers = spark.createDataFrame(
+        [("ghost", "No Data Layer")], "name string, title string"
+    )
+    cells = spark.createDataFrame(
+        [], "layer string, cell_id long, value double"
+    )
+    catalog, errors = create_wro_catalog(layers, cells)
+    row = catalog.first()
+    assert row["InputRanges"] == "1.0,50.0,50.0,100.0,100.0,150.0,150.0,200.0,200.0,256.0"
+    assert row["OutputValues"] == "1,3,5,7,9"
+    assert row["RangeLabels"] == "Very Low,Low,Medium,High,Very High"
+    assert errors.filter("code = 'default_classification'").count() == 1

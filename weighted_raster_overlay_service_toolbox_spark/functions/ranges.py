@@ -112,3 +112,77 @@ def contiguity_errors(ranges_df: DataFrame, lo: str = "lo", hi: str = "hi") -> D
         )
         .filter(F.col("next_lo").isNotNull() & (F.col(hi) != F.col("next_lo")))
     )
+
+
+# --- R17/R19 kernels + R38 defaults (column-expression form) --------------
+
+#: R38 hardcoded fallback classification (``.pyt:1268, 1279-1280``) used
+#: when range derivation fails entirely.
+DEFAULT_INPUT_RANGES = "1.0,50.0,50.0,100.0,100.0,150.0,150.0,200.0,200.0,256.0"
+DEFAULT_OUTPUT_VALUES = "1,3,5,7,9"
+DEFAULT_RANGE_LABELS = "Very Low,Low,Medium,High,Very High"
+
+
+def consecutive_pair_ranges(bounds: Column) -> Column:
+    """R19 pairing (``.pyt:1119-1138``): an ordered bounds array
+    ``[b0..bn]`` becomes structs ``[(b0,b1), (b1,b2), ..., (b_{n-1},b_n)]``
+    -- min-inclusive/max-exclusive consecutive pairs. Callers prepare the
+    array (prepend dataset min for class breaks R17; bump or append the
+    +1 terminal bound per their rule)."""
+    n = F.size(bounds)
+    return F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.struct(
+            F.element_at(bounds, i + 1).alias("lo"),
+            F.element_at(bounds, i + 2).alias("hi"),
+        ),
+    )
+
+
+def class_break_ranges(dataset_min: Column, upper_bounds: Column) -> Column:
+    """R17 (``.pyt:941-1008``): classify-colorizer breaks -> ranges.
+    Bounds are ``[min, u1..uk]`` with the FINAL upper bound bumped +1
+    (``.pyt:985-988``); yields k ranges ``[min,u1) ... [u_{k-1}, u_k+1)``."""
+    k = F.size(upper_bounds)
+    bumped = F.transform(
+        upper_bounds,
+        lambda u, i: F.when(i == k - 1, u + 1).otherwise(u),
+    )
+    bounds = F.concat(F.array(dataset_min), bumped)
+    return consecutive_pair_ranges(bounds)
+
+
+def unique_value_ranges_expr(values: Column) -> Column:
+    """R18 (``.pyt:1012-1114``) as an array expression: sorted distinct
+    values ``[v1..vn]`` -> n ranges ``[v_i, v_{i+1})`` with the final
+    ``[v_n, v_n+1)`` (terminal +1 appended, ``.pyt:1104-1108``)."""
+    vs = F.array_sort(F.array_distinct(values))
+    terminal = F.element_at(vs, -1) + 1
+    return consecutive_pair_ranges(F.concat(vs, F.array(terminal)))
+
+
+def ranges_to_csv(ranges: Column) -> Column:
+    """Serialize range structs to the reference's flat CSV string form
+    (``lo1,hi1,lo2,hi2,...``, ``.pyt:1132``)."""
+    return F.array_join(
+        F.transform(
+            ranges,
+            lambda p: F.concat_ws(
+                ",", p["lo"].cast("string"), p["hi"].cast("string")
+            ),
+        ),
+        ",",
+    )
+
+
+def ranges_to_labels(ranges: Column) -> Column:
+    """R17 label form ``"a to b"`` per range (``.pyt:994-1002``)."""
+    return F.array_join(
+        F.transform(
+            ranges,
+            lambda p: F.format_string(
+                "%s to %s", p["lo"].cast("string"), p["hi"].cast("string")
+            ),
+        ),
+        ",",
+    )

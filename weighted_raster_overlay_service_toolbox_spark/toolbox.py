@@ -30,7 +30,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from .functions.csvcodec import csv_encode
-from .functions.ranges import contiguity_errors
+from .functions.ranges import (
+    DEFAULT_INPUT_RANGES,
+    DEFAULT_OUTPUT_VALUES,
+    DEFAULT_RANGE_LABELS,
+    class_break_ranges,
+    consecutive_pair_ranges,
+    contiguity_errors,
+    ranges_to_csv,
+    ranges_to_labels,
+    unique_value_ranges_expr,
+)
 
 #: catalog columns added by DDL in the reference (``.pyt:592-603``) plus
 #: the mosaic's system Name key.
@@ -69,17 +79,34 @@ def create_wro_catalog(
     """Build a WRO catalog from layer metadata + cell values.
 
     ``layers_df``: one row per raster layer -- ``name string, title
-    string`` (the filter pipeline R23 is assumed applied upstream by the
-    caller; it is plain ``.filter`` chaining, ``.pyt:710-745``).
+    string`` plus OPTIONAL classification-source columns driving the
+    reference's R15 dispatch (``.pyt:1233-1256``):
+
+    - ``source_type string``: ``'VECTOR_UV'``/``'MAGDIR'`` layers are
+      skipped with a warning (``.pyt:1246-1249``);
+    - ``unique_values array<double>``: unique-value colorizer -> R18
+      consecutive ranges with terminal +1 (``.pyt:1012-1114``);
+    - ``breaks array<double>``: classify-colorizer upper bounds -> R17
+      ranges ``[min,u1)...[u_{k-1},u_k+1)`` with all-5 outputs
+      (``.pyt:941-1008``, outputs ``.pyt:968-971``);
+    - neither: R16 equal-interval from cell statistics
+      (``.pyt:895-938``); when the layer has NO cells at all, the R38
+      hardcoded default classification applies with a warning
+      (``.pyt:1268, 1279-1280``).
+
+    (The filter pipeline R23 is assumed applied upstream by the caller;
+    it is plain ``.filter`` chaining, ``.pyt:710-745``.)
     ``cells_df``: long cell table ``layer string, cell_id, value double``.
 
     Pipeline (mirrors ``execute``, ``.pyt:690-893``):
     1. duplicate-name rejection (R22, ``.pyt:738-740, 1151-1155``) and
        name character validation (R28, ``.pyt:677-681``) -> error rows;
     2. per-layer min/max statistics (R13, ``.pyt:897-900``);
-    3. equal-interval classification (R16, ``.pyt:895-938``): linspace
-       bounds, degenerate min==max -> single range ``[v, v+1)``
-       (``.pyt:913-926``), last bound = max+1 (``.pyt:934-936``);
+    3. classification dispatch as above; degenerate min==max -> single
+       range ``[v, v+1)`` (``.pyt:913-926``) with output "5" and label
+       "Medium" (deliberate deviation: the reference emits 5 outputs for
+       1 range there, writing inconsistent parallel lists --
+       ``.pyt:1278-1280`` -- documented, not replicated);
     4. CSV-encode ranges/outputs/labels into the catalog TEXT columns
        (R31, ``.pyt:1119-1138, 1308-1325``), labels "a to b"
        (``.pyt:994-1002``).
@@ -113,53 +140,83 @@ def create_wro_catalog(
     )
     ok_layers = layers_df.join(broadcast(bad_names), "name", "left_anti")
 
+    # optional dispatch columns default to null when absent
+    for opt, typ in (
+        ("source_type", "string"),
+        ("breaks", "array<double>"),
+        ("unique_values", "array<double>"),
+    ):
+        if opt not in ok_layers.columns:
+            ok_layers = ok_layers.withColumn(opt, F.lit(None).cast(typ))
+
+    skipped = ok_layers.filter(
+        F.col("source_type").isin("VECTOR_UV", "MAGDIR")
+    ).select(
+        F.lit("warning").alias("severity"),
+        F.lit("skipped_source_type").alias("code"),
+        F.concat(
+            F.lit("layer skipped (source type): "), F.col("name")
+        ).alias("message"),
+    )
+    errors = errors.unionByName(skipped)
+    ok_layers = ok_layers.filter(
+        ~F.coalesce(
+            F.col("source_type").isin("VECTOR_UV", "MAGDIR"), F.lit(False)
+        )
+    )
+
     stats = cells_df.groupBy(F.col("layer").alias("name")).agg(
         F.min("value").alias("mn"), F.max("value").alias("mx")
     )
 
-    # linspace bounds as an array column; degenerate min==max -> [v, v+1)
+    # R15 dispatch: unique values (R18) > class breaks (R17) > equal
+    # interval from stats (R16) > hardcoded default (R38, no cells)
     width = (F.col("mx") - F.col("mn")) / F.lit(n_classes)
-    lo_i = lambda i: F.col("mn") + F.lit(i) * width  # noqa: E731
-    hi_i = lambda i: (  # noqa: E731
-        F.col("mx") + F.lit(1.0) if i == n_classes - 1 else F.col("mn") + F.lit(i + 1) * width
-    )
     degenerate = F.col("mx") == F.col("mn")
-    pairs = F.when(
+    linspace = F.array(
+        *[F.col("mn") + F.lit(i) * width for i in range(n_classes)],
+        F.col("mx") + F.lit(1.0),
+    )
+    equal_pairs = F.when(
         degenerate,
         F.array(F.struct(F.col("mn").alias("lo"), (F.col("mn") + 1).alias("hi"))),
-    ).otherwise(
-        F.array(
-            *[
-                F.struct(lo_i(i).alias("lo"), hi_i(i).alias("hi"))
-                for i in range(n_classes)
-            ]
-        )
+    ).otherwise(consecutive_pair_ranges(linspace))
+
+    pairs = (
+        F.when(F.col("unique_values").isNotNull(),
+               unique_value_ranges_expr(F.col("unique_values")))
+        .when(F.col("breaks").isNotNull() & F.col("mn").isNotNull(),
+              class_break_ranges(F.col("mn"), F.col("breaks")))
+        .when(F.col("mn").isNotNull(), equal_pairs)
+        .otherwise(F.lit(None))
     )
-    ranges_csv = F.array_join(
-        F.transform(
-            pairs,
-            lambda p: F.concat_ws(
-                ",", p["lo"].cast("string"), p["hi"].cast("string")
-            ),
-        ),
-        ",",
+
+    all_fives = F.array_join(
+        F.transform(pairs, lambda _: F.lit("5")), ","
     )
-    labels_csv = F.when(
-        degenerate, F.lit(DEFAULT_LABELS[len(DEFAULT_LABELS) // 2])
-    ).otherwise(
-        F.array_join(
-            F.transform(
-                pairs,
-                lambda p: F.format_string(
-                    "%s to %s", p["lo"].cast("string"), p["hi"].cast("string")
-                ),
-            ),
-            ",",
-        )
+    ranges_csv = F.coalesce(ranges_to_csv(pairs), F.lit(DEFAULT_INPUT_RANGES))
+    labels_csv = F.when(pairs.isNull(), F.lit(DEFAULT_RANGE_LABELS)).otherwise(
+        F.when(degenerate & F.col("breaks").isNull() & F.col("unique_values").isNull(),
+               F.lit(DEFAULT_LABELS[len(DEFAULT_LABELS) // 2]))
+        .otherwise(ranges_to_labels(pairs))
     )
-    outputs_csv = F.when(
-        degenerate, F.lit(str(DEFAULT_OUTPUTS[len(DEFAULT_OUTPUTS) // 2]))
-    ).otherwise(F.lit(",".join(str(o) for o in DEFAULT_OUTPUTS)))
+    outputs_csv = F.when(pairs.isNull(), F.lit(DEFAULT_OUTPUT_VALUES)).otherwise(
+        F.when(F.col("unique_values").isNotNull() | F.col("breaks").isNotNull(),
+               all_fives)  # all-5 outputs for colorizer paths (.pyt:968-971)
+        .when(degenerate, F.lit(str(DEFAULT_OUTPUTS[len(DEFAULT_OUTPUTS) // 2])))
+        .otherwise(F.lit(",".join(str(o) for o in DEFAULT_OUTPUTS)))
+    )
+
+    no_cells = ok_layers.join(broadcast(stats), "name", "left").filter(
+        F.col("mn").isNull() & F.col("unique_values").isNull()
+    ).select(
+        F.lit("warning").alias("severity"),
+        F.lit("default_classification").alias("code"),
+        F.concat(
+            F.lit("no cells; using default input ranges for: "), F.col("name")
+        ).alias("message"),
+    )
+    errors = errors.unionByName(no_cells)
 
     catalog = (
         ok_layers.join(broadcast(stats), "name", "left")
