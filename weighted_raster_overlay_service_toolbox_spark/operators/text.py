@@ -1,0 +1,102 @@
+"""Text-analysis operators for document corpora: tokenization, term
+statistics, TF-IDF, quality features, language scoring, fingerprints.
+
+All pure column expressions / built-in aggregations -- no Python in the
+hot path. Shuffle shapes (the 100 TB concerns):
+
+- token-keyed aggregations get map-side partial combine for free;
+- the vocabulary (document frequency) is tiny relative to the corpus, so
+  it broadcasts back for the TF-IDF join;
+- ultra-frequent tokens are the skew hazard -- cap or drop them upstream
+  (or use operators/skew.py salting) before any token-keyed self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def tokens_of(text_col: str | Column = "text", sep: str = " ") -> Column:
+    """The corpus tokenization convention as a column expression."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(c, sep)
+
+
+def tokenize(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """One row per (doc, token) occurrence."""
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_of(text_col)).alias("token")
+    )
+
+
+def term_frequencies(tok: DataFrame) -> DataFrame:
+    """(doc_id, term, tf) from a tokenize() output."""
+    return (
+        tok.withColumnRenamed("token", "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def tfidf(docs: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """(doc_id, term, tf, tfidf) with idf = ln(N/df) over the FULL corpus.
+
+    df (vocabulary-sized) broadcasts; N is a scalar cross join."""
+    tok = tokenize(docs, id_col, text_col)
+    tf = term_frequencies(tok)
+    dfreq = tok.groupBy(F.col("token").alias("term")).agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
+            )
+            .cast("double")
+            .alias("tfidf"),
+        )
+    )
+
+
+def quality_features(
+    docs: DataFrame, id_col: str, text_col: str = "text", min_tokens: int = 5
+) -> DataFrame:
+    """Corpus-filter features: token count, mean token length, type-token
+    ratio, keep flag."""
+    toks = tokens_of(text_col)
+    n = F.size(toks)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("n_toks"),
+        F.round(F.length(text_col).cast("double") / n, 4)
+        .cast("double")
+        .alias("avg_tok_len"),
+        F.round(F.size(F.array_distinct(toks)).cast("double") / n, 4)
+        .cast("double")
+        .alias("type_token_ratio"),
+        (n >= min_tokens).alias("long_enough"),
+    )
+
+
+def marker_score(text_col: str | Column, markers: list[str]) -> Column:
+    """Fraction of tokens found in a marker lexicon (language-ID and
+    topic heuristics); pure column expression."""
+    toks = tokens_of(text_col)
+    arr = F.array(*[F.lit(m) for m in markers])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return F.round(hits.cast("double") / F.size(toks), 4).cast("double")
+
+
+def fingerprint(text_col: str | Column = "text") -> Column:
+    """Canonical-form document fingerprint: md5 over the sorted distinct
+    token set (catches reordered/duplicated-token copies)."""
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens_of(text_col))))
+    return F.md5(canon.cast("binary"))

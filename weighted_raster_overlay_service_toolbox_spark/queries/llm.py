@@ -42,9 +42,10 @@ from ..operators.similarity import (
     topk_per_probe,
     with_norm,
 )
+from ..operators.text import fingerprint, tfidf
+from ..sources import load_table
 
 _dot = dot_expr
-from ..sources import load_table
 from .registry import query
 
 def TOKS():
@@ -92,8 +93,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     token set -- catches reordered/duplicated-token copies that exact
     dedup misses. Pure column expressions, no shuffle before the hash."""
     d = load_table(spark, sf_dir, "documents")
-    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(TOKS())))
-    return d.select("doc_id", F.md5(canon.cast("binary")).alias("fingerprint"))
+    return d.select("doc_id", fingerprint("text").alias("fingerprint"))
 
 
 @query(
@@ -537,25 +537,7 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two token-keyed aggregations + a token-keyed join; df is tiny
     (vocabulary-sized) so it broadcasts; n_docs is a scalar cross join."""
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(TOKS()).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    return (
-        tf.filter(F.col("doc_id") < 100)
-        .join(broadcast(df), "term")
-        .crossJoin(broadcast(n))
-        .select(
-            "doc_id",
-            "term",
-            "tf",
-            F.round(
-                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
-            )
-            .cast("double")
-            .alias("tfidf"),
-        )
-    )
+    return tfidf(d, "doc_id").filter(F.col("doc_id") < 100)
 
 
 # --------------------------------------------------------------------------
