@@ -168,3 +168,110 @@ def q_wro_decode_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("hi"),
         F.element_at("outs", F.col("range_idx").cast("int") + 1).cast("int").alias("out"),
     )
+
+
+@query(
+    "q_subquery_exists",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def q_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery through the SQL front end -- Catalyst
+    decorrelates it into a left-semi join (no per-row re-execution, which
+    is what makes correlated subqueries viable at scale)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer_v c
+        WHERE EXISTS (SELECT 1 FROM orders_v o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        """
+    )
+
+
+@query(
+    "q_subquery_scalar",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE 2 * o_totalprice * (SELECT COUNT(*) FROM orders)
+          > 3 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 FROM orders)
+    """,
+)
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subqueries: evaluated once, broadcast into the
+    filter (not re-run per row).
+
+    The "price > 1.5x average" predicate is multiplied through
+    (2 * price * N > 3 * SUM) so the threshold is exact on both engines: a
+    double AVG differs across engines in the last ulp, and a row sitting
+    on the boundary would flip the hash."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders_v
+        WHERE 2 * o_totalprice * (SELECT COUNT(*) FROM orders_v)
+              > 3 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                     FROM orders_v)
+        """
+    )
+
+
+@query(
+    "q_agg_corr",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(ROUND(corr(l_quantity, l_extendedprice), 4) AS DOUBLE)
+               AS qty_price_corr
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group (bounded [-1,1], so 4dp rounding is
+    cross-engine stable where raw co-moment sums would not be)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4)
+        .cast("double")
+        .alias("qty_price_corr")
+    )
+
+
+@query(
+    "q_embed_centroid",
+    oracle="""
+    WITH flat AS (
+        SELECT label,
+               unnest([{'pos': i, 'val': CAST(embedding[i + 1] AS DOUBLE)}
+                       for i in range(0, len(embedding))]) AS u
+        FROM embeddings
+    )
+    SELECT label, CAST(u.pos AS INT) AS pos,
+           CAST(ROUND(AVG(u.val), 4) AS DOUBLE) AS centroid_val
+    FROM flat
+    GROUP BY label, u.pos
+    """,
+)
+def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of embeddings, one row per (label, dimension) --
+    the k-means/IVF training primitive.
+
+    Scale: posexplode makes the aggregation a plain (label, pos)-keyed
+    groupBy with map-side partials -- no driver-side vector math, no
+    per-row UDF; 100 TB of vectors is just 64x the row count."""
+    v = load_table(spark, sf_dir, "embeddings")
+    return (
+        v.select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("val"), 4).cast("double").alias("centroid_val"))
+        .select("label", F.col("pos").cast("int").alias("pos"), "centroid_val")
+    )
