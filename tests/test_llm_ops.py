@@ -97,3 +97,41 @@ def test_multimodal_decode_deterministic(spark):
     a = {tuple(r) for r in QUERIES["q_multimodal_decode"](spark, SF_ORACLE).collect()}
     b = {tuple(r) for r in QUERIES["q_multimodal_decode"](spark, SF_ORACLE).collect()}
     assert a == b and len(a) > 0
+
+
+def test_kmeans_deterministic_and_improving(spark):
+    """k-means: every vector assigned, deterministic across runs, and
+    total inertia does not increase between iterations 1 and 3."""
+    from pyspark.sql import functions as F
+
+    from weighted_raster_overlay_service_toolbox_spark.operators.kmeans import (
+        assign_clusters,
+        kmeans,
+        update_centroids,
+    )
+
+    v = load_table(spark, SF_ORACLE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    a1, c1 = kmeans(v, k=8, iterations=1)
+    a3, c3 = kmeans(v, k=8, iterations=3)
+    assert a3.count() == v.count()
+    assert a3.select("cluster").distinct().count() <= 8
+
+    def inertia(assigned, centroids):
+        from weighted_raster_overlay_service_toolbox_spark.operators.kmeans import (
+            _sq_dist,
+        )
+        from pyspark.sql.functions import broadcast
+
+        joined = assigned.join(broadcast(centroids), "cluster")
+        return joined.agg(
+            F.sum(_sq_dist(F.col("e"), F.col("ce"))).alias("j")
+        ).first()["j"]
+
+    assert inertia(a3, c3) <= inertia(a1, c1) + 1e-9
+
+    again = kmeans(v, k=8, iterations=3)[0]
+    assert sorted(map(tuple, a3.select("vec_id", "cluster").collect())) == sorted(
+        map(tuple, again.select("vec_id", "cluster").collect())
+    )

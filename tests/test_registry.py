@@ -49,6 +49,8 @@ def test_rows_only_queries_are_the_intended_set():
         "q_dedup_minhash",
         "q_simhash",
         "q_ann_ivf",
+        # iterative algorithm (not SQL-expressible)
+        "q_kmeans",
         # binary/struct canonical forms differ across engines
         "q_multimodal_struct",
         "q_multimodal_decode",

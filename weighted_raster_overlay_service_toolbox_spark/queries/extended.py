@@ -275,3 +275,27 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.avg("val"), 4).cast("double").alias("centroid_val"))
         .select("label", F.col("pos").cast("int").alias("pos"), "centroid_val")
     )
+
+
+_RECURSIVE_MONTHS = """
+    WITH RECURSIVE months(m) AS (
+        SELECT CAST('1995-01-01 00:00:00' AS TIMESTAMP)
+        UNION ALL
+        SELECT m + INTERVAL 1 MONTH FROM months
+        WHERE m < CAST('1998-11-01 00:00:00' AS TIMESTAMP)
+    )
+    SELECT m AS month_start, COUNT(o_orderkey) AS n_orders
+    FROM months LEFT JOIN {orders}
+         ON CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) = m
+    GROUP BY m
+"""
+
+
+@query("q_cte_recursive", oracle=_RECURSIVE_MONTHS.format(orders="orders"))
+def q_cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): generate the month series
+    spanning the order dates, then left-join order counts per month --
+    months with zero orders still appear. Identical SQL text runs on both
+    engines."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(_RECURSIVE_MONTHS.format(orders="orders_v"))

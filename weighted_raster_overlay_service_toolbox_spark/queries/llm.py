@@ -607,3 +607,18 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         decode, "doc_id long, n_bytes long, fake_width int, fake_height int"
     )
+
+
+@query("q_kmeans")  # rows-only: iterative algorithm, not SQL-expressible
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means assignments (k=8, 3 iterations) over
+    the embeddings table -- the engine's iterative-algorithm pattern
+    (broadcast centroids, keyed-shuffle update, localCheckpoint lineage
+    truncation; see operators/kmeans.py)."""
+    from ..operators.kmeans import kmeans
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    assigned, _ = kmeans(v, k=8, iterations=3)
+    return assigned.select("vec_id", "cluster")
