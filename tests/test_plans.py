@@ -68,3 +68,39 @@ def test_agg_has_partial_phase(spark):
     shuffle (HashAggregate appears both sides of the exchange)."""
     plan = plan_of(spark, "q_agg_group")
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_partition_pruning_on_partitioned_layout(spark):
+    """Date-partitioned layout + date filter => PartitionFilters prunes
+    directories before any I/O -- the 100 TB layout for events/cells
+    (SURVEY.md section 4 posture)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from weighted_raster_overlay_service_toolbox_spark.sources import load_table
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), ".scratch", "events_by_day"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    ev.write.partitionBy("day").mode("overwrite").parquet(path)
+
+    back = spark.read.parquet(path).filter(F.col("day") == "2024-01-01")
+    plan = ""
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "day" in pf[0], plan
+    # correctness: pruned read equals a post-hoc filter of the full table
+    want = ev.filter(F.col("day") == "2024-01-01").count()
+    assert back.count() == want
