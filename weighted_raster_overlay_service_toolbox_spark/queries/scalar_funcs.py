@@ -544,3 +544,48 @@ def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("c_mktsegment").applyInPandas(
         zscore, "o_orderkey long, c_mktsegment string, z double"
     )
+
+
+@query(
+    "q_str_levenshtein",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+    WHERE a.p_partkey < 30 AND b.p_partkey < 30
+      AND levenshtein(a.p_name, b.p_name) <= 5
+    """,
+)
+def q_str_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance pairs (bounded block) -- the fuzzy-matching scalar
+    that backs typo-level near-dup detection."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 30)
+    a = p.select(F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"))
+    b = p.select(F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"))
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, F.col("key_a") < F.col("key_b"))
+        .filter(dist <= 5)
+        .select("key_a", "key_b", dist.cast("int").alias("edit_dist"))
+    )
+
+
+@query(
+    "q_agg_bool",
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_discount <= 0.1)  AS all_small_disc,
+           bool_or(l_quantity >= 50)    AS any_max_qty,
+           COUNT(*) FILTER (l_tax = 0)  AS n_tax_free
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (every/any) + filtered count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_discount") <= 0.1).alias("all_small_disc"),
+        F.bool_or(F.col("l_quantity") >= 50).alias("any_max_qty"),
+        F.count(F.when(F.col("l_tax") == 0, 1)).alias("n_tax_free"),
+    )

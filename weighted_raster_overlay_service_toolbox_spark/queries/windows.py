@@ -201,3 +201,26 @@ def q_win_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("c_custkey").over(w).alias("richest_key"),
         F.last("c_custkey").over(w_full).alias("poorest_key"),
     )
+
+
+@query(
+    "q_win_percent_rank",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CAST(ROUND(PERCENT_RANK() OVER w, 6) AS DOUBLE) AS pct_rank,
+           CAST(ROUND(CUME_DIST() OVER w, 6) AS DOUBLE)    AS cume
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist over a unique total order (global window
+    over the orders table; at 100 TB partition by a key or pre-bucket)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.round(F.percent_rank().over(w), 6).cast("double").alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).cast("double").alias("cume"),
+    )
