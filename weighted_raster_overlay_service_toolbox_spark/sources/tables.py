@@ -32,9 +32,13 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     """Pin the runtime confs query correctness depends on. The driver may
     hand us a session built elsewhere (not via ``session.get_spark``):
     hour()/unix_timestamp() answers follow the session time zone, and the
-    DuckDB oracles assume UTC."""
+    DuckDB oracles assume UTC. Pinned once per session (conf.set is a
+    py4j round trip; load_table is called several times per query)."""
+    if getattr(spark, "_wros_confs_pinned", False):
+        return
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark._wros_confs_pinned = True
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
