@@ -20,7 +20,8 @@ def _norm_cell(v):
         if math.isnan(v):
             return "NaN"
         # exact float compare -- the driver hashes values, so we must too
-        return v
+        # (negative zero normalized: repr differs, value does not)
+        return v + 0.0 if v == 0.0 else v
     if isinstance(v, datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, (list, tuple)):

@@ -256,7 +256,7 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     )
     SELECT label, CAST(u.pos AS INT) AS pos,
-           CAST(ROUND(AVG(u.val), 4) AS DOUBLE) AS centroid_val
+           CAST(ROUND(AVG(u.val), 4) + 0.0 AS DOUBLE) AS centroid_val
     FROM flat
     GROUP BY label, u.pos
     """,
@@ -272,7 +272,9 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         v.select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"))
         .groupBy("label", "pos")
-        .agg(F.round(F.avg("val"), 4).cast("double").alias("centroid_val"))
+        # + 0.0 normalizes IEEE negative zero: ROUND can yield -0.0 on one
+        # engine and 0.0 on the other, which hash-mismatches despite ==
+        .agg((F.round(F.avg("val"), 4) + F.lit(0.0)).cast("double").alias("centroid_val"))
         .select("label", F.col("pos").cast("int").alias("pos"), "centroid_val")
     )
 
