@@ -72,23 +72,53 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_agg_percentile",
     oracle="""
+    WITH r AS (
+        SELECT l_returnflag, l_extendedprice,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber,
+                            l_partkey, l_suppkey)                  AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag)           AS n
+        FROM lineitem
+    )
     SELECT l_returnflag,
-           CAST(ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS DOUBLE)  AS p50,
-           CAST(ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS DOUBLE)  AS p90,
-           CAST(ROUND(quantile_cont(l_extendedprice, 0.99), 2) AS DOUBLE) AS p99
-    FROM lineitem
+           MAX(CASE WHEN rn = CEIL(0.5  * n) THEN l_extendedprice END) AS p50,
+           MAX(CASE WHEN rn = CEIL(0.9  * n) THEN l_extendedprice END) AS p90,
+           MAX(CASE WHEN rn = CEIL(0.99 * n) THEN l_extendedprice END) AS p99
+    FROM r
     GROUP BY l_returnflag
     """,
 )
 def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles (linear interpolation in both engines). At
-    100 TB use approx_percentile -- exact percentile holds per-group
-    values; the exact form here is the correctness anchor."""
+    """Discrete (nearest-rank) percentiles: the value at row
+    ceil(q * n) of the uniquely-ordered group. Interpolated percentiles
+    are NOT cross-engine hash-stable -- a median that lands between two
+    2-decimal values is an .XX5 rounding boundary where Spark and DuckDB
+    differ in the last ulp -- so the exact anchor picks real data values
+    instead. At 100 TB use approx_percentile; this is the correctness
+    anchor."""
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).cast("double").alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 2).cast("double").alias("p90"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 2).cast("double").alias("p99"),
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    r = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def at_q(q: float, alias: str):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(q) * F.col("n")), F.col("l_extendedprice")
+            )
+        ).alias(alias)
+
+    return r.groupBy("l_returnflag").agg(
+        at_q(0.5, "p50"), at_q(0.9, "p90"), at_q(0.99, "p99")
     )
 
 
