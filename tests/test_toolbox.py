@@ -221,3 +221,19 @@ def test_create_catalog_default_fallback_when_no_cells(spark):
     assert row["OutputValues"] == "1,3,5,7,9"
     assert row["RangeLabels"] == "Very Low,Low,Medium,High,Very High"
     assert errors.filter("code = 'default_classification'").count() == 1
+
+
+def test_updates_reject_unknown_name(spark):
+    """A keyed update against a nonexistent layer is an explicit error,
+    never a silent no-op (the reference's picker guarantees existence,
+    .pyt:120-125; a library call has no picker)."""
+    layers = _layers(spark, [("elev", "Elevation")])
+    cells = _cells(spark, [("elev", 1, 0.0), ("elev", 2, 100.0)])
+    catalog, _ = create_wro_catalog(layers, cells)
+    ranges = spark.createDataFrame(
+        [("x", 0.0, 101.0, 5)], "label string, lo double, hi double, out int"
+    )
+    _, errors = update_classification(catalog, "nope", ranges)
+    assert errors.filter("code = 'unknown_name'").count() == 1
+    _, errors2 = update_layer_info(catalog, "nope", title="X")
+    assert errors2.filter("code = 'unknown_name'").count() == 1

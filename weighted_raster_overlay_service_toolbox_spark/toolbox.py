@@ -279,6 +279,14 @@ def update_classification(
             [("error", "missing_columns", f"ranges_df missing {sorted(missing)}")],
         )
 
+    # the reference's layer picker guarantees the key exists (.pyt:120-125);
+    # as a library call an unknown key must be an explicit error, not a
+    # silent no-op update
+    if catalog_df.filter(F.col("Name") == name).limit(1).count() == 0:
+        return catalog_df, _err(
+            spark, [("error", "unknown_name", f"no catalog row named {name!r}")]
+        )
+
     bad_out = ranges_df.filter((F.col("out") < 0) | (F.col("out") > 9)).count()
     if bad_out:
         errs.append(
@@ -366,6 +374,8 @@ def update_layer_info(
             errs.append(
                 ("error", "invalid_url", f"url must start with http(s)://: {url}")
             )
+    if catalog_df.filter(F.col("Name") == name).limit(1).count() == 0:
+        errs.append(("error", "unknown_name", f"no catalog row named {name!r}"))
     errors = _err(spark, errs)
     if errs:
         return catalog_df, errors
