@@ -622,3 +622,41 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assigned, _ = kmeans(v, k=8, iterations=3)
     return assigned.select("vec_id", "cluster")
+
+
+@query(
+    "q_text_normalize",
+    oracle="""
+    WITH raw AS (
+        SELECT p_partkey,
+               p_name || '!!  ' || p_brand || ' (' || p_type || ')' AS messy
+        FROM part
+    )
+    SELECT p_partkey, messy,
+           trim(regexp_replace(regexp_replace(lower(messy),
+                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))        AS clean,
+           string_split(trim(regexp_replace(regexp_replace(lower(messy),
+                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')  AS clean_toks
+    FROM raw
+    """,
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization pipeline: lowercase -> strip non-alphanumerics
+    -> squeeze whitespace -> tokenize (the standard pre-dedup cleanup;
+    messy input synthesized deterministically from part strings)."""
+    p = load_table(spark, sf_dir, "part")
+    messy = F.concat(
+        F.col("p_name"), F.lit("!!  "), F.col("p_brand"),
+        F.lit(" ("), F.col("p_type"), F.lit(")"),
+    )
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(messy), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return p.select(
+        "p_partkey",
+        messy.alias("messy"),
+        clean.alias("clean"),
+        F.split(clean, " ").alias("clean_toks"),
+    )
