@@ -21,6 +21,7 @@ Layout:
 
 __version__ = "0.1.0"
 
+from .plans.overlay import run_overlay  # noqa: F401,E402
 from .toolbox import (  # noqa: F401,E402
     create_wro_catalog,
     update_classification,
