@@ -423,3 +423,24 @@ def q_wro_schema_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     present = set(wro_catalog(spark).columns)
     rows = [(c, c in present) for c in required]
     return spark.createDataFrame(rows, "col_name string, present boolean")
+
+
+@query(
+    "q_wro_overlay_catalog",
+    oracle=f"""
+    {_PIVOT_SQL}
+    SELECT cell_id,
+           CASE WHEN nodata_hit = 1 THEN NULL ELSE {_WEIGHTED} END AS score
+    FROM wide
+    """,
+)
+def q_wro_overlay_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The catalog-DRIVEN overlay path (plans/overlay.run_overlay): same
+    semantics as q_wro_nodata but with remaps decoded from the catalog's
+    CSV TEXT columns at run time instead of literal fixtures -- the full
+    R32 decode -> R39 remap -> R40 weighted sum -> R41 knockout pipeline
+    a service user runs."""
+    from ..plans.overlay import run_overlay
+    from ..plans.wro import LAYER_WEIGHTS, wro_catalog, wro_cells
+
+    return run_overlay(wro_cells(spark, sf_dir), wro_catalog(spark), LAYER_WEIGHTS)
