@@ -264,3 +264,26 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "q_agg_argmax",
+    oracle="""
+    SELECT o_custkey,
+           (MAX({'p': o_totalprice, 'k': o_orderkey})).k AS top_orderkey,
+           (MAX({'p': o_totalprice, 'k': o_orderkey})).p AS top_price
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-max via struct ordering: the orderkey of each customer's
+    priciest order. MAX over a (value, unique-key) struct is the
+    tie-safe form -- bare max_by/arg_max pick arbitrarily on equal
+    values, which is not cross-engine deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    best = F.max(F.struct(F.col("o_totalprice"), F.col("o_orderkey")))
+    return o.groupBy("o_custkey").agg(
+        best.getField("o_orderkey").alias("top_orderkey"),
+        best.getField("o_totalprice").alias("top_price"),
+    )
