@@ -1,0 +1,81 @@
+"""Unit tests for the text-analysis operator library (operators/text.py)
+on small synthetic frames (the corpus queries exercise the large paths)."""
+
+from __future__ import annotations
+
+from weighted_raster_overlay_service_toolbox_spark.operators.text import (
+    fingerprint,
+    marker_score,
+    quality_features,
+    term_frequencies,
+    tfidf,
+    tokenize,
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog"),
+            (3, "cat cat cat"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_tokenize_and_term_frequencies(spark):
+    tf = {
+        (r["doc_id"], r["term"]): r["tf"]
+        for r in term_frequencies(tokenize(_docs(spark), "doc_id")).collect()
+    }
+    assert tf[(1, "the")] == 2
+    assert tf[(3, "cat")] == 3
+    assert (2, "cat") not in tf
+
+
+def test_tfidf_zero_for_ubiquitous_terms(spark):
+    import math
+
+    rows = {
+        (r["doc_id"], r["term"]): r["tfidf"]
+        for r in tfidf(_docs(spark), "doc_id").collect()
+    }
+    # 'cat' appears in 2 of 3 docs: idf = ln(3/2); doc 3 has tf 3
+    assert rows[(3, "cat")] == round(3 * math.log(3 / 2), 4)
+    # 'dog' appears in 1 of 3: idf = ln(3)
+    assert rows[(2, "dog")] == round(math.log(3.0), 4)
+
+
+def test_quality_features_values(spark):
+    q = {r["doc_id"]: r for r in quality_features(_docs(spark), "doc_id").collect()}
+    assert q[1]["n_toks"] == 6 and q[1]["long_enough"]
+    assert q[2]["n_toks"] == 2 and not q[2]["long_enough"]
+    # doc 3: 3 tokens, 1 distinct -> TTR 1/3
+    assert q[3]["type_token_ratio"] == round(1 / 3, 4)
+
+
+def test_marker_score_fraction(spark):
+    from pyspark.sql import functions as F
+
+    got = {
+        r["doc_id"]: r["s"]
+        for r in _docs(spark)
+        .select("doc_id", marker_score("text", ["the", "on"]).alias("s"))
+        .collect()
+    }
+    assert got[1] == 0.5  # 3 of 6 tokens
+    assert got[3] == 0.0
+
+
+def test_fingerprint_order_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "c b a"), (3, "a b b c"), (4, "a b d")],
+        "doc_id long, text string",
+    )
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in df.select("doc_id", fingerprint("text").alias("fp")).collect()
+    }
+    assert fps[1] == fps[2] == fps[3]  # reorder + dup-token invariant
+    assert fps[4] != fps[1]
