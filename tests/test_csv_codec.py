@@ -92,3 +92,22 @@ def test_spark_expr_matches_python(spark):
     ]
     want = [csv_encode_py(list(r)) for r in rows]
     assert got == want
+
+
+def test_csv_decode_roundtrip(spark):
+    """csv_decode (from_csv at the compat boundary, .pyt:1328-1332)
+    inverts csv_encode including quoted commas and doubled quotes."""
+    from pyspark.sql import functions as F
+
+    from weighted_raster_overlay_service_toolbox_spark.functions.csvcodec import (
+        csv_decode,
+        csv_encode,
+    )
+
+    rows = [("plain", "with,comma", 'say "hi"')]
+    df = spark.createDataFrame(rows, "a string, b string, c string")
+    encoded = df.select(
+        csv_encode(F.col("a"), F.col("b"), F.col("c")).alias("line")
+    )
+    decoded = encoded.select(csv_decode(F.col("line"), 3).alias("d")).first()["d"]
+    assert (decoded["f0"], decoded["f1"], decoded["f2"]) == rows[0]

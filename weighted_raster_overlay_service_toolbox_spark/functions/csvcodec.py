@@ -70,6 +70,8 @@ def csv_encode_py(values) -> str:
 
 def csv_decode(col: Column, n_fields: int, prefix: str = "f") -> Column:
     """Decode one RFC-4180 line into a struct of ``n_fields`` strings
-    (``.pyt:1328-1332``; ``csv.reader`` on a single line)."""
+    (``.pyt:1328-1332``; ``csv.reader`` on a single line). Spark's CSV
+    parser defaults to backslash escaping; RFC 4180 doubles the quote
+    char, so the escape option must be the quote char itself."""
     schema = ", ".join(f"{prefix}{i} string" for i in range(n_fields))
-    return F.from_csv(col, schema)
+    return F.from_csv(col, F.lit(schema), {"quote": '"', "escape": '"'})

@@ -660,3 +660,47 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         clean.alias("clean"),
         F.split(clean, " ").alias("clean_toks"),
     )
+
+
+@query(
+    "q_corpus_pipeline",
+    oracle="""
+    WITH quality AS (
+        SELECT doc_id, text,
+               len(string_split(text, ' ')) AS n_toks,
+               md5(array_to_string(list_sort(list_distinct(
+                   string_split(text, ' '))), ' ')) AS fp
+        FROM documents
+    ),
+    kept AS (
+        SELECT doc_id, text FROM quality
+        WHERE n_toks >= 5
+          AND doc_id = (SELECT MIN(q2.doc_id) FROM quality q2
+                        WHERE q2.fp = quality.fp AND q2.n_toks >= 5)
+    ),
+    toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM kept)
+    SELECT token, COUNT(*) AS n
+    FROM toks GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 15
+    """,
+)
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data pipeline: quality filter (>=5 tokens) ->
+    canonical-fingerprint dedup (keep lowest doc_id per fingerprint) ->
+    corpus top-15 terms. One declarative plan end to end: the dedup is a
+    fingerprint-keyed min-join (no quadratic pair space), the term count
+    gets map-side partials, the top-k is a TakeOrdered."""
+    d = load_table(spark, sf_dir, "documents")
+    quality = d.select(
+        "doc_id", "text", F.size(TOKS()).alias("n_toks"), fingerprint("text").alias("fp")
+    ).filter(F.col("n_toks") >= 5)
+    keep = quality.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = quality.join(broadcast(keep), ["fp", "doc_id"])
+    return (
+        kept.select(F.explode(TOKS()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(15)
+    )
