@@ -70,6 +70,16 @@ def test_agg_has_partial_phase(spark):
     assert plan.count("HashAggregate") >= 2, plan
 
 
+def test_simhash_pairing_is_blocked_equi_join(spark):
+    """q_simhash's pairing must be a banded equi-join (shuffle keyed by
+    band), never an all-pairs nested-loop/cartesian join -- the one
+    round-1 scale-killer (VERDICT.md 'What's wrong' #3)."""
+    plan = plan_of(spark, "q_simhash")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "band_val" in plan, plan  # equi-join key reached the plan
+
+
 def test_partition_pruning_on_partitioned_layout(spark):
     """Date-partitioned layout + date filter => PartitionFilters prunes
     directories before any I/O -- the 100 TB layout for events/cells

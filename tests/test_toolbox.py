@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 
 from weighted_raster_overlay_service_toolbox_spark.toolbox import (
     create_wro_catalog,
+    filter_layers,
+    match_uv_labels,
     update_classification,
     update_layer_info,
 )
@@ -110,6 +112,28 @@ def test_update_classification_min_snap_and_max_error(spark):
     updated2, errors2 = update_classification(catalog, "elev", short, stats)
     assert errors2.filter("code = 'max_not_covered'").count() == 1
     assert updated2.first()["InputRanges"] == catalog.first()["InputRanges"]
+
+
+def test_update_classification_snap_skips_max_check(spark):
+    """The reference's ``elif`` (``.pyt:312-314``): when the min snaps,
+    the strict-max check is SKIPPED -- a snapped-and-short table goes
+    through with only the warning."""
+    layers = _layers(spark, [("elev", "Elevation")])
+    cells = _cells(spark, [("elev", 1, 0.0), ("elev", 2, 100.0)])
+    catalog, _ = create_wro_catalog(layers, cells)
+    stats = spark.createDataFrame([(0.0, 100.0)], "mn double, mx double")
+
+    both = spark.createDataFrame(
+        [("low", 10.0, 50.0, 2), ("high", 50.0, 100.0, 8)],  # snap AND short
+        "label string, lo double, hi double, out int",
+    )
+    updated, errors = update_classification(catalog, "elev", both, stats)
+    assert errors.filter("code = 'min_snapped'").count() == 1
+    assert errors.filter("code = 'max_not_covered'").count() == 0
+    # warning-only -> the edit applies, with the snapped min
+    assert updated.filter("Name = 'elev'").first()["InputRanges"] == (
+        "0.0,50.0,50.0,100.0"
+    )
 
 
 def test_update_classification_suitability_domain(spark):
@@ -221,6 +245,150 @@ def test_create_catalog_default_fallback_when_no_cells(spark):
     assert row["OutputValues"] == "1,3,5,7,9"
     assert row["RangeLabels"] == "Very Low,Low,Medium,High,Very High"
     assert errors.filter("code = 'default_classification'").count() == 1
+
+
+_LAYER_SCHEMA = (
+    "name string, long_name string, is_raster boolean, visible boolean, "
+    "dataset_type string, is_web boolean, has_datasource boolean, position long"
+)
+
+
+def test_filter_layers_one_drop_per_stage(spark):
+    """R23 (``.pyt:710-745``): each of the six stages plus the duplicate
+    check drops exactly its target layer; precedence matches the
+    reference's cascading addLayer flags."""
+    rows = [
+        ("vec",   "group\\vec",            False, True,  "FeatureClass",  False, True,  1),
+        ("hid",   "group\\hid",            True,  False, "RasterDataset", False, True,  2),
+        ("mos",   "group\\mos",            True,  True,  "MosaicDataset", False, True,  3),
+        ("web",   "group\\web",            True,  True,  "RasterDataset", True,  True,  4),
+        ("nods",  "group\\nods",           True,  True,  "RasterDataset", False, False, 5),
+        ("bnd",   "mos\\Boundary\\bnd",    True,  True,  "RasterDataset", False, True,  6),
+        ("ok",    "group\\ok",             True,  True,  "RasterDataset", False, True,  7),
+        ("ok",    "group\\ok2",            True,  True,  "RasterDataset", False, True,  8),
+    ]
+    layers = spark.createDataFrame(rows, _LAYER_SCHEMA)
+    kept, dropped = filter_layers(layers, visible_only=True)
+    assert [(r["name"], r["position"]) for r in kept.collect()] == [("ok", 7)]
+    reasons = {r["position"]: r["reason"] for r in dropped.collect()}
+    assert reasons == {
+        1: "not_raster", 2: "not_visible", 3: "mosaic_dataset",
+        4: "web_layer", 5: "no_datasource", 6: "service_sublayer",
+        8: "duplicate_name",
+    }
+
+
+def test_filter_layers_visibility_off_and_defaults(spark):
+    """visible_only=False keeps invisible layers (``.pyt:718-719`` only
+    applies when the parameter is set); missing optional columns default
+    to keep; a \\Boundary PREFIX is not a sublayer (find > 0)."""
+    layers = spark.createDataFrame(
+        [("a",), ("b",)], "name string"
+    )  # only name: all defaults
+    kept, dropped = filter_layers(layers)
+    assert kept.count() == 2 and dropped.count() == 0
+
+    lyr = spark.createDataFrame(
+        [("hid", "group\\hid", True, False, None, False, True, 1),
+         ("pfx", "\\Boundary\\pfx", True, True, None, False, True, 2)],
+        _LAYER_SCHEMA,
+    )
+    kept2, _ = filter_layers(lyr, visible_only=False)
+    # invisible kept; \Boundary at position 1 (find==0 in the reference)
+    # is NOT a sublayer match
+    assert {r["name"] for r in kept2.collect()} == {"hid", "pfx"}
+
+
+def test_match_uv_labels_case_insensitive(spark):
+    """R20 (``.pyt:1059-1068``): match is on LOWERCASED values; unmatched
+    rows keep a NULL label (documented deviation from the reference's
+    silent list misalignment)."""
+    attr = spark.createDataFrame(
+        [(1.0, "FOREST"), (2.0, "Water"), (3.0, "unknown")],
+        "value double, field_value string",
+    )
+    colorizer = spark.createDataFrame(
+        [("forest", "Dense forest"), ("WATER", "Open water"), ("urban", "Built")],
+        "match_value string, label string",
+    )
+    matched, errors = match_uv_labels(attr, colorizer)
+    assert errors.count() == 0
+    rows = {r["value"]: (r["label"], r["out"]) for r in matched.collect()}
+    assert rows == {
+        1.0: ("Dense forest", 5),
+        2.0: ("Open water", 5),
+        3.0: (None, 5),
+    }
+
+
+def test_match_uv_labels_cardinality_mismatch(spark):
+    """R21 (``.pyt:1052-1055``): count mismatch -> warning + empty match."""
+    attr = spark.createDataFrame(
+        [(1.0, "forest"), (2.0, "water")], "value double, field_value string"
+    )
+    colorizer = spark.createDataFrame(
+        [("forest", "Dense forest")], "match_value string, label string"
+    )
+    matched, errors = match_uv_labels(attr, colorizer)
+    assert matched.count() == 0
+    assert errors.filter("code = 'uv_cardinality'").count() == 1
+
+
+def test_create_catalog_colorizer_label_dispatch(spark):
+    """R20 wired into the unique-value dispatch: labels come from the
+    colorizer through the case fold; R21 mismatch skips the layer."""
+    schema = (
+        "name string, title string, unique_values array<double>, "
+        "uv_field_values array<string>, colorizer_values array<string>, "
+        "colorizer_labels array<string>"
+    )
+    layers = spark.createDataFrame(
+        [
+            ("uv", "Thematic", [1.0, 3.0], ["FOREST", "WATER"],
+             ["forest", "water"], ["Dense forest", "Open water"]),
+            ("bad", "Mismatch", [1.0, 3.0], ["FOREST", "WATER"],
+             ["forest"], ["Dense forest"]),
+        ],
+        schema,
+    )
+    cells = spark.createDataFrame(
+        [("uv", 1, 1.0)], "layer string, cell_id long, value double"
+    )
+    catalog, errors = create_wro_catalog(layers, cells)
+    rows = {r["Name"]: r for r in catalog.collect()}
+    assert set(rows) == {"uv"}  # mismatch layer dropped (R21)
+    assert rows["uv"]["RangeLabels"] == "Dense forest,Open water"
+    assert rows["uv"]["InputRanges"] == "1.0,3.0,3.0,4.0"
+    assert rows["uv"]["OutputValues"] == "5,5"
+    assert errors.filter("code = 'uv_cardinality'").count() == 1
+
+
+def test_update_classification_stats_via_scratch_export(spark):
+    """R12 (``.pyt:283-304``): with no stats_df, cells_df routes through
+    the scratch-export step and min/max validation still fires."""
+    from weighted_raster_overlay_service_toolbox_spark.toolbox import (
+        export_scratch_table,
+    )
+
+    layers = _layers(spark, [("elev", "Elevation")])
+    cells = _cells(spark, [("elev", 1, 0.0), ("elev", 2, 100.0)])
+    catalog, _ = create_wro_catalog(layers, cells)
+
+    snap = spark.createDataFrame(
+        [("low", 10.0, 50.0, 2), ("high", 50.0, 101.0, 8)],
+        "label string, lo double, hi double, out int",
+    )
+    updated, errors = update_classification(catalog, "elev", snap, cells_df=cells)
+    assert errors.filter("code = 'min_snapped'").count() == 1
+    assert updated.filter("Name = 'elev'").first()["InputRanges"].startswith("0.0,")
+    # the scratch view exists, is cached, and re-export replaces it
+    assert spark.catalog.isCached("wro_scratch_paths")
+    again = export_scratch_table(
+        cells.filter("layer = 'elev'").select("cell_id", "value"),
+        "wro_scratch_paths",
+    )
+    assert again.count() == 2
+    spark.catalog.uncacheTable("wro_scratch_paths")
 
 
 def test_updates_reject_unknown_name(spark):

@@ -24,6 +24,8 @@ __version__ = "0.1.0"
 from .plans.overlay import run_overlay  # noqa: F401,E402
 from .toolbox import (  # noqa: F401,E402
     create_wro_catalog,
+    filter_layers,
+    match_uv_labels,
     update_classification,
     update_layer_info,
 )

@@ -10,8 +10,9 @@ Scale shapes:
 - MinHash/LSH: signature build is narrow (per-row array exprs); the only
   shuffle is the band-bucket self-join -- the quadratic pair space is
   never materialized;
-- SimHash: explode + two keyed aggregations to bit-pack, then a bounded
-  pairing (block on a signature prefix at real scale).
+- SimHash: explode + two keyed aggregations to bit-pack, then a banded
+  equi-join (contiguous bit-slices; pigeonhole gives perfect recall for
+  hamming <= bands-1) -- no all-pairs join anywhere.
 """
 
 from __future__ import annotations
@@ -130,18 +131,67 @@ def simhash_signatures(
     )
 
 
-def simhash_near_pairs(signatures: DataFrame, max_hamming: int) -> DataFrame:
-    """Pairs within a hamming radius. Bounded self-join: block on a
-    signature prefix first at real scale (same trick as LSH banding)."""
-    a = signatures.alias("a")
-    b = signatures.alias("b")
+def simhash_band_values(sig: Column, bands: int) -> Column:
+    """Split a 64-bit signature into ``bands`` contiguous bit-slices
+    (one array<long> element per slice)."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    return F.array(
+        *[
+            F.shiftrightunsigned(sig, b * width).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ]
+    )
+
+
+def simhash_near_pairs(
+    signatures: DataFrame, max_hamming: int, bands: int | None = None
+) -> DataFrame:
+    """Pairs within a hamming radius via banded blocking -- NOT an
+    all-pairs self-join.
+
+    Pigeonhole guarantee: ``max_hamming`` differing bits land in at most
+    ``max_hamming`` of the ``bands`` contiguous slices, so any pair within
+    the radius agrees EXACTLY on >=1 band whenever ``bands > max_hamming``
+    -- banding has perfect recall, it only prunes. The join is an
+    equi-join keyed by (band_idx, band_value): the shuffle partitions by
+    bucket and the quadratic pair space is never materialized. Same shape
+    as :func:`minhash_candidates` banding.
+
+    ``bands`` defaults to the smallest power-of-two divisor of 64 that is
+    ``> max_hamming`` (more bands -> wider buckets -> fewer collisions
+    would be wrong-way-round: more bands means SHORTER slices, more
+    chance collisions, so we take the fewest bands that keep the recall
+    guarantee).
+    """
+    if bands is None:
+        bands = 2
+        while bands <= max_hamming:
+            bands *= 2
+    if 64 % bands or bands <= max_hamming:
+        raise ValueError(f"bands={bands} must divide 64 and exceed {max_hamming=}")
+    banded = signatures.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(simhash_band_values(F.col("simhash"), bands)).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

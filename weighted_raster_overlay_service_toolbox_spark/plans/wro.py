@@ -35,25 +35,33 @@ LAYER_NODATA: dict[str, list[tuple[float, float]]] = {
 LAYER_WEIGHTS: dict[str, float] = {"quantity": 0.5, "discount": 0.25, "price_k": 0.25}
 
 #: catalog rows in the reference's CSV-string encoding (.pyt:1119-1138,
-#: 1308-1325); the quoted label on price_k exercises RFC-4180 quoting.
+#: 1308-1325), carrying the reference's FULL mosaic field list
+#: (outMoFields, .pyt:592-603); the quoted label on price_k exercises
+#: RFC-4180 quoting.
 CATALOG_ROWS = [
-    # (Name, Title, InputRanges, OutputValues, RangeLabels, NoDataRanges, Url)
+    # (Name, Title, InputRanges, OutputValues, RangeLabels, NoDataRanges,
+    #  Url, Description, NoDataRangeLabels, Metadata, dataset_id)
     ("quantity", "Quantity",
      "1.0,11.0,11.0,21.0,21.0,31.0,31.0,41.0,41.0,51.0",
      "1,3,5,7,9", "Very Low,Low,Medium,High,Very High", None,
-     "https://example.com/q"),
+     "https://example.com/q",
+     "Order line quantity suitability", None, "unit:count", "ds_quantity"),
     ("discount", "Discount",
      "0.0,2.0,2.0,4.0,4.0,6.0,6.0,8.0,8.0,11.0",
-     "9,7,5,3,1", "Very Low,Low,Medium,High,Very High", "10.0,11.0", None),
+     "9,7,5,3,1", "Very Low,Low,Medium,High,Very High", "10.0,11.0", None,
+     "Discount percentage suitability", "No Data", "unit:pct", "ds_discount"),
     ("price_k", "Price (k)",
      "0.0,20.0,20.0,40.0,40.0,60.0,60.0,80.0,80.0,105.0",
      "1,3,5,7,9", '"Lowest, really",Low,Medium,High,Very High', None,
-     "http://example.com/p"),
+     "http://example.com/p",
+     "Extended price (thousands) suitability", None, "unit:kusd", "ds_price_k"),
 ]
 
 CATALOG_SCHEMA = (
     "Name string, Title string, InputRanges string, OutputValues string, "
-    "RangeLabels string, NoDataRanges string, Url string"
+    "RangeLabels string, NoDataRanges string, Url string, "
+    "Description string, NoDataRangeLabels string, Metadata string, "
+    "dataset_id string"
 )
 
 #: cell key: one cell per lineitem row (FIXTURES.md B).
@@ -116,5 +124,6 @@ def wro_catalog_sql() -> str:
     )
     return (
         "wro_catalog(Name, Title, InputRanges, OutputValues, RangeLabels, "
-        f"NoDataRanges, Url) AS (SELECT * FROM (VALUES {rows}))"
+        "NoDataRanges, Url, Description, NoDataRangeLabels, Metadata, "
+        f"dataset_id) AS (SELECT * FROM (VALUES {rows}))"
     )

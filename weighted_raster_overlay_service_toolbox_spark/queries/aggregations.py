@@ -253,16 +253,37 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_agg_approx_distinct", oracle=None)  # rows-only: HLL is approximate
+@query(
+    "q_agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS approx_within_2pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) -- the 100 TB path for
     distinct counting: mergeable sketches, no distinct-key shuffle.
-    Oracle is rows-only (approximation differs across engines); the unit
-    test asserts <2% relative error against the exact count."""
+
+    The raw sketch value is engine-specific, so the oracle-checkable
+    statement is the accuracy *bound*: emit the exact count plus a boolean
+    ``|approx - exact| / exact <= 2%`` (HLL rsd=0.01 gives ~1% stddev, so
+    2% is a safe deterministic bound at fixture scale); DuckDB asserts the
+    same exact count and a literal TRUE. The exact count here is the
+    verification yardstick, not the production path -- at 100 TB only the
+    sketch runs."""
     li = load_table(spark, sf_dir, "lineitem")
+    exact = F.count_distinct("l_partkey")
+    approx = F.approx_count_distinct("l_partkey", 0.01)
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-        F.count(F.lit(1)).alias("n"),
+        exact.alias("exact_parts"),
+        (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            / exact.cast("double")
+            <= F.lit(0.02)
+        ).alias("approx_within_2pct"),
     )
 
 

@@ -174,9 +174,11 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     among doc_id<100 are near-dup candidates.
 
     Scale: signature build is explode + groupBy(doc, bit) + bit-pack --
-    two shuffles on uniform keys. Pairing here is a bounded self-join on a
-    small probe set; at 100 TB block on a signature prefix first (same
-    bucket trick as LSH)."""
+    two shuffles on uniform keys. Pairing is a banded equi-join on 4
+    contiguous 16-bit signature slices (pigeonhole: hamming<=3 differing
+    bits cannot touch all 4 bands, so recall is exact); the shuffle keys
+    by (band_idx, band_val) and no all-pairs join exists in the plan
+    (pinned in tests/test_plans.py)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     sigs = simhash_signatures(d, "doc_id", F.array_distinct(TOKS()))
     return simhash_near_pairs(sigs, max_hamming=3)

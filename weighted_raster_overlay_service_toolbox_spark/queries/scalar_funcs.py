@@ -394,10 +394,24 @@ def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_map_funcs")  # rows-only: map canonical form differs across engines
+@query(
+    "q_map_funcs",
+    oracle="""
+    SELECT p_partkey,
+           '{"brand":"' || p_brand || '","type":"' || p_type
+               || '","size":"' || CAST(p_size AS VARCHAR) || '"}' AS meta_json,
+           p_brand AS brand_val,
+           ['brand', 'type', 'size'] AS meta_keys
+    FROM part
+    """,
+)
 def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map create/lookup (Metadata grab-bag model, SURVEY.md section 1.2).
-    Rows-only check per section 2.2 (map repr is engine-specific)."""
+
+    The map COLUMN itself has no cross-engine canonical form, so the
+    oracle-comparable output is its deterministic JSON serialization
+    (``to_json`` preserves ``create_map`` key order; fixture values
+    contain no JSON metacharacters) plus a lookup and the key list."""
     p = load_table(spark, sf_dir, "part")
     m = F.create_map(
         F.lit("brand"), F.col("p_brand"),
@@ -406,7 +420,7 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return p.select(
         "p_partkey",
-        m.alias("meta"),
+        F.to_json(m).alias("meta_json"),
         F.element_at(m, "brand").alias("brand_val"),
         F.map_keys(m).alias("meta_keys"),
     )

@@ -74,31 +74,35 @@ def q_scan_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sink_parquet", oracle=None)  # rows-only: round-trip, no SQL analogue
+@query("q_sink_parquet", oracle="SELECT * FROM supplier")
 def q_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet sink + readback (R5/R6 create-and-load). Snappy parquet,
     written with an explicit partition count -- at 100 TB this would be
-    ``partitionBy`` on a natural key; here the check is lossless round-trip."""
+    ``partitionBy`` on a natural key. The round-trip is lossless, so the
+    oracle is simply the source table: any encode/decode defect flips the
+    value hash."""
     path = _scratch("sink_parquet")
     df = load_table(spark, sf_dir, "supplier")
     df.repartition(4).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
 
-@query("q_sink_csv_roundtrip", oracle=None)  # rows-only
+@query("q_sink_csv_roundtrip", oracle="SELECT * FROM nation")
 def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV sink/source with explicit schema on read (no inference pass).
     Timestamp handling is the lossy edge: write ISO-8601, read back with
-    the same schema so values survive exactly."""
+    the same schema so values survive exactly. Lossless round-trip ->
+    the oracle is the source table itself."""
     path = _scratch("sink_csv")
     df = load_table(spark, sf_dir, "nation")
     df.write.mode("overwrite").option("header", "true").csv(path)
     return spark.read.schema(df.schema).option("header", "true").csv(path)
 
 
-@query("q_sink_json_roundtrip", oracle=None)  # rows-only
+@query("q_sink_json_roundtrip", oracle="SELECT * FROM region")
 def q_sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON-lines sink/source with explicit schema on read."""
+    """JSON-lines sink/source with explicit schema on read. Lossless
+    round-trip -> the oracle is the source table itself."""
     path = _scratch("sink_json")
     df = load_table(spark, sf_dir, "region")
     df.write.mode("overwrite").json(path)

@@ -412,10 +412,156 @@ def q_wro_dup_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup.groupBy("Name").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1)
 
 
-@query("q_wro_schema_check", oracle=None)  # rows-only: schema introspection
+@query(
+    "q_filter_layers",
+    oracle="""
+    WITH layers AS (
+        SELECT lower(n_name) AS name,
+               CASE WHEN n_nationkey = 5
+                    THEN 'group\\Boundary\\' || lower(n_name)
+                    ELSE 'group\\' || lower(n_name) END      AS long_name,
+               n_nationkey % 7 <> 0                           AS is_raster,
+               n_nationkey % 5 <> 1                           AS visible,
+               CASE WHEN n_nationkey = 2 THEN 'MosaicDataset'
+                    ELSE 'RasterDataset' END                  AS dataset_type,
+               n_nationkey = 3                                AS is_web,
+               n_nationkey <> 4                                AS has_datasource,
+               CAST(n_nationkey AS BIGINT)                    AS position
+        FROM nation
+        UNION ALL
+        SELECT lower(n_name), 'group\\' || lower(n_name),
+               TRUE, TRUE, 'RasterDataset', FALSE, TRUE,
+               CAST(n_nationkey + 100 AS BIGINT)
+        FROM nation WHERE n_nationkey = 8
+    ),
+    pre AS (
+        SELECT *,
+               CASE WHEN NOT is_raster THEN 'not_raster'
+                    WHEN NOT visible THEN 'not_visible'
+                    WHEN dataset_type = 'MosaicDataset' THEN 'mosaic_dataset'
+                    WHEN is_web THEN 'web_layer'
+                    WHEN NOT has_datasource THEN 'no_datasource'
+                    WHEN strpos(long_name, '\\Boundary') > 1
+                      OR strpos(long_name, '\\Footprint') > 1
+                      OR strpos(long_name, '\\Image') > 1
+                      THEN 'service_sublayer'
+               END AS pre_reason
+        FROM layers
+    ),
+    ranked AS (
+        SELECT *,
+               SUM(CASE WHEN pre_reason IS NULL THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY name ORDER BY position
+                         ROWS UNBOUNDED PRECEDING) AS surv_rank
+        FROM pre
+    )
+    SELECT name, position,
+           COALESCE(pre_reason,
+                    CASE WHEN surv_rank > 1 THEN 'duplicate_name' END)
+               AS reason
+    FROM ranked
+    """,
+)
+def q_filter_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R23 (``.pyt:710-745``): the six-stage layer filter pipeline over a
+    nation-derived layer fixture engineered so every stage drops at least
+    one layer (non-raster, invisible, mosaic, web, no-datasource,
+    ``\\Boundary`` sublayer, plus one injected duplicate name kept
+    first-in-map-order). Returns every layer with its drop reason (NULL =
+    kept)."""
+    from ..toolbox import filter_layers
+
+    n = load_table(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    name = F.lower("n_name")
+    base = n.select(
+        name.alias("name"),
+        F.when(k == 5, F.concat(F.lit("group\\Boundary\\"), name))
+        .otherwise(F.concat(F.lit("group\\"), name))
+        .alias("long_name"),
+        (k % 7 != 0).alias("is_raster"),
+        (k % 5 != 1).alias("visible"),
+        F.when(k == 2, "MosaicDataset").otherwise("RasterDataset").alias("dataset_type"),
+        (k == 3).alias("is_web"),
+        (k != 4).alias("has_datasource"),
+        k.cast("long").alias("position"),
+    )
+    dup = n.filter(k == 8).select(
+        name.alias("name"),
+        F.concat(F.lit("group\\"), name).alias("long_name"),
+        F.lit(True).alias("is_raster"),
+        F.lit(True).alias("visible"),
+        F.lit("RasterDataset").alias("dataset_type"),
+        F.lit(False).alias("is_web"),
+        F.lit(True).alias("has_datasource"),
+        (k + 100).cast("long").alias("position"),
+    )
+    layers = base.unionByName(dup)
+    kept, dropped = filter_layers(layers, visible_only=True)
+    out = ["name", "position"]
+    return kept.select(*out, F.lit(None).cast("string").alias("reason")).unionByName(
+        dropped.select(*out, "reason")
+    )
+
+
+@query(
+    "q_wro_label_match",
+    oracle="""
+    WITH attr AS (
+        SELECT CAST(n_nationkey AS DOUBLE) AS value, n_name AS field_value
+        FROM nation
+    ),
+    colorizer AS (
+        SELECT lower(n_name) AS match_value,
+               'Nation ' || lower(n_name) AS label
+        FROM nation
+    )
+    SELECT a.value, c.label, 5 AS out
+    FROM attr a LEFT JOIN colorizer c
+      ON lower(a.field_value) = lower(c.match_value)
+    """,
+)
+def q_wro_label_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R20/R21 (``.pyt:1052-1068``): raster attribute rows matched to
+    colorizer items on LOWERCASED value (attr side is uppercase TPC-H
+    names, colorizer side lowercase -- the join only matches through the
+    case fold), after the R21 count-equality gate. Outputs are all 5.
+
+    Plan: broadcast equi-join on the lowercase expression -- the
+    colorizer item list is UI-metadata-sized, the attribute side never
+    shuffles."""
+    from ..toolbox import match_uv_labels
+
+    n = load_table(spark, sf_dir, "nation")
+    attr = n.select(
+        F.col("n_nationkey").cast("double").alias("value"),
+        F.col("n_name").alias("field_value"),
+    )
+    colorizer = n.select(
+        F.lower("n_name").alias("match_value"),
+        F.concat(F.lit("Nation "), F.lower("n_name")).alias("label"),
+    )
+    matched, _errors = match_uv_labels(attr, colorizer)
+    return matched
+
+
+@query(
+    "q_wro_schema_check",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('Name', TRUE), ('Title', TRUE), ('Description', TRUE),
+        ('Url', TRUE), ('InputRanges', TRUE), ('NoDataRanges', TRUE),
+        ('RangeLabels', TRUE), ('NoDataRangeLabels', TRUE),
+        ('OutputValues', TRUE), ('Metadata', TRUE)
+    ) AS t(col_name, present)
+    """,
+)
 def q_wro_schema_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R10 (``.pyt:139-147, 186-197``): required-field presence via schema
-    introspection -- the engine-side ``ListFields`` equivalent."""
+    introspection -- the engine-side ``ListFields`` equivalent. The catalog
+    schema is fixed, so the expected answer is a constant; the oracle pins
+    it as a literal VALUES table (a missing field flips a row to FALSE and
+    fails the hash)."""
     required = [
         "Name", "Title", "Description", "Url", "InputRanges", "NoDataRanges",
         "RangeLabels", "NoDataRangeLabels", "OutputValues", "Metadata",

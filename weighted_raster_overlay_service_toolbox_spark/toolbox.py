@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from .functions.csvcodec import csv_encode
+from .functions.csvcodec import csv_encode, csv_field
 from .functions.ranges import (
     DEFAULT_INPUT_RANGES,
     DEFAULT_OUTPUT_VALUES,
@@ -85,7 +85,11 @@ def create_wro_catalog(
     - ``source_type string``: ``'VECTOR_UV'``/``'MAGDIR'`` layers are
       skipped with a warning (``.pyt:1246-1249``);
     - ``unique_values array<double>``: unique-value colorizer -> R18
-      consecutive ranges with terminal +1 (``.pyt:1012-1114``);
+      consecutive ranges with terminal +1 (``.pyt:1012-1114``); when the
+      colorizer symbolizes on a non-Value field, the parallel arrays
+      ``uv_field_values``/``colorizer_values``/``colorizer_labels``
+      engage the R20 lowercased label match and the R21 cardinality
+      check (``.pyt:1052-1068``; mismatch -> warning + layer skipped);
     - ``breaks array<double>``: classify-colorizer upper bounds -> R17
       ranges ``[min,u1)...[u_{k-1},u_k+1)`` with all-5 outputs
       (``.pyt:941-1008``, outputs ``.pyt:968-971``);
@@ -94,8 +98,8 @@ def create_wro_catalog(
       hardcoded default classification applies with a warning
       (``.pyt:1268, 1279-1280``).
 
-    (The filter pipeline R23 is assumed applied upstream by the caller;
-    it is plain ``.filter`` chaining, ``.pyt:710-745``.)
+    (Apply the R23 filter pipeline first via :func:`filter_layers`;
+    this function consumes its ``kept_df``.)
     ``cells_df``: long cell table ``layer string, cell_id, value double``.
 
     Pipeline (mirrors ``execute``, ``.pyt:690-893``):
@@ -145,6 +149,12 @@ def create_wro_catalog(
         ("source_type", "string"),
         ("breaks", "array<double>"),
         ("unique_values", "array<double>"),
+        # R20 non-Value-field colorizer match (.pyt:1023-1068): parallel to
+        # unique_values, the attribute-table field values plus the
+        # colorizer's (value, label) item lists
+        ("uv_field_values", "array<string>"),
+        ("colorizer_values", "array<string>"),
+        ("colorizer_labels", "array<string>"),
     ):
         if opt not in ok_layers.columns:
             ok_layers = ok_layers.withColumn(opt, F.lit(None).cast(typ))
@@ -164,6 +174,27 @@ def create_wro_catalog(
             F.col("source_type").isin("VECTOR_UV", "MAGDIR"), F.lit(False)
         )
     )
+
+    # R21 cardinality check (.pyt:1052-1055): a non-Value-field colorizer
+    # must supply exactly one item per attribute-table row; on mismatch
+    # the reference warns and aborts the layer
+    has_colorizer = (
+        F.col("unique_values").isNotNull() & F.col("colorizer_values").isNotNull()
+    )
+    card_mismatch = has_colorizer & (
+        F.size("uv_field_values") != F.size("colorizer_values")
+    )
+    uv_mismatch = ok_layers.filter(card_mismatch).select(
+        F.lit("warning").alias("severity"),
+        F.lit("uv_cardinality").alias("code"),
+        F.concat(
+            F.lit("could not determine raster values and raster colorizer "
+                  "values for: "),
+            F.col("name"),
+        ).alias("message"),
+    )
+    errors = errors.unionByName(uv_mismatch)
+    ok_layers = ok_layers.filter(~F.coalesce(card_mismatch, F.lit(False)))
 
     stats = cells_df.groupBy(F.col("layer").alias("name")).agg(
         F.min("value").alias("mn"), F.max("value").alias("mx")
@@ -195,9 +226,22 @@ def create_wro_catalog(
         F.transform(pairs, lambda _: F.lit("5")), ","
     )
     ranges_csv = F.coalesce(ranges_to_csv(pairs), F.lit(DEFAULT_INPUT_RANGES))
+    # R20 (.pyt:1059-1068): non-Value-field colorizer labels -- match each
+    # attribute value to its colorizer item on lowercased value (an in-row
+    # map lookup: both lists live in the layer row, so the "nested loop"
+    # is a pure column expression, no join, no shuffle)
+    colorizer_map = F.map_from_arrays(
+        F.transform("colorizer_values", F.lower), F.col("colorizer_labels")
+    )
+    matched_labels = F.transform(
+        "uv_field_values",
+        lambda v: F.element_at(colorizer_map, F.lower(v)),
+    )
     labels_csv = F.when(pairs.isNull(), F.lit(DEFAULT_RANGE_LABELS)).otherwise(
-        F.when(degenerate & F.col("breaks").isNull() & F.col("unique_values").isNull(),
-               F.lit(DEFAULT_LABELS[len(DEFAULT_LABELS) // 2]))
+        F.when(has_colorizer,
+               F.array_join(F.transform(matched_labels, csv_field), ","))
+        .when(degenerate & F.col("breaks").isNull() & F.col("unique_values").isNull(),
+              F.lit(DEFAULT_LABELS[len(DEFAULT_LABELS) // 2]))
         .otherwise(ranges_to_labels(pairs))
     )
     outputs_csv = F.when(pairs.isNull(), F.lit(DEFAULT_OUTPUT_VALUES)).otherwise(
@@ -237,6 +281,177 @@ def create_wro_catalog(
     return catalog, errors
 
 
+def filter_layers(
+    layers_df: DataFrame, visible_only: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """R23 (``.pyt:710-745``): the map-layer filter pipeline as a library
+    function -- (kept, dropped-with-reason), mirroring the reference's
+    skip-with-message flow.
+
+    ``layers_df`` columns (the reference's Layer/Describe surface):
+    ``name string`` plus optional ``long_name string`` (default = name),
+    ``is_raster boolean`` (default true), ``visible boolean`` (default
+    true), ``dataset_type string`` (default null), ``is_web boolean``
+    (default false), ``has_datasource boolean`` (default true),
+    ``position long`` (map order; default = name order).
+
+    Stage order and precedence match the reference's cascading
+    ``addLayer`` flags exactly:
+
+    1. not a raster layer -> ``not_raster`` (silent in the reference);
+    2. ``visible_only`` and not visible -> ``not_visible``
+       (``.pyt:718-719``);
+    3. ``datasetType == 'MosaicDataset'`` -> ``mosaic_dataset``
+       (``.pyt:721-724``);
+    4. web layer -> ``web_layer`` (``.pyt:726-728``);
+    5. no datasource -> ``no_datasource`` (``.pyt:730-732``);
+    6. long name containing ``\\Boundary``/``\\Footprint``/``\\Image``
+       past position 0 -> ``service_sublayer`` (``.pyt:734-736``;
+       ``find(..) > 0``, i.e. a sublayer path, never a prefix);
+    7. duplicate name among SURVIVORS of stages 1-6, first-in-map-order
+       kept -> ``duplicate_name`` (``.pyt:738-740``; the reference's
+       ``lyrCheck`` list only accumulates added layers).
+
+    Plan: one CASE chain + one windowed survivor-rank per name -- the
+    layer list is map-metadata-sized, so the single window partition per
+    name is free at any data scale.
+
+    Returns ``(kept_df, dropped_df)``; ``dropped_df`` adds a ``reason``
+    column, both keep the input columns.
+    """
+    df = layers_df
+    for opt, typ, default in (
+        ("long_name", "string", F.col("name")),
+        ("is_raster", "boolean", F.lit(True)),
+        ("visible", "boolean", F.lit(True)),
+        ("dataset_type", "string", F.lit(None)),
+        ("is_web", "boolean", F.lit(False)),
+        ("has_datasource", "boolean", F.lit(True)),
+    ):
+        if opt not in df.columns:
+            df = df.withColumn(opt, default.cast(typ))
+    if "position" not in df.columns:
+        from pyspark.sql import Window
+
+        df = df.withColumn(
+            "position",
+            F.row_number().over(Window.orderBy("name")).cast("long"),
+        )
+
+    sublayer = (
+        (F.instr("long_name", "\\Boundary") > 1)
+        | (F.instr("long_name", "\\Footprint") > 1)
+        | (F.instr("long_name", "\\Image") > 1)
+    )
+    pre = (
+        F.when(~F.coalesce(F.col("is_raster"), F.lit(True)), "not_raster")
+        .when(
+            F.lit(visible_only) & ~F.coalesce(F.col("visible"), F.lit(True)),
+            "not_visible",
+        )
+        .when(F.col("dataset_type") == "MosaicDataset", "mosaic_dataset")
+        .when(F.coalesce(F.col("is_web"), F.lit(False)), "web_layer")
+        .when(~F.coalesce(F.col("has_datasource"), F.lit(True)), "no_datasource")
+        .when(sublayer, "service_sublayer")
+    )
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("name")
+        .orderBy("position")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    surv_rank = F.sum(
+        F.when(F.col("pre_reason").isNull(), 1).otherwise(0)
+    ).over(w)
+    flagged = (
+        df.withColumn("pre_reason", pre)
+        .withColumn(
+            "reason",
+            F.coalesce(
+                F.col("pre_reason"),
+                F.when(surv_rank > 1, "duplicate_name"),
+            ),
+        )
+        .drop("pre_reason")
+    )
+    kept = flagged.filter(F.col("reason").isNull()).drop("reason")
+    dropped = flagged.filter(F.col("reason").isNotNull())
+    return kept, dropped
+
+
+def match_uv_labels(
+    attr_df: DataFrame, colorizer_df: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """R20/R21 (``.pyt:1052-1068``): match raster attribute-table rows to
+    colorizer items on lowercased value.
+
+    ``attr_df``: the raster attribute table -- ``value double,
+    field_value string`` (the colorizer's non-Value field).
+    ``colorizer_df``: colorizer items -- ``match_value string,
+    label string``.
+
+    R21 first (``.pyt:1052-1055``): the two row counts must be equal;
+    on mismatch the reference warns "Could not determine raster values
+    and raster colorizer values" and aborts the layer -- here that is a
+    warning row and an EMPTY match result. R20 (``.pyt:1059-1068``): the
+    reference nested-loops ``rasterValue[1].lower() ==
+    colorizerValue[0].lower()``; the Spark form is a broadcast equi-join
+    on the lowercased value (colorizer item lists are UI-metadata-sized,
+    so the fact side never shuffles). Unmatched rows keep a NULL label
+    (the reference silently skips them, misaligning its parallel lists
+    -- documented deviation, not replicated). Outputs are all 5
+    (``.pyt:1071-1076``).
+
+    Returns ``(matched_df(value, label, out), errors_df)``. The two
+    ``count()`` actions are classification-cardinality-sized (attribute
+    tables / colorizer item lists), never data-sized.
+    """
+    spark = attr_df.sparkSession
+    n_attr = attr_df.count()
+    n_col = colorizer_df.count()
+    if n_attr != n_col:
+        empty = spark.createDataFrame([], "value double, label string, out int")
+        return empty, _err(
+            spark,
+            [("warning", "uv_cardinality",
+              "Could not determine raster values and raster colorizer values: "
+              f"{n_attr} attribute rows vs {n_col} colorizer items")],
+        )
+    matched = (
+        attr_df.join(
+            broadcast(colorizer_df),
+            F.lower(attr_df["field_value"]) == F.lower(colorizer_df["match_value"]),
+            "left",
+        )
+        .select(
+            attr_df["value"].cast("double").alias("value"),
+            colorizer_df["label"].alias("label"),
+            F.lit(5).alias("out"),  # all outputs 5 (.pyt:1071-1076)
+        )
+    )
+    return matched, _no_errors(spark)
+
+
+def export_scratch_table(df: DataFrame, name: str) -> DataFrame:
+    """R12 (``.pyt:283-287``): materialize a projection as a named scratch
+    table -- the ``ExportMosaicDatasetPaths`` -> ``in_memory`` step.
+
+    Spark form: drop-if-exists (``arcpy.Exists`` + ``Delete_management``,
+    ``.pyt:284-285``) then register the DataFrame as a CACHED temp view;
+    the reference's subsequent keyed cursor reads (``SourceOID = id``
+    where clauses, ``.pyt:290``) become lookups against the cached view
+    instead of re-reading the source. Cache scope is the session, like
+    ``in_memory`` workspace scope; call ``spark.catalog.uncacheTable``
+    when done."""
+    spark = df.sparkSession
+    spark.catalog.dropTempView(name)
+    df.createOrReplaceTempView(name)
+    spark.catalog.cacheTable(name)
+    return spark.table(name)
+
+
 # --------------------------------------------------------------------------
 # Tool 2: UpdateWROClassification
 # --------------------------------------------------------------------------
@@ -247,21 +462,31 @@ def update_classification(
     name: str,
     ranges_df: DataFrame,
     stats_df: DataFrame | None = None,
+    cells_df: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Keyed update of one catalog row's classification columns.
 
     ``ranges_df``: the value-table parameter (``.pyt:80-87``) as a
     DataFrame -- ``label string, lo double, hi double, out int``.
     ``stats_df`` (optional): ``mn double, mx double`` single row with the
-    layer's actual cell min/max for coverage validation.
+    layer's actual cell min/max for coverage validation. When absent and
+    ``cells_df`` (``layer string, cell_id, value double``) is supplied,
+    the stats derive through the R12 scratch-export step
+    (``.pyt:283-304``): the layer's cells are exported to a cached
+    scratch view (:func:`export_scratch_table`) and min/max queried from
+    it, mirroring ExportMosaicDatasetPaths -> keyed cursor -> raster
+    min/max.
 
     Validations (mirrors ``updateMessages``/``execute``):
     - required columns present (R10, ``.pyt:139-147``);
     - suitability domain 0-9 (``.pyt:86-87``);
     - range contiguity (R25, ``.pyt:199-217``);
-    - coverage vs stats (R26, ``.pyt:281-314``): first min snapped DOWN to
-      the dataset min (warning, ``.pyt:309-311``); error unless the last
-      max is strictly greater than the dataset max (``.pyt:312-314``);
+    - coverage vs stats (R26, ``.pyt:281-314``): the first range min is
+      snapped to the dataset min on ANY mismatch (the reference compares
+      the str() forms, ``.pyt:309-311``) with a warning; the strict-max
+      check (last max must exceed the dataset max, ``.pyt:312-314``) runs
+      ONLY when the min did not snap -- the reference's ``elif`` skips it
+      after a snap;
     - change detection / skip-write (R24, ``.pyt:245-273``) falls out of
       the CASE override writing identical values.
 
@@ -287,6 +512,17 @@ def update_classification(
             spark, [("error", "unknown_name", f"no catalog row named {name!r}")]
         )
 
+    if stats_df is None and cells_df is not None:
+        # R12 (.pyt:283-304): export the layer's rows to a scratch view,
+        # then derive min/max from the export
+        scratch = export_scratch_table(
+            cells_df.filter(F.col("layer") == name).select("cell_id", "value"),
+            "wro_scratch_paths",
+        )
+        stats_df = scratch.agg(
+            F.min("value").alias("mn"), F.max("value").alias("mx")
+        )
+
     bad_out = ranges_df.filter((F.col("out") < 0) | (F.col("out") > 9)).count()
     if bad_out:
         errs.append(
@@ -301,9 +537,10 @@ def update_classification(
     rows = ordered.collect()  # classification cardinality: a handful of rows
     if stats_df is not None and rows:
         st = stats_df.first()
-        if st is not None:
-            if rows[0]["lo"] > st["mn"]:
-                # snap-with-warning (.pyt:309-311)
+        if st is not None and st["mn"] is not None:
+            if str(float(rows[0]["lo"])) != str(float(st["mn"])):
+                # snap on ANY mismatch, str()-compared like the reference
+                # (.pyt:309-311)
                 errs.append(
                     ("warning", "min_snapped",
                      f"first range min {rows[0]['lo']} snapped to dataset min {st['mn']}")
@@ -312,8 +549,9 @@ def update_classification(
                     label=rows[0]["label"], lo=float(st["mn"]),
                     hi=rows[0]["hi"], out=rows[0]["out"],
                 )
-            if rows[-1]["hi"] <= st["mx"]:
-                # strict-max error (.pyt:312-314)
+            elif rows[-1]["hi"] <= st["mx"]:
+                # strict-max error; elif-skipped when the min snapped,
+                # mirroring the reference (.pyt:312-314)
                 errs.append(
                     ("error", "max_not_covered",
                      f"last range max {rows[-1]['hi']} must be > dataset max {st['mx']}")
