@@ -10,9 +10,13 @@ Headline set: one representative per operator family, weighted toward the
 reference's core (WRO classify/remap/overlay) plus the heaviest relational
 and LLM-pipeline shapes -- the queries whose plans matter at 100 TB.
 
-Timing is end-to-end per query (plan + execute + materialize via count on
-a cached-nothing session), preceded by one warm-up of the flagship to
-amortize JVM/codegen startup out of the first measurement.
+Timing is end-to-end per query (plan + execute + materialize through the
+``noop`` sink on a cached-nothing session), preceded by one warm-up of the
+flagship to amortize JVM/codegen startup out of the first measurement.
+The noop write executes EVERY output column JVM-side -- ``count()`` lets
+Catalyst prune projection-only work (a CASE-chain remap under count()
+never runs), while ``foreach`` would measure Python row shipping instead
+of the query.
 """
 
 from __future__ import annotations
@@ -63,15 +67,18 @@ def main() -> None:
         "q_cosine_topk",
     ]
 
+    def materialize(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
     # Warm-up: JVM, codegen, parquet footer caches, and the Python/Arrow
     # worker pool (first pandas_udf call pays worker startup once).
-    QUERIES["q_agg_group"](spark, sf_dir).count()
-    QUERIES["q_cosine_topk"](spark, sf_dir).count()
+    materialize(QUERIES["q_agg_group"](spark, sf_dir))
+    materialize(QUERIES["q_cosine_topk"](spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in headline:
         t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).count()
+        materialize(QUERIES[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
     m = re.search(r"sf([0-9.]+)", sf_dir)

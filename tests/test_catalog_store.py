@@ -55,6 +55,34 @@ def test_full_lifecycle(spark):
     assert load_catalog(spark, _STORE).first()["Title"] == "Renamed"
 
 
+def test_replace_crash_window_recovery(spark):
+    """A crash between replace_catalog's two renames leaves no live dir;
+    the next load must roll the swap forward (complete .tmp) or back
+    (no/partial .tmp), never lose the catalog."""
+    import shutil
+
+    path = _STORE + "_crash"
+    create_catalog(spark, path, overwrite=True)
+    rows = spark.createDataFrame([("a", "A")], "Name string, Title string")
+    append_rows(spark, path, rows)
+
+    # roll FORWARD: complete new snapshot in .tmp, live dir renamed away
+    updated = load_catalog(spark, path).withColumn("Title", F.lit("New"))
+    updated.write.mode("overwrite").parquet(path + ".tmp")
+    os.rename(path, path + ".old")
+    got = load_catalog(spark, path)  # triggers recovery
+    assert got.first()["Title"] == "New"
+    assert not os.path.isdir(path + ".old") and not os.path.isdir(path + ".tmp")
+
+    # roll BACK: .tmp incomplete (no _SUCCESS) -> previous snapshot returns
+    os.makedirs(path + ".tmp", exist_ok=True)
+    os.rename(path, path + ".old")
+    got2 = load_catalog(spark, path)
+    assert got2.first()["Title"] == "New"  # previous live snapshot
+    assert not os.path.isdir(path + ".old")
+    shutil.rmtree(path, ignore_errors=True)
+
+
 def test_stateful_custom_final_counts(spark):
     """applyInPandasWithState: final per-user state equals batch totals."""
     from weighted_raster_overlay_service_toolbox_spark.queries import QUERIES

@@ -348,16 +348,25 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (sqrt(list_dot_product(a.e, a.e))
                    * sqrt(list_dot_product(b.e, b.e))), 4) AS DOUBLE) AS cosine
     FROM v a JOIN v b ON a.vec_id < b.vec_id
-    WHERE list_dot_product(a.e, b.e)
+    WHERE ROUND(list_dot_product(a.e, b.e)
           / (sqrt(list_dot_product(a.e, a.e))
-             * sqrt(list_dot_product(b.e, b.e))) >= 0.60
+             * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.35
     """,
 )
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cosine >= 0.60, vec_id<200 block).
+    """Embedding-cosine near-dup pairs (cosine >= 0.35, vec_id<200 block;
+    the threshold sits inside the fixture's similarity range so the
+    query returns a non-trivial pair set at every SF).
+
+    The pair scoring runs through the Arrow-batched numpy bulk path
+    (``dot_pandas`` -- one einsum per batch, no per-element interpreted
+    lambdas); the threshold compares the ROUNDED cosine on both engines
+    so the cut is insensitive to summation-order last-ulp differences.
 
     Scale: this bounded block is the verify stage; candidate generation at
     100 TB is q_ann_ivf's bucket join, never the full cross product."""
+    from ..operators.similarity import dot_pandas
+
     v = with_norm(
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < 200)
@@ -369,11 +378,14 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = v.select(
         F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
     )
-    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    cos = F.round(
+        dot_pandas(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4
+    ).cast("double")
     return (
         a.join(broadcast(b), F.col("vec_a") < F.col("vec_b"))
-        .filter(cos >= 0.60)
-        .select("vec_a", "vec_b", F.round(cos, 4).cast("double").alias("cosine"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.35)
+        .select("vec_a", "vec_b", "cosine")
     )
 
 

@@ -67,7 +67,36 @@ def create_catalog(spark: SparkSession, path: str, overwrite: bool = False) -> N
     spark.createDataFrame([], CATALOG_SCHEMA).write.parquet(path)
 
 
+def _swap_paths(path: str) -> tuple[str, str]:
+    base = path.rstrip("/")
+    return base + ".tmp", base + ".old"
+
+
+def recover_catalog(path: str) -> None:
+    """Finish or roll back a :func:`replace_catalog` interrupted mid-swap.
+
+    The swap has one unsafe window: after the live dir is renamed to
+    ``.old`` and before the new snapshot is renamed in, no catalog exists
+    at ``path``. Detection is unambiguous: ``path`` missing + ``.old``
+    present. Recovery rolls FORWARD to the new snapshot when its write
+    completed (parquet ``_SUCCESS`` marker in ``.tmp``), else rolls BACK
+    to the previous snapshot -- either way a complete catalog is restored
+    and the leftovers are cleared. Called automatically by
+    :func:`load_catalog` and :func:`replace_catalog`; no-op when a live
+    catalog exists."""
+    tmp, old = _swap_paths(path)
+    if os.path.isdir(path) or not os.path.isdir(old):
+        return
+    if os.path.isfile(os.path.join(tmp, "_SUCCESS")):
+        os.rename(tmp, path)
+    else:
+        os.rename(old, path)
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def load_catalog(spark: SparkSession, path: str) -> DataFrame:
+    recover_catalog(path)
     if not catalog_exists(path):
         raise FileNotFoundError(f"no catalog at {path}")
     return spark.read.parquet(path)
@@ -98,11 +127,17 @@ def replace_catalog(path: str, updated: DataFrame) -> None:
     """Atomic-ish snapshot replace for keyed updates (R4): write the new
     snapshot beside the old, then swap. The reference's UpdateCursor
     mutates in place; snapshot-replace is the parquet-world equivalent
-    with the same observable result."""
-    tmp = path.rstrip("/") + ".tmp"
+    with the same observable result.
+
+    Crash safety: a crash inside the two-rename window leaves ``path``
+    missing but ``.old`` (and a complete ``.tmp``) present;
+    :func:`recover_catalog` -- run here and on every load -- rolls the
+    swap forward or back, so no state is silently lost. (A table format
+    with atomic metadata commit replaces this dance at real scale.)"""
+    recover_catalog(path)
+    tmp, old = _swap_paths(path)
     shutil.rmtree(tmp, ignore_errors=True)
     updated.write.parquet(tmp)
-    old = path.rstrip("/") + ".old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
     os.rename(tmp, path)

@@ -36,7 +36,6 @@ from .functions.ranges import (
     DEFAULT_RANGE_LABELS,
     class_break_ranges,
     consecutive_pair_ranges,
-    contiguity_errors,
     ranges_to_csv,
     ranges_to_labels,
     unique_value_ranges_expr,
@@ -523,18 +522,22 @@ def update_classification(
             F.min("value").alias("mn"), F.max("value").alias("mx")
         )
 
-    bad_out = ranges_df.filter((F.col("out") < 0) | (F.col("out") > 9)).count()
+    # ONE Spark action for all ranges_df validation: the value table is a
+    # UI parameter (a handful of rows, .pyt:80-87), so collect once and
+    # validate driver-side -- exactly the reference's own loop over
+    # value_tbl -- instead of separate count() jobs per check.
+    # (contiguity_errors stays the declared distributed R25 operator for
+    # data-sized range tables; q_wro_contiguity exercises it.)
+    rows = ranges_df.orderBy("lo").collect()
+    bad_out = sum(1 for r in rows if r["out"] < 0 or r["out"] > 9)
     if bad_out:
         errs.append(
             ("error", "suitability_domain", f"{bad_out} outputs outside 0-9")
         )
 
-    gaps = contiguity_errors(ranges_df, "lo", "hi").count()
+    gaps = sum(1 for a, b in zip(rows, rows[1:]) if a["hi"] != b["lo"])
     if gaps:
         errs.append(("error", "contiguity", f"{gaps} non-contiguous range pairs"))
-
-    ordered = ranges_df.orderBy("lo")
-    rows = ordered.collect()  # classification cardinality: a handful of rows
     if stats_df is not None and rows:
         st = stats_df.first()
         if st is not None and st["mn"] is not None:
