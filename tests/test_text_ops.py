@@ -79,3 +79,53 @@ def test_fingerprint_order_invariant(spark):
     }
     assert fps[1] == fps[2] == fps[3]  # reorder + dup-token invariant
     assert fps[4] != fps[1]
+
+
+def test_word_ngrams_and_short_doc_guard(spark):
+    from pyspark.sql import functions as F
+
+    from weighted_raster_overlay_service_toolbox_spark.operators.text import (
+        word_ngrams,
+    )
+
+    rows = {
+        r["doc_id"]: r["g"]
+        for r in _docs(spark).select("doc_id", word_ngrams("text", 3).alias("g")).collect()
+    }
+    assert rows[1] == ["the cat sat", "cat sat on", "sat on the", "on the mat"]
+    assert rows[2] == []  # 2 tokens < n: EMPTY, not a descending-sequence artifact
+    assert rows[3] == ["cat cat cat"]
+
+
+def test_repetition_features_flags_boilerplate(spark):
+    from weighted_raster_overlay_service_toolbox_spark.operators.text import (
+        repetition_features,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c a b c"),   # 'a b c' trigram dominates
+            (2, "one two three four five six"),  # all trigrams unique
+            (3, "xy"),                         # too short: no row
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_features(docs, "doc_id").collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["top_ngram_count"] == 4 and rows[1]["n_ngrams"] == 10
+    assert rows[1]["top_ngram_share"] == 0.4
+    assert rows[2]["top_ngram_count"] == 1
+    assert rows[2]["top_ngram_share"] == 0.25
+
+
+def test_scrub_digits(spark):
+    from pyspark.sql import functions as F
+
+    from weighted_raster_overlay_service_toolbox_spark.operators.text import (
+        scrub_digits,
+    )
+
+    df = spark.createDataFrame(
+        [("call 555-0100 ext 7",)], "s string"
+    ).select(scrub_digits(F.col("s")).alias("out"))
+    assert df.first()["out"] == "call XXX-XXXX ext X"

@@ -95,6 +95,49 @@ def marker_score(text_col: str | Column, markers: list[str]) -> Column:
     return F.round(hits.cast("double") / F.size(toks), 4).cast("double")
 
 
+def word_ngrams(text_col: str | Column, n: int = 3) -> Column:
+    """Word n-grams as an array column; EMPTY when the doc has fewer than
+    ``n`` tokens. The guard matters: ``F.sequence(1, k)`` with ``k < 1``
+    silently generates a DESCENDING sequence, not an empty one."""
+    toks = tokens_of(text_col)
+    cnt = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), cnt),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    return F.when(cnt >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_features(
+    docs: DataFrame, id_col: str, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Gopher-style repetition quality signal: the share of a document's
+    word n-grams taken by its single most-repeated n-gram (boilerplate
+    and low-quality generated text score high).
+
+    Shape: explode -> (doc, gram) count -> per-doc max/sum. Both
+    aggregations key on (doc_id[, gram]) -- uniform, map-side combined;
+    nothing leaves the executor except per-doc rows. Docs shorter than
+    ``n`` tokens produce no row (no grams to score)."""
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams(text_col, n)).alias("gram"),
+    )
+    cnt = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.max("c").cast("int").alias("top_ngram_count"),
+        F.sum("c").cast("int").alias("n_ngrams"),
+        F.round(F.max("c") / F.sum("c"), 4).cast("double").alias("top_ngram_share"),
+    )
+
+
+def scrub_digits(col: Column, replacement: str = "X") -> Column:
+    """PII-style scrub: mask every digit. Pure column expression
+    (regexp_replace is global in Spark); the building block for
+    phone/account-number redaction in a corpus pipeline."""
+    return F.regexp_replace(col, "[0-9]", replacement)
+
+
 def fingerprint(text_col: str | Column = "text") -> Column:
     """Canonical-form document fingerprint: md5 over the sorted distinct
     token set (catches reordered/duplicated-token copies)."""

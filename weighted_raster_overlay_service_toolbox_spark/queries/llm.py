@@ -677,6 +677,97 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_repetition_ratio",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    g AS (
+        SELECT doc_id,
+               unnest([array_to_string(l[i+1:i+3], ' ')
+                       for i in range(0, len(l) - 2)]) AS gram
+        FROM t
+    ),
+    cnt AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(MAX(c) AS INT)                          AS top_ngram_count,
+           CAST(SUM(c) AS INT)                          AS n_ngrams,
+           CAST(ROUND(MAX(c) / SUM(c), 4) AS DOUBLE)    AS top_ngram_share
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signal: the share of each doc's
+    word trigrams taken by its most-repeated trigram -- boilerplate and
+    degenerate generated text score high and get filtered before
+    training. Two uniform keyed aggregations, map-side combined; docs
+    under 3 tokens yield no row on either engine."""
+    from ..operators.text import repetition_features
+
+    return repetition_features(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", n=3
+    )
+
+
+@query(
+    "q_pii_scrub",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(c_name || ' acct ' || CAST(c_custkey AS VARCHAR)
+                          || '-' || CAST(c_nationkey AS VARCHAR),
+                          '[0-9]', 'X', 'g') AS scrubbed,
+           CAST(len(regexp_replace(c_name || ' acct '
+                    || CAST(c_custkey AS VARCHAR) || '-'
+                    || CAST(c_nationkey AS VARCHAR),
+                    '[^0-9]', '', 'g')) AS INT) AS n_digits
+    FROM customer
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction over free text: mask every digit in a
+    name-plus-account-number concatenation and count what was masked --
+    the corpus-cleaning building block for phone/account-number removal.
+    Pure column expressions (regexp_replace), whole-stage codegen;
+    numeric parts are built from bigint casts, which render identically
+    on both engines (double-to-string formatting does not)."""
+    from ..operators.text import scrub_digits
+
+    c = load_table(spark, sf_dir, "customer")
+    raw = F.concat(
+        F.col("c_name"), F.lit(" acct "),
+        F.col("c_custkey").cast("string"), F.lit("-"),
+        F.col("c_nationkey").cast("string"),
+    )
+    return c.select(
+        "c_custkey",
+        scrub_digits(raw).alias("scrubbed"),
+        F.length(F.regexp_replace(raw, "[^0-9]", "")).cast("int").alias("n_digits"),
+    )
+
+
+@query(
+    "q_doc_length_hist",
+    oracle="""
+    SELECT CAST(n_chars // 100 AS INT) AS bucket,
+           COUNT(*)                    AS n_docs,
+           MIN(n_chars)                AS min_chars,
+           MAX(n_chars)                AS max_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def q_doc_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile: 100-char histogram buckets over the
+    documents table -- the distribution check that precedes any length
+    cutoff. One grouped aggregation with map-side partials."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(
+        F.floor(F.col("n_chars") / 100).cast("int").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
     "q_corpus_pipeline",
     oracle="""
     WITH quality AS (

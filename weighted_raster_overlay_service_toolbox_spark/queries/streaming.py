@@ -162,6 +162,52 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_stream_static_join",
+    oracle="""
+    SELECT date_trunc('hour', e.ts) AS win_start,
+           date_trunc('hour', e.ts) + INTERVAL 1 HOUR AS win_end,
+           c.c_mktsegment AS segment,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins the event
+    stream against the static customer dimension (broadcast -- the dim
+    never shuffles the stream side), then a tumbling-window aggregate
+    keyed by (window, segment). The canonical streaming-ETL shape: at
+    100 TB/day the stream side stays partitioned by arrival, the
+    dimension rides along as a broadcast that refreshes per batch."""
+    from pyspark.sql.functions import broadcast
+
+    staged = stage_event_files(spark, sf_dir, "static_join")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    enriched = read_event_stream(spark, staged).join(broadcast(dim), "user_id")
+    agg = enriched.groupBy(
+        F.window("ts", "1 hour").alias("win"), "segment"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("sum_value"),
+    )
+    out = run_to_memory(agg, "sink_static_join", "complete")
+    return out.select(
+        F.col("win.start").alias("win_start"),
+        F.col("win.end").alias("win_end"),
+        "segment",
+        "n_events",
+        "sum_value",
+    )
+
+
 @query("q_stream_watermark")  # rows-only: drop set depends on batch sequencing
 def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-data drop beyond a 10-minute watermark: 200 early events are
