@@ -44,6 +44,12 @@ def get_spark(app_name: str = "wros-spark", cpus: int | None = None) -> SparkSes
     )
     if not os.environ.get("SPARK_MASTER"):  # pragma: no branch - local default
         builder = builder.master(f"local[{cpus}]")
+        # Measured, not assumed: shrinking files.maxPartitionBytes /
+        # AQE advisory size to split the ~11 MB fixture files across all
+        # 32 local cores was benchmarked (4 MB splits, 3 reps per
+        # headline query) and moved nothing -- local wall time is
+        # dominated by per-job fixed overhead, not scan parallelism --
+        # so the cluster-correct 128 MB default stands.
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
