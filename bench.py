@@ -62,9 +62,13 @@ def main() -> None:
         # LLM pipeline
         "q_dedup_exact",
         "q_dedup_minhash",
+        "q_dedup_clusters",
         "q_text_top_terms",
         "q_tfidf",
         "q_cosine_topk",
+        "q_contamination",
+        # time series
+        "q_sessionize",
     ]
 
     def materialize(df) -> None:

@@ -1,0 +1,86 @@
+"""Connected-components operator: known-graph truth + convergence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from weighted_raster_overlay_service_toolbox_spark.operators.graph import (
+    cluster_sizes,
+    connected_components,
+)
+
+
+def _components(spark, pairs, **kw):
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    return {
+        r["node"]: r["component"]
+        for r in connected_components(edges, **kw).collect()
+    }
+
+
+def test_chain_and_triangle_and_pair(spark):
+    # chain 1-2-3-4, triangle 10-11-12 (cycle), pair 20-21
+    got = _components(
+        spark, [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (20, 21)]
+    )
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_long_chain_converges_via_pointer_jumping(spark):
+    # a 40-node path has diameter 39; pointer jumping must converge well
+    # inside max_iter=25 (one-hop propagation alone would need 39 rounds)
+    pairs = [(i, i + 1) for i in range(40)]
+    got = _components(spark, pairs, max_iter=25)
+    assert set(got.values()) == {0}
+    assert len(got) == 41
+
+
+def test_edge_order_and_direction_irrelevant(spark):
+    a = _components(spark, [(5, 9), (9, 7), (3, 5)])
+    b = _components(spark, [(7, 9), (5, 3), (9, 5)])
+    assert a == b == {3: 3, 5: 3, 7: 3, 9: 3}
+
+
+def test_cluster_sizes(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3), (8, 9)], "src long, dst long")
+    comp = connected_components(edges)
+    sizes = {
+        r["component"]: r["n_members"] for r in cluster_sizes(comp).collect()
+    }
+    assert sizes == {1: 3, 8: 2}
+
+
+def test_matches_union_find_on_fixture_edges(spark):
+    # random-ish but deterministic edge set over 200 nodes; compare the
+    # distributed answer against a driver-side union-find ground truth
+    edges = (
+        spark.range(400)
+        .select(
+            (F.xxhash64("id", F.lit(1)) % 200).alias("src"),
+            (F.xxhash64("id", F.lit(2)) % 200).alias("dst"),
+        )
+        .filter(F.col("src") >= 0)
+        .filter(F.col("dst") >= 0)
+    )
+    pairs = [(r["src"], r["dst"]) for r in edges.collect()]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    # canonical truth: min member per root
+    members: dict[int, list[int]] = {}
+    for n in parent:
+        members.setdefault(find(n), []).append(n)
+    truth = {n: min(ms) for r, ms in members.items() for n in ms}
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == truth

@@ -114,3 +114,23 @@ def test_partition_pruning_on_partitioned_layout(spark):
     # correctness: pruned read equals a post-hoc filter of the full table
     want = ev.filter(F.col("day") == "2024-01-01").count()
     assert back.count() == want
+
+
+def test_sink_partitioned_query_prunes(spark):
+    """q_sink_partitioned's readback must prune to the one matching
+    partition directory (PartitionFilters on o_orderpriority)."""
+    plan = plan_of(spark, "q_sink_partitioned")
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "o_orderpriority" in pf[0], plan
+
+
+def test_bucketed_join_query_avoids_exchange(spark):
+    """q_join_bucketed: both sides pre-bucketed on the join key; the
+    physical plan must not shuffle either side (no Exchange). Catalyst may
+    pick broadcast for the small side -- also shuffle-free -- so assert
+    the absence of Exchange rather than a specific join strategy."""
+    plan = plan_of(spark, "q_join_bucketed")
+    assert "Exchange" not in plan or "BroadcastExchange" in plan, plan
+    assert "ShuffleExchange" not in plan.replace(
+        "Exchange hashpartitioning", "ShuffleExchange"
+    ), plan

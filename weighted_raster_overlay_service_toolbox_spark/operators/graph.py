@@ -1,0 +1,116 @@
+"""Iterative graph operators: connected components for dedup clustering.
+
+The classic post-dedup step: near-dup PAIRS (from MinHash-LSH banding or a
+thresholded similarity join) must be merged into CLUSTERS so one canonical
+document per cluster survives. Pairs alone over-delete (A~B, B~C but A!~C
+still means keep only one of {A,B,C}).
+
+No anchor in the reference (it has no text pipeline). Algorithm is
+min-label propagation with pointer jumping -- the public "hash-to-min" /
+alternating-star family (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14):
+
+- each node starts labeled with itself;
+- each round takes the min label over {self} + neighbors (one shuffle
+  keyed by node), then POINTER-JUMPS: label <- label(label) (a second
+  keyed shuffle). Jumping collapses chains exponentially, so rounds are
+  O(log diameter), not O(diameter);
+- labels only ever decrease, so a monotone checksum (SUM of labels)
+  detects convergence with one tiny action per round;
+- ``localCheckpoint`` truncates lineage each round -- without it the plan
+  doubles per iteration and the driver OOMs long before the data does.
+
+Scale: every round is two shuffles keyed by node id over the EDGE list
+(never node x node); state is one row per node. At 100 TB the edge list
+from banded LSH is linear-ish in corpus size, so rounds stay linear.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Return ``(node, component)`` where component = MIN node id reachable.
+
+    ``edges`` is an undirected pair list (each pair once, either order).
+    Every endpoint appears in the output; isolated nodes are the caller's
+    concern (left-join the node universe and ``coalesce`` to self).
+    """
+    # materialize once: the edge list re-evaluates EVERY round otherwise
+    # (it is usually an expensive similarity join upstream)
+    sym = (
+        edges.select(
+            F.col(src).cast("long").alias("node"), F.col(dst).cast("long").alias("nbr")
+        )
+        .union(
+            edges.select(
+                F.col(dst).cast("long").alias("node"),
+                F.col(src).cast("long").alias("nbr"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select("node")
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        # min over neighbors' labels (one shuffle keyed by node)
+        nbr_min = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("nbr"), F.col("component").alias("nbr_comp")
+                ),
+                "nbr",
+            )
+            .groupBy("node")
+            .agg(F.min("nbr_comp").alias("nbr_comp"))
+        )
+        stepped = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.least("component", F.coalesce("nbr_comp", "component")).alias(
+                "component"
+            ),
+        )
+        # pointer jump: component <- label(component). component is always an
+        # existing node id, so the inner-ish left join always hits.
+        jumped = (
+            stepped.alias("l")
+            .join(
+                stepped.select(
+                    F.col("node").alias("p_node"), F.col("component").alias("p_comp")
+                ).alias("r"),
+                F.col("l.component") == F.col("p_node"),
+                "left",
+            )
+            .select(
+                "node",
+                F.least("component", F.coalesce("p_comp", "component")).alias(
+                    "component"
+                ),
+            )
+        )
+        labels = jumped.localCheckpoint(eager=True)
+        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def cluster_sizes(components: DataFrame) -> DataFrame:
+    """``(component, n_members)`` summary -- the dedup keep-one scan reads
+    this to pick one canonical doc per cluster (e.g. MIN node)."""
+    return components.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )

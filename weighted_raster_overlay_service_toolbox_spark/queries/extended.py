@@ -331,3 +331,207 @@ def q_cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
     return spark.sql(_RECURSIVE_MONTHS.format(orders="orders_v"))
+
+
+@query(
+    "q_sessionize",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                      OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts, event_id,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM e
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: gap > 30 min starts a new session; session id
+    is the running count of gap-breaks per user (the standard lag +
+    cumulative-sum idiom). The batch twin of q_stream_session's
+    event-time session windows.
+
+    Scale: both window passes and the final aggregate share ONE partition
+    key (user_id), so the whole query is a single shuffle -- Catalyst
+    reuses the partitioning across the lag, the running sum, and the
+    groupBy. Ties broken by event_id for determinism."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    brk = F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0)
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = e.select("user_id", "ts", "event_id", brk.alias("brk")).withColumn(
+        "session_seq", F.sum("brk").over(wsum)
+    )
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@query(
+    "q_gapfill",
+    oracle="""
+    WITH d AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               COUNT(*) AS n, MAX(value) AS day_max
+        FROM events WHERE user_id < 50 GROUP BY 1, 2
+    ), span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM d GROUP BY 1),
+    spine AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM span
+    )
+    SELECT s.user_id, s.day, COALESCE(d.n, 0) AS n_events,
+           LAST_VALUE(d.day_max IGNORE NULLS)
+               OVER (PARTITION BY s.user_id ORDER BY s.day
+                     ROWS UNBOUNDED PRECEDING) AS ffill_max
+    FROM spine s LEFT JOIN d USING (user_id, day)
+    """,
+)
+def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill / resample: per-user daily event counts on a
+    dense day spine (``sequence`` + ``explode`` generates the missing
+    days), zero-filled counts plus forward-filled last-seen daily max
+    (``last(ignorenulls)``) -- the hypertable-rollup shape.
+
+    Scale: the spine is generated per key (no driver-side date loop), the
+    join and both windows key by user_id -- one shuffle end to end. Spine
+    width is bounded by each key's own [min, max] span, never the global
+    calendar."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    d = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("day_max"))
+    span = d.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    wff = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(d, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.last("day_max", ignorenulls=True).over(wff).alias("ffill_max"),
+        )
+    )
+
+
+@query(
+    "q_profile_columns",
+    oracle="""
+    WITH a AS (
+        SELECT COUNT(*) AS n,
+               COUNT(o_orderkey) AS c1, COUNT(DISTINCT o_orderkey) AS d1,
+               CAST(MIN(o_orderkey) AS DOUBLE) AS mn1,
+               CAST(MAX(o_orderkey) AS DOUBLE) AS mx1,
+               COUNT(o_custkey) AS c2, COUNT(DISTINCT o_custkey) AS d2,
+               CAST(MIN(o_custkey) AS DOUBLE) AS mn2,
+               CAST(MAX(o_custkey) AS DOUBLE) AS mx2,
+               COUNT(o_totalprice) AS c3, COUNT(DISTINCT o_totalprice) AS d3,
+               CAST(MIN(o_totalprice) AS DOUBLE) AS mn3,
+               CAST(MAX(o_totalprice) AS DOUBLE) AS mx3,
+               COUNT(o_orderstatus) AS c4, COUNT(DISTINCT o_orderstatus) AS d4,
+               MIN(o_orderstatus) AS s4a, MAX(o_orderstatus) AS s4b,
+               COUNT(o_orderpriority) AS c5, COUNT(DISTINCT o_orderpriority) AS d5,
+               MIN(o_orderpriority) AS s5a, MAX(o_orderpriority) AS s5b,
+               COUNT(o_orderdate) AS c6, COUNT(DISTINCT o_orderdate) AS d6,
+               CAST(MIN(o_orderdate) AS VARCHAR) AS s6a,
+               CAST(MAX(o_orderdate) AS VARCHAR) AS s6b
+        FROM orders
+    )
+    SELECT 'o_orderkey' AS column_name, n - c1 AS n_null, d1 AS n_distinct,
+           mn1 AS min_num, mx1 AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM a
+    UNION ALL SELECT 'o_custkey', n - c2, d2, mn2, mx2, NULL, NULL FROM a
+    UNION ALL SELECT 'o_totalprice', n - c3, d3, mn3, mx3, NULL, NULL FROM a
+    UNION ALL SELECT 'o_orderstatus', n - c4, d4, NULL, NULL, s4a, s4b FROM a
+    UNION ALL SELECT 'o_orderpriority', n - c5, d5, NULL, NULL, s5a, s5b FROM a
+    UNION ALL SELECT 'o_orderdate', n - c6, d6, NULL, NULL, s6a, s6b FROM a
+    """,
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiler (deequ-style): per-column null count, exact
+    distinct count, numeric min/max, string/date min/max -- the data-
+    quality summary a pipeline computes before training ingestion.
+
+    Scale: ONE scan -- all metrics fold into a single aggregate (the
+    UNION-ALL long format is produced by ``stack`` over the one agg row,
+    not by re-scanning per column). Exact COUNT(DISTINCT) per column
+    triggers Catalyst's Expand (rows x columns); at 100 TB swap in
+    approx_count_distinct and keep the same output contract."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_orderkey").alias("c1"),
+        F.countDistinct("o_orderkey").alias("d1"),
+        F.min("o_orderkey").cast("double").alias("mn1"),
+        F.max("o_orderkey").cast("double").alias("mx1"),
+        F.count("o_custkey").alias("c2"),
+        F.countDistinct("o_custkey").alias("d2"),
+        F.min("o_custkey").cast("double").alias("mn2"),
+        F.max("o_custkey").cast("double").alias("mx2"),
+        F.count("o_totalprice").alias("c3"),
+        F.countDistinct("o_totalprice").alias("d3"),
+        F.min("o_totalprice").cast("double").alias("mn3"),
+        F.max("o_totalprice").cast("double").alias("mx3"),
+        F.count("o_orderstatus").alias("c4"),
+        F.countDistinct("o_orderstatus").alias("d4"),
+        F.min("o_orderstatus").alias("s4a"),
+        F.max("o_orderstatus").alias("s4b"),
+        F.count("o_orderpriority").alias("c5"),
+        F.countDistinct("o_orderpriority").alias("d5"),
+        F.min("o_orderpriority").alias("s5a"),
+        F.max("o_orderpriority").alias("s5b"),
+        F.count("o_orderdate").alias("c6"),
+        F.countDistinct("o_orderdate").alias("d6"),
+        F.min("o_orderdate").cast("string").alias("s6a"),
+        F.max("o_orderdate").cast("string").alias("s6b"),
+    )
+    return a.selectExpr(
+        """stack(6,
+           'o_orderkey',      n - c1, d1, mn1, mx1,
+               CAST(NULL AS STRING), CAST(NULL AS STRING),
+           'o_custkey',       n - c2, d2, mn2, mx2,
+               CAST(NULL AS STRING), CAST(NULL AS STRING),
+           'o_totalprice',    n - c3, d3, mn3, mx3,
+               CAST(NULL AS STRING), CAST(NULL AS STRING),
+           'o_orderstatus',   n - c4, d4, CAST(NULL AS DOUBLE),
+               CAST(NULL AS DOUBLE), s4a, s4b,
+           'o_orderpriority', n - c5, d5, CAST(NULL AS DOUBLE),
+               CAST(NULL AS DOUBLE), s5a, s5b,
+           'o_orderdate',     n - c6, d6, CAST(NULL AS DOUBLE),
+               CAST(NULL AS DOUBLE), s6a, s6b
+        ) AS (column_name, n_null, n_distinct, min_num, max_num,
+              min_str, max_str)"""
+    )

@@ -271,3 +271,45 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts"
     )
     return asof_join(probe, ref, on=["user_id"], ts="ts", ref_value_cols=["ref_value"])
+
+
+@query(
+    "q_join_bucketed",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_orderstatus
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketed tables: both sides written with
+    ``bucketBy(8, key).sortBy(key)``, then joined with NO exchange in the
+    physical plan (pinned in tests/test_scale_ops.py and test_plans.py) --
+    the sort-merge reads pre-bucketed files directly.
+
+    Scale: at 100 TB a fact-fact join shuffles BOTH sides every query;
+    bucketing pays the shuffle once at write time and every subsequent
+    join on the bucket key is shuffle-free. Values are unchanged by the
+    layout, so the oracle is the plain join on the parquet sources."""
+    import shutil as _shutil
+    import os as _os
+
+    spark.sql("DROP TABLE IF EXISTS q_b_orders")
+    spark.sql("DROP TABLE IF EXISTS q_b_lineitem")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    _shutil.rmtree(_os.path.join(warehouse, "q_b_orders"), ignore_errors=True)
+    _shutil.rmtree(_os.path.join(warehouse, "q_b_lineitem"), ignore_errors=True)
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("q_b_orders")
+    load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("q_b_lineitem")
+    li = spark.table("q_b_lineitem")
+    o = spark.table("q_b_orders")
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "o_orderstatus"
+    )

@@ -35,6 +35,7 @@ from ..operators.dedup import (
     simhash_near_pairs,
     simhash_signatures,
 )
+from ..operators.graph import connected_components
 from ..operators.similarity import (
     cosine_scores,
     dot_expr,
@@ -241,6 +242,85 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(sizes.alias("sb")), F.col("sb.doc_id") == F.col("doc_b"))
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 4).cast("double").alias("trigram_jaccard"))
+    )
+
+
+@query(
+    "q_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE
+    t AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents WHERE doc_id < 500
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+        SELECT i.doc_a AS src, i.doc_b AS dst
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.9
+    ),
+    sym AS (
+        SELECT src, dst FROM edges
+        UNION SELECT dst, src FROM edges
+        UNION SELECT doc_id, doc_id FROM documents WHERE doc_id < 500
+    ),
+    walk(node, lbl) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT w.node, s.dst FROM walk w JOIN sym s ON w.lbl = s.src
+    )
+    SELECT node AS doc_id, MIN(lbl) AS component
+    FROM walk GROUP BY node
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: thresholded token-Jaccard pairs (doc_id<500,
+    j>=0.9) merged into connected components; component = MIN doc_id
+    reachable, the canonical keep-one key. Pairs alone over-delete when
+    similarity is non-transitive (A~B, B~C, A!~C); clustering is the
+    missing half of every dedup pipeline.
+
+    Scale: edges come from a sparse token-keyed join (same shape as
+    q_jaccard_sim; at 100 TB swap in minhash_candidates so the pair space
+    stays banded); clustering is min-label propagation with pointer
+    jumping -- O(log diameter) rounds of two node-keyed shuffles, state
+    one row per node (operators/graph.py). The DuckDB oracle is the
+    recursive-CTE transitive closure, tractable only because the probe
+    set is bounded; the Spark side never materializes reachability."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    g = d.select("doc_id", F.explode(F.array_distinct(TOKS())).alias("tok"))
+    sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = g.alias("a"), g.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+    )
+    edges = (
+        inter.join(broadcast(sizes.alias("sa")), F.col("sa.doc_id") == F.col("src"))
+        .join(broadcast(sizes.alias("sb")), F.col("sb.doc_id") == F.col("dst"))
+        .filter(jac >= 0.9)
+        .select("src", "dst")
+    )
+    comp = connected_components(edges, "src", "dst")
+    return d.select(F.col("doc_id").cast("long").alias("doc_id")).join(
+        comp, F.col("doc_id") == F.col("node"), "left"
+    ).select(
+        "doc_id", F.coalesce("component", "doc_id").alias("component")
     )
 
 
@@ -808,4 +888,103 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(15)
+    )
+
+
+@query(
+    "q_domain_cap",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents
+    )
+    SELECT doc_id, source, rk FROM ranked WHERE rk <= 10
+    """,
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain downsampling: cap every source at 10 docs, picked by a
+    DETERMINISTIC pseudo-random order (md5 of the doc id -- identical in
+    both engines, stable across partitionings and reruns). The standard
+    rebalancing step when a handful of domains dominate a crawl.
+
+    Scale: one shuffle keyed by source for the window rank; at 100 TB
+    skewed domains salt-split first (operators/skew.py) or switch to
+    sampleBy with per-domain fractions when exactness isn't required."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select(
+            "doc_id", "source", F.row_number().over(w).cast("long").alias("rk")
+        )
+        .filter(F.col("rk") <= 10)
+    )
+
+
+@query(
+    "q_contamination",
+    oracle="""
+    WITH ev AS (
+        SELECT doc_id, unnest(list_distinct([substring(text, i, 16)
+                       for i in range(1, length(text) - 14, 4)])) AS sh
+        FROM documents WHERE source = 'src0' AND length(text) >= 16
+    ), tr AS (
+        SELECT DISTINCT unnest([substring(text, i, 16)
+                       for i in range(1, length(text) - 14, 4)]) AS sh
+        FROM documents WHERE source <> 'src0' AND length(text) >= 16
+    )
+    SELECT e.doc_id,
+           CAST(ROUND(CAST(SUM(CASE WHEN t.sh IS NOT NULL THEN 1 ELSE 0 END)
+                           AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS contamination
+    FROM ev e LEFT JOIN tr t USING (sh)
+    GROUP BY e.doc_id
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check: treating source 'src0' as the held
+    -out eval split, score each eval doc by the fraction of its distinct
+    character-16-gram shingles that appear ANYWHERE in the train split --
+    the benchmark-leakage test run before training on a crawled corpus.
+
+    Scale: shingles are STRIDED (every 4th position -- the standard
+    sampling for contamination checks; a contaminated span still yields
+    many strided hits) so the explode is 4x smaller; the join keys by
+    shingle, so the train side streams -- no all-pairs doc comparison
+    exists. At 100 TB hash the shingles (xxhash64) instead of shipping
+    16-char strings."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 16)
+
+    def shingles(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - 15, F.lit(4))
+            ).alias("i"),
+            "text",
+        ).select("doc_id", F.expr("substring(text, i, 16)").alias("sh"))
+
+    ev = shingles(d.filter(F.col("source") == "src0")).distinct()
+    tr = (
+        shingles(d.filter(F.col("source") != "src0"))
+        .select("sh")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        ev.join(tr, "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            )
+            .cast("double")
+            .alias("contamination")
+        )
     )

@@ -107,3 +107,40 @@ def q_sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, sf_dir, "region")
     df.write.mode("overwrite").json(path)
     return spark.read.schema(df.schema).json(path)
+
+
+@query(
+    "q_sink_partitioned",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+           o_orderpriority
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet sink + PARTITION-PRUNED readback.
+
+    ``partitionBy(o_orderpriority)`` lays out one directory per value; the
+    readback filter on the partition column must prune to ONE directory
+    (PartitionFilters in the scan node, pinned in tests/test_plans.py) --
+    at 100 TB this is the difference between listing/reading 1/5th of the
+    table and all of it. The round-trip is lossless so the oracle is the
+    equivalent filtered source select."""
+    path = _scratch("sink_partitioned")
+    df = load_table(spark, sf_dir, "orders")
+    df.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("o_orderpriority") == "1-URGENT")
+    # partitionBy moves the partition column last on readback; restore the
+    # declared order (driver compare is order-insensitive, readers are not)
+    return back.select(*df.columns)
+
+
+@query("q_sink_orc_roundtrip", oracle="SELECT * FROM part")
+def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/source round-trip (the other columnar format Spark ships
+    natively; same predicate-pushdown/column-pruning surface as parquet).
+    Lossless -> the oracle is the source table itself."""
+    path = _scratch("sink_orc")
+    df = load_table(spark, sf_dir, "part")
+    df.write.mode("overwrite").orc(path)
+    return spark.read.schema(df.schema).orc(path)

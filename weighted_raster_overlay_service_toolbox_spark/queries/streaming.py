@@ -321,3 +321,61 @@ def q_stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "batch_id int, user_id long, n_events long, sum_value double"
     )
+
+
+@query(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+           a.user_id, a.ts AS click_ts, b.ts AS purchase_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join: clicks joined to purchases by the same
+    user within the following hour, both sides unbounded streams. Each
+    side carries a watermark so Spark can evict join state -- without one
+    the state grows forever; with one the inner join is EXACTLY batch-
+    equivalent (state is only dropped once no future match is possible),
+    which is why this query can carry a SQL oracle while the late-data
+    queries cannot.
+
+    Scale: join state is keyed by user_id and bounded by
+    watermark + the 1 h range condition; at 100 TB/day the state store
+    holds ~1 h of clicks per user, not the stream's history."""
+    staged = stage_event_files(spark, sf_dir, "ss_join")
+    ev = read_event_stream(spark, staged)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    staged2 = stage_event_files(spark, sf_dir, "ss_join_b")
+    purchases = (
+        read_event_stream(spark, staged2)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("interval 1 hour")),
+        "inner",
+    )
+    out = run_to_memory(joined, "sink_ss_join", "append")
+    return out.select(
+        "click_id", "purchase_id", "user_id", "click_ts", "purchase_ts"
+    )

@@ -27,6 +27,20 @@ def get_spark(app_name: str = "wros-spark", cpus: int | None = None) -> SparkSes
       multimodal decode) -- batch transfer, never per-row pickling.
     """
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Python workers must be able to import THIS package: a UDF closure
+    # referencing a module-level function (the realistic pattern -- e.g.
+    # q_udf_scalar's csv_encode_py) is cloudpickled BY REFERENCE, and the
+    # worker re-imports the module. Workers build sys.path from PYTHONPATH
+    # at fork time, not from the driver's sys.path, so a driver launched
+    # from any other cwd gets ModuleNotFoundError in the worker. Export
+    # the package root before the JVM starts; on a real cluster the
+    # equivalent is --py-files / spark.submit.pyFiles.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prev = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in prev.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + os.pathsep + prev if prev else pkg_root
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
