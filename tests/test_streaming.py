@@ -103,3 +103,55 @@ def test_session_window_gap_semantics(spark):
             assert a["session_end"] <= b["session_start"], (
                 f"user {user}: overlapping sessions {a} {b}"
             )
+
+
+def test_stream_upsert_state_equals_batch_truth(spark):
+    """After all micro-batches, the upsert state table must hold exactly
+    the per-user latest (ts, type, value) -- identical to a batch argmax
+    over the whole fixture."""
+    got = {
+        r["user_id"]: (r["last_ts"], r["last_type"], r["last_value"])
+        for r in QUERIES["q_stream_upsert"](spark, SF_SMOKE).collect()
+    }
+    truth = {
+        r["user_id"]: (r["last_ts"], r["last_type"], r["last_value"])
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max_by("ts", F.struct("ts", "event_id")).alias("last_ts"),
+            F.max_by("event_type", F.struct("ts", "event_id")).alias("last_type"),
+            F.max_by("value", F.struct("ts", "event_id")).alias("last_value"),
+        )
+        .collect()
+    }
+    assert got == truth
+
+
+def test_stream_stream_join_batch_equivalence(spark):
+    """Watermarked inner stream-stream join == the equivalent batch join
+    (the oracle asserts the same at sf0.01; this pins it at smoke scale)."""
+    got = sorted(
+        (r["click_id"], r["purchase_id"])
+        for r in QUERIES["q_stream_stream_join"](spark, SF_SMOKE).collect()
+    )
+    ev = load_table(spark, SF_SMOKE, "events")
+    a = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("cts"),
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+    )
+    want = sorted(
+        (r["click_id"], r["purchase_id"])
+        for r in a.join(
+            b,
+            (F.col("u") == F.col("pu"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("interval 1 hour")),
+        ).collect()
+    )
+    assert got == want

@@ -39,22 +39,25 @@ _DRIVER_WINDOW = [
     "q_wro_catalog_update", "q_wro_dup_names", "q_wro_schema_check",
     "q_wro_overlay_catalog", "q_wro_decode_ranges", "q_wro_label_match",
     "q_filter_layers",
-    # Structured Streaming (batch-equivalent windowed aggregations)
+    # Structured Streaming (batch-equivalent windowed aggregations and
+    # the watermarked stream-stream join)
     "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
-    # LLM data pipeline
+    "q_stream_stream_join",
+    # LLM data pipeline (round-2 flagships included: clusters, domain
+    # cap, contamination)
     "q_dedup_exact", "q_fingerprint", "q_jaccard_sim", "q_ngram_jaccard",
+    "q_dedup_clusters", "q_domain_cap", "q_contamination",
     "q_cosine_topk", "q_embed_near_dup", "q_embed_centroid",
-    "q_text_tokenize", "q_text_top_terms", "q_token_count",
-    "q_text_quality", "q_lang_id", "q_tfidf", "q_text_normalize",
+    "q_text_tokenize", "q_text_quality", "q_lang_id", "q_tfidf",
     "q_corpus_pipeline",
-    # extended SQL surface
-    "q_sql_api", "q_pivot", "q_unpivot", "q_agg_percentile",
-    "q_subquery_exists", "q_cte_recursive",
+    # extended SQL + time series
+    "q_sql_api", "q_pivot", "q_agg_percentile", "q_cte_recursive",
+    "q_sessionize", "q_gapfill", "q_profile_columns",
     # relational representatives (one per family; the rest of each family
     # sits just outside the window)
-    "q_agg_group", "q_agg_rollup", "q_agg_approx_distinct",
-    "q_scan_filter_pushdown", "q_sink_parquet", "q_join_inner",
-    "q_join_asof", "q_win_rank", "q_topk_per_group", "q_map_funcs",
+    "q_agg_group", "q_agg_approx_distinct", "q_scan_filter_pushdown",
+    "q_sink_partitioned", "q_join_inner", "q_join_bucketed",
+    "q_join_asof", "q_win_rank",
 ]
 
 

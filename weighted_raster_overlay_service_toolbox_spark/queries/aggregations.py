@@ -308,3 +308,56 @@ def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         best.getField("o_orderkey").alias("top_orderkey"),
         best.getField("o_totalprice").alias("top_price"),
     )
+
+
+@query(
+    "q_agg_approx_quantile",
+    oracle="""
+    WITH r AS (
+        SELECT l_returnflag, l_extendedprice,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber,
+                            l_partkey, l_suppkey)        AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           MAX(CASE WHEN rn = CEIL(0.5 * n) THEN l_extendedprice END)
+               AS p50_exact,
+           TRUE AS approx_within_5pct
+    FROM r GROUP BY l_returnflag
+    """,
+)
+def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (GK quantile summaries) -- the 100 TB path for
+    percentiles: mergeable sketches, no global sort. Same oracle pattern
+    as q_agg_approx_distinct: the sketch value is engine-specific, so
+    what is checked is the exact nearest-rank anchor plus the boolean
+    accuracy bound |approx - exact| / exact <= 5% (accuracy=1000 gives
+    ~0.1% rank error; 5% value tolerance is safely loose)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    r = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    exact = F.max(
+        F.when(
+            F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")),
+            F.col("l_extendedprice"),
+        )
+    )
+    approx = F.expr("approx_percentile(l_extendedprice, 0.5, 1000)")
+    return r.groupBy("l_returnflag").agg(
+        exact.alias("p50_exact"),
+        (F.abs(approx - exact) / exact <= F.lit(0.05)).alias(
+            "approx_within_5pct"
+        ),
+    )

@@ -535,3 +535,61 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) AS (column_name, n_null, n_distinct, min_num, max_num,
               min_str, max_str)"""
     )
+
+
+@query(
+    "q_scd2",
+    oracle="""
+    WITH x AS (
+        SELECT user_id, ts, event_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)
+             - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS grp
+        FROM events WHERE user_id < 100
+    ), runs AS (
+        SELECT user_id, event_type AS status, MIN(ts) AS valid_from,
+               MIN(event_id) AS tie, COUNT(*) AS n_events
+        FROM x GROUP BY user_id, event_type, grp
+    )
+    SELECT user_id, status, valid_from, n_events,
+           LEAD(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, tie) AS valid_to
+    FROM runs
+    """,
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: collapse each user's event
+    stream into status RUNS (gaps-and-islands via the row_number
+    difference trick) and version them with [valid_from, valid_to)
+    intervals -- valid_to = next run's start, NULL for the current row.
+    The warehouse-side history table every dimension pipeline maintains.
+
+    Scale: both row_numbers, the run aggregate, and the LEAD all key by
+    user_id -- Catalyst reuses one user_id shuffle end to end (same
+    single-Exchange shape as q_sessionize, pinned there)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    x = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias("grp"),
+    )
+    runs = x.groupBy("user_id", "event_type", "grp").agg(
+        F.min("ts").alias("valid_from"),
+        F.min("event_id").alias("tie"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w_lead = Window.partitionBy("user_id").orderBy("valid_from", "tie")
+    return runs.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        "valid_from",
+        "n_events",
+        F.lead("valid_from").over(w_lead).alias("valid_to"),
+    )

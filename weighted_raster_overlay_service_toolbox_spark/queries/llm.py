@@ -988,3 +988,75 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("contamination")
         )
     )
+
+
+@query(
+    "q_block_dedup",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) >= 10
+    ), b AS (
+        SELECT doc_id,
+               unnest([array_to_string(toks[(i*10+1):(i*10+10)], ' ')
+                       for i in range(0, CAST(floor(len(toks)/10) AS INT))])
+                   AS block
+        FROM t
+    )
+    SELECT md5(block) AS block_hash, COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS first_doc
+    FROM b GROUP BY md5(block) HAVING COUNT(DISTINCT doc_id) > 1
+    """,
+)
+def q_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (block-level) dedup: split every doc into
+    non-overlapping 10-token blocks and find blocks repeated across
+    documents -- the boilerplate-removal pass (headers, footers, license
+    blocks) that document-level dedup cannot see.
+
+    Scale: blocks hash before the shuffle (md5 keys, uniform); one
+    groupBy, map-side partials. The block list per doc is a narrow
+    ``transform`` over the token array -- no Python, no self-join."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", TOKS().alias("toks")).filter(F.size("toks") >= 10)
+    b = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, cast(floor(size(toks)/10) as int) - 1),"
+                " i -> array_join(slice(toks, i*10+1, 10), ' '))"
+            )
+        ).alias("block"),
+    )
+    return (
+        b.groupBy(F.md5("block").alias("block_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@query(
+    "q_sample_stratified",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE substring(md5(CAST(c_custkey AS VARCHAR)), 1, 4) < '3333'
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% hash sample: keep rows whose md5(key) prefix
+    falls below the threshold. Unlike ``sample()``/``TABLESAMPLE`` the
+    result is REPRODUCIBLE across engines, partitionings, and reruns --
+    the property a training-data pipeline needs for ablations (the same
+    sample must be re-derivable months later).
+
+    Scale: pure narrow filter -- no shuffle, no state; composes with any
+    per-stratum threshold (vary the cut by segment for true stratified
+    fractions)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.filter(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 4) < "3333"
+    ).select("c_custkey", "c_name", "c_mktsegment")

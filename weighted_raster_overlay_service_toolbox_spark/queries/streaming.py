@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..sources import load_table
 from ..streaming.engine import (
+    _few_state_partitions,
     read_event_stream,
     run_foreach_batch,
     run_to_memory,
@@ -379,3 +380,68 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "click_id", "purchase_id", "user_id", "click_ts", "purchase_ts"
     )
+
+
+@query("q_stream_upsert")  # rows-only: per-micro-batch merge sequencing is
+# not SQL-expressible; final state == batch truth is pinned in
+# tests/test_streaming.py
+def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming UPSERT sink via ``foreachBatch``: each micro-batch
+    reduces to the latest (ts, event_type, value) per user, then MERGEs
+    into a keyed parquet state table (anti-join old keys + union) with
+    the catalog store's crash-safe snapshot swap. The CDC-style sink
+    every incremental pipeline ends in when the target lacks native
+    MERGE.
+
+    Scale: per batch the work is keyed by user_id (one shuffle of the
+    BATCH, never the history); the state table rewrite is the parquet-
+    world compromise -- a table format with row-level merge (or
+    partitioned rewrite by key range) replaces the full-snapshot swap at
+    real scale."""
+    import os
+    import shutil
+
+    from ..sources.catalog_store import replace_catalog
+
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ".scratch",
+        "stream_upsert_state",
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    shutil.rmtree(scratch + ".tmp", ignore_errors=True)
+    shutil.rmtree(scratch + ".old", ignore_errors=True)
+    os.makedirs(os.path.dirname(scratch), exist_ok=True)
+
+    staged = stage_event_files(spark, sf_dir, "upsert")
+    stream = read_event_stream(spark, staged)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        latest = (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.max_by("ts", F.struct("ts", "event_id")).alias("last_ts"),
+                F.max_by("event_type", F.struct("ts", "event_id")).alias(
+                    "last_type"
+                ),
+                F.max_by("value", F.struct("ts", "event_id")).alias(
+                    "last_value"
+                ),
+            )
+        )
+        if not os.path.isdir(scratch):
+            latest.write.parquet(scratch)
+            return
+        current = spark.read.parquet(scratch)
+        keep = current.join(latest, "user_id", "left_anti")
+        replace_catalog(scratch, keep.unionByName(latest))
+
+    with _few_state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(upsert)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(scratch)
