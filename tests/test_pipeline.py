@@ -1,0 +1,77 @@
+"""curate_corpus: one doc dropped per stage, precedence, stats totals."""
+
+from __future__ import annotations
+
+from weighted_raster_overlay_service_toolbox_spark.pipeline import curate_corpus
+
+
+def _docs(spark):
+    rows = [
+        # survivors
+        (1, "alpha beta gamma delta epsilon zeta", "src_a"),
+        (2, "one two three four five six seven", "src_a"),
+        # too short (< 5 tokens)
+        (3, "tiny doc here", "src_a"),
+        # repetitive: one trigram dominates
+        (4, "spam spam spam spam spam spam spam spam", "src_a"),
+        # exact duplicate of doc 1 (same token set, reordered)
+        (5, "zeta epsilon delta gamma beta alpha", "src_a"),
+        # near-duplicate of doc 2 (one token changed) -- only dropped
+        # when near_dup=True
+        (6, "one two three four five six eight", "src_b"),
+        # filler for the domain cap in src_b
+        (7, "red orange yellow green blue indigo violet", "src_b"),
+        (8, "cat dog bird fish lizard horse goat", "src_b"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_stage_reasons_and_precedence(spark):
+    kept, dropped, stats = curate_corpus(_docs(spark), min_tokens=5)
+    reasons = {r["doc_id"]: r["reason"] for r in dropped.collect()}
+    assert reasons[3] == "too_short"
+    assert reasons[4] == "repetitive"
+    assert reasons[5] == "duplicate"
+    assert 6 not in reasons  # near-dup stage off by default
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert kept_ids == {1, 2, 6, 7, 8}
+    # kept keeps the ORIGINAL columns
+    assert set(kept.columns) == {"doc_id", "text", "source"}
+    st = {r["reason"]: r["n"] for r in stats.collect()}
+    assert st["kept"] == 5 and sum(st.values()) == 8
+
+
+def test_near_dup_stage_drops_higher_id(spark):
+    kept, dropped, _ = curate_corpus(
+        _docs(spark), min_tokens=5, near_dup=True, near_dup_est_jaccard=0.5
+    )
+    reasons = {r["doc_id"]: r["reason"] for r in dropped.collect()}
+    assert reasons.get(6) == "near_duplicate"  # doc 2 (lower id) survives
+    assert 2 in {r["doc_id"] for r in kept.collect()}
+
+
+def test_domain_cap_is_deterministic(spark):
+    a = curate_corpus(_docs(spark), min_tokens=5, docs_per_source=1)
+    b = curate_corpus(_docs(spark), min_tokens=5, docs_per_source=1)
+    da = sorted((r["doc_id"], r["reason"]) for r in a[1].collect())
+    db = sorted((r["doc_id"], r["reason"]) for r in b[1].collect())
+    assert da == db
+    capped = [i for i, r in da if r == "domain_capped"]
+    # src_a survivors: {1, 2}; src_b survivors: {6, 7, 8} -> 1 kept each
+    assert len(capped) == 3
+    st = {r["reason"]: r["n"] for r in a[2].collect()}
+    assert st["kept"] == 2
+
+
+def test_fixture_corpus_end_to_end(spark):
+    from weighted_raster_overlay_service_toolbox_spark.sources import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    kept, dropped, stats = curate_corpus(docs, docs_per_source=10)
+    n_docs = docs.count()
+    st = {r["reason"]: r["n"] for r in stats.collect()}
+    assert sum(st.values()) == n_docs
+    assert kept.count() == st["kept"]
+    assert kept.count() + dropped.count() == n_docs

@@ -1,0 +1,148 @@
+"""One-call corpus curation: the composed training-data pipeline.
+
+The query registry exposes every stage individually (q_text_quality,
+q_repetition_ratio, q_dedup_exact, q_dedup_clusters, q_domain_cap, ...);
+this module is the LIBRARY surface a user actually calls -- one function
+that chains quality filtering, exact dedup, optional near-dup clustering,
+and domain balancing, returning (kept, dropped-with-reason, stats) in the
+same skip-with-reason shape as :func:`toolbox.filter_layers`.
+
+No reference anchor (the reference has no text pipeline); the stage set
+mirrors the public corpus-curation recipes (C4/Gopher-style quality
+rules, fingerprint dedup, MinHash clustering, per-domain caps).
+
+Scale posture: every stage is a declarative DataFrame transform -- the
+whole pipeline is ONE lazily-built plan per output; nothing collects to
+the driver. Stage costs: quality/fingerprint are narrow + one hash
+shuffle; near-dup clustering (opt-in) adds the banded-LSH join and the
+iterative component rounds (operators/graph.py); the domain cap is one
+window shuffle keyed by source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .operators.dedup import minhash_candidates
+from .operators.graph import connected_components
+from .operators.text import fingerprint, repetition_features, tokens_of
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    min_tokens: int = 5,
+    max_top_trigram_share: float | None = 0.5,
+    near_dup: bool = False,
+    near_dup_est_jaccard: float = 0.5,
+    docs_per_source: int | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Run the curation cascade; return ``(kept, dropped, stats)``.
+
+    ``kept``: the surviving rows of ``docs`` (original columns).
+    ``dropped``: ``(id, reason)`` -- first failing stage wins, mirroring
+    the reference toolbox's skip-with-warning flow (R23 shape).
+    ``stats``: ``(reason, n)`` counts, including ``kept``.
+
+    Stages, in precedence order:
+
+    1. ``too_short``  -- fewer than ``min_tokens`` tokens;
+    2. ``repetitive`` -- top word-trigram share above the threshold
+       (Gopher-style boilerplate signal); docs with no trigrams pass;
+    3. ``duplicate``  -- same canonical token-set fingerprint as a
+       lower-id doc (catches exact and reordered copies);
+    4. ``near_duplicate`` (opt-in) -- MinHash-LSH candidates merged into
+       connected components; every member but the component minimum
+       drops;
+    5. ``domain_capped`` (opt-in) -- deterministic md5-ordered cap per
+       source.
+    """
+    id_ = F.col(id_col)
+    base = docs.select(id_col, text_col, source_col)
+
+    # stage 1+2: per-doc quality signals (narrow + one (doc, gram) shuffle)
+    n_toks = F.size(tokens_of(text_col))
+    quality = base.withColumn("_n_toks", n_toks)
+    rep = repetition_features(docs, id_col, text_col).select(
+        F.col("doc_id").alias("_rep_id"), "top_ngram_share"
+    )
+    quality = quality.join(
+        rep, quality[id_col] == F.col("_rep_id"), "left"
+    ).drop("_rep_id")
+
+    too_short = F.col("_n_toks") < min_tokens
+    repetitive = (
+        (F.col("top_ngram_share") > max_top_trigram_share)
+        if max_top_trigram_share is not None
+        else F.lit(False)
+    )
+    reason = F.when(too_short, "too_short").when(repetitive, "repetitive")
+    staged = quality.withColumn("_reason", reason)
+
+    # stage 3: fingerprint dedup among survivors (one hash shuffle)
+    alive = staged.filter(F.col("_reason").isNull())
+    fp = alive.select(id_col, fingerprint(text_col).alias("_fp"))
+    keep_fp = fp.groupBy("_fp").agg(F.min(id_).alias("_keep_id"))
+    dup = (
+        fp.join(keep_fp, "_fp")
+        .filter(id_ != F.col("_keep_id"))
+        .select(id_col, F.lit("duplicate").alias("_reason"))
+    )
+    staged = (
+        staged.join(dup.withColumnRenamed("_reason", "_dup_reason"), id_col, "left")
+        .withColumn("_reason", F.coalesce("_reason", "_dup_reason"))
+        .drop("_dup_reason")
+    )
+
+    # stage 4 (opt-in): near-dup clusters among survivors
+    if near_dup:
+        alive = staged.filter(F.col("_reason").isNull()).select(id_col, text_col)
+        cand = minhash_candidates(
+            alive, id_col, F.array_distinct(tokens_of(text_col)), k=16, bands=8
+        ).filter(F.col("est_jaccard") >= near_dup_est_jaccard)
+        comp = connected_components(cand, "doc_a", "doc_b")
+        near = (
+            comp.filter(F.col("node") != F.col("component"))
+            .select(
+                F.col("node").alias(id_col),
+                F.lit("near_duplicate").alias("_nd_reason"),
+            )
+        )
+        staged = (
+            staged.join(near, id_col, "left")
+            .withColumn("_reason", F.coalesce("_reason", "_nd_reason"))
+            .drop("_nd_reason")
+        )
+
+    # stage 5 (opt-in): domain balancing among survivors
+    if docs_per_source is not None:
+        w = Window.partitionBy(source_col).orderBy(
+            F.md5(id_.cast("string")), id_
+        )
+        over = (
+            staged.filter(F.col("_reason").isNull())
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") > docs_per_source)
+            .select(id_col, F.lit("domain_capped").alias("_dc_reason"))
+        )
+        staged = (
+            staged.join(over, id_col, "left")
+            .withColumn("_reason", F.coalesce("_reason", "_dc_reason"))
+            .drop("_dc_reason")
+        )
+
+    kept = docs.join(
+        staged.filter(F.col("_reason").isNull()).select(id_col), id_col, "left_semi"
+    )
+    dropped = staged.filter(F.col("_reason").isNotNull()).select(
+        id_col, F.col("_reason").alias("reason")
+    )
+    stats = (
+        staged.select(F.coalesce("_reason", F.lit("kept")).alias("reason"))
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return kept, dropped, stats

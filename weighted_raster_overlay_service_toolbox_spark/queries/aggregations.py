@@ -361,3 +361,56 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_within_5pct"
         ),
     )
+
+
+@query(
+    "q_hll_rollup",
+    oracle="""
+    SELECT n.n_regionkey,
+           COUNT(DISTINCT o.o_custkey) AS exact_customers,
+           TRUE AS merge_within_5pct
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_regionkey
+    """,
+)
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE-sketch rollup: per-(region, nation) HLL sketches of
+    ordering customers, UNIONed up to region level with
+    ``hll_union_agg`` -- the pattern that makes distinct-count rollups
+    cheap at 100 TB (pre-aggregate sketches once, merge for any coarser
+    grain; never re-scan raw data). Checked as exact count + accuracy
+    bound, same contract as q_agg_approx_distinct.
+
+    Scale: the sketch build shuffles once on the fine grain; the merge
+    shuffles sketch BYTES (KBs per group), not rows."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    joined = o.join(c, o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    fine = joined.groupBy("n_regionkey", "c_nationkey").agg(
+        F.expr("hll_sketch_agg(o_custkey)").alias("sk")
+    )
+    rolled = fine.groupBy("n_regionkey").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    )
+    # exact leg: the verification yardstick only -- at 100 TB only the
+    # sketch path runs (the whole point of mergeability)
+    exact = joined.groupBy("n_regionkey").agg(
+        F.countDistinct("o_custkey").alias("exact_customers")
+    )
+    return exact.join(F.broadcast(rolled), "n_regionkey").select(
+        "n_regionkey",
+        "exact_customers",
+        (
+            F.abs(
+                F.col("est").cast("double")
+                - F.col("exact_customers").cast("double")
+            )
+            / F.col("exact_customers").cast("double")
+            <= F.lit(0.05)
+        ).alias("merge_within_5pct"),
+    )

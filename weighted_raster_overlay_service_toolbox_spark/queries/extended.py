@@ -593,3 +593,150 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.lead("valid_from").over(w_lead).alias("valid_to"),
     )
+
+
+@query(
+    "q_impute_group_mean",
+    oracle="""
+    WITH masked AS (
+        SELECT event_id, event_type, user_id,
+               CASE WHEN substring(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0'
+                    THEN NULL ELSE value END AS v
+        FROM events
+    ), means AS (
+        SELECT event_type,
+               CAST(ROUND(SUM(CAST(v AS DECIMAL(18,4))) / COUNT(v), 2)
+                    AS DOUBLE) AS grp_mean
+        FROM masked GROUP BY event_type
+    )
+    SELECT m.event_id, m.user_id,
+           COALESCE(m.v, g.grp_mean) AS value_imputed,
+           m.v IS NULL AS was_imputed
+    FROM masked m JOIN means g USING (event_type)
+    """,
+)
+def q_impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value imputation with the group mean: ~1/16 of values are
+    deterministically masked (md5 prefix -- simulated sensor dropout,
+    reproducible in both engines), then filled with their event_type's
+    observed mean. The standard feature-cleaning step before training.
+
+    Scale: the means table is group-cardinality-sized and broadcasts;
+    the fact side never shuffles. Mean goes through DECIMAL so the
+    imputed constant is bit-identical across engines."""
+    e = load_table(spark, sf_dir, "events")
+    masked = e.select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.when(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) == "0",
+            None,
+        )
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    means = masked.groupBy("event_type").agg(
+        F.round(F.sum(F.col("v").cast("decimal(18,4)")) / F.count("v"), 2)
+        .cast("double")
+        .alias("grp_mean")
+    )
+    return masked.join(F.broadcast(means), "event_type").select(
+        "event_id",
+        "user_id",
+        F.coalesce("v", "grp_mean").alias("value_imputed"),
+        F.col("v").isNull().alias("was_imputed"),
+    )
+
+
+@query(
+    "q_outliers_zscore",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, event_id, CAST(ROUND(value * 100) AS BIGINT) AS cv
+        FROM events
+    ), s AS (
+        SELECT user_id, COUNT(*) AS n, SUM(cv) AS sv, SUM(cv * cv) AS ss
+        FROM v GROUP BY user_id
+    )
+    SELECT v.user_id, v.event_id
+    FROM v JOIN s USING (user_id)
+    WHERE s.n > 1
+      AND (s.n * v.cv - s.sv) * (s.n * v.cv - s.sv) * (s.n - 1)
+          > 9 * s.n * (s.n * s.ss - s.sv * s.sv)
+    """,
+)
+def q_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 3-sigma outlier detection -- training-data cleaning --
+    with the z-score test rewritten as an ALL-INTEGER inequality:
+    |x - mean| > 3*sigma  <=>  (n*x - S)^2 * (n-1) > 9 * n * (n*SS - S^2)
+    over cents-scaled values. No float division, no stddev: the float
+    path diverges between engines in the last ulp exactly at the
+    decision boundary; integer arithmetic cannot.
+
+    Scale: one shuffle for the per-user moments (map-side partials), a
+    broadcast-back join for the test. Magnitudes: |group| * max_cents^2
+    * |group| must stay under 2^63 -- per-user groups hold to ~sf1;
+    beyond that, promote to DECIMAL(38,0) on both sides."""
+    v = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cv"),
+    )
+    s = v.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cv").alias("sv"),
+        F.sum(F.col("cv") * F.col("cv")).alias("ss"),
+    )
+    dev = F.col("n") * F.col("cv") - F.col("sv")
+    return (
+        v.join(F.broadcast(s), "user_id")
+        .filter(
+            (F.col("n") > 1)
+            & (
+                dev * dev * (F.col("n") - 1)
+                > 9 * F.col("n") * (F.col("n") * F.col("ss") - F.col("sv") * F.col("sv"))
+            )
+        )
+        .select("user_id", "event_id")
+    )
+
+
+@query(
+    "q_rollup_two_level",
+    oracle="""
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate (hypertable-rollup) pattern: a DAILY answer
+    computed FROM the HOURLY aggregate table, never from raw events --
+    counts re-sum and decimal sums re-sum, so the coarse grain derives
+    from the fine one exactly. The oracle aggregates raw directly,
+    proving the two-level derivation is lossless.
+
+    Scale: this is how dashboards stay interactive at 100 TB -- the
+    hourly table is the only scan of raw data; every coarser window
+    (day/week/month) re-aggregates ~24x fewer rows, and both levels
+    shuffle on the same (type, time-bucket) key family."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("sv"),
+    )
+    return (
+        hourly.groupBy(
+            "event_type", F.date_trunc("day", "hour").alias("day")
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("sv"), 2).cast("double").alias("sum_value"),
+        )
+    )
