@@ -54,6 +54,7 @@ def test_rows_only_queries_are_the_intended_set():
         "q_stream_dedup",
         "q_stream_agg_update",
         "q_stream_stateful_custom",
+        "q_stream_upsert",
         # approximate-by-design (validated vs exact ground truth in tests)
         "q_dedup_minhash",
         "q_simhash",

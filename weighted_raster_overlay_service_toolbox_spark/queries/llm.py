@@ -1060,3 +1060,81 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.filter(
         F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 4) < "3333"
     ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "q_rare_token_ratio",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ), freq AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t)
+    SELECT doc_id,
+           CAST(ROUND(CAST(SUM(CASE WHEN f.c < 3 THEN 1 ELSE 0 END) AS DOUBLE)
+                / COUNT(*), 4) AS DOUBLE) AS rare_ratio
+    FROM tok JOIN freq f USING (t)
+    GROUP BY doc_id
+    """,
+)
+def q_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-token share per document -- the exact-arithmetic stand-in for
+    perplexity filtering (documents dominated by corpus-rare tokens are
+    OCR noise, mojibake, or code dumps). "Rare" = corpus frequency < 3;
+    pure counting, so the score is bit-identical across engines (a log-
+    probability perplexity is NOT: libm transcendentals differ in the
+    last ulp).
+
+    Scale: token frequencies are vocabulary-sized and BROADCAST back;
+    the per-doc pass is one explode + one doc-keyed aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(TOKS()).alias("t"))
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        tok.join(broadcast(freq), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("c") < 3, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            )
+            .cast("double")
+            .alias("rare_ratio")
+        )
+    )
+
+
+@query(
+    "q_embed_quantize",
+    oracle="""
+    WITH d AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings WHERE vec_id < 200
+    ), s AS (
+        SELECT vec_id, e,
+               127.0 / list_max(list_transform(e, x -> abs(x))) AS scale
+        FROM d
+    )
+    SELECT vec_id,
+           CAST(ROUND(scale, 6) AS DOUBLE) AS scale,
+           list_transform(e, x -> CAST(floor(x * scale) AS INT)) AS q
+    FROM s
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-style embedding quantization: per-vector symmetric scale
+    (127/max|x|), elements floored to ints -- the 4x memory/IO cut before
+    ANN serving. floor (not round) because floor of a double is exact and
+    engine-identical; all arithmetic promotes float32->double first, and
+    double *,/ are IEEE-exact in both engines.
+
+    Scale: narrow per-row transform, no shuffle; at 100 TB this runs
+    inside the same scan that builds the IVF buckets."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    scale = F.lit(127.0) / F.array_max(F.transform(e, F.abs))
+    return emb.select(
+        "vec_id",
+        F.round(scale, 6).cast("double").alias("scale"),
+        F.transform(e, lambda x: F.floor(x * scale).cast("int")).alias("q"),
+    )
