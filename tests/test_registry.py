@@ -55,6 +55,7 @@ def test_rows_only_queries_are_the_intended_set():
         "q_stream_agg_update",
         "q_stream_stateful_custom",
         "q_stream_upsert",
+        "q_stream_stream_left_join",
         # approximate-by-design (validated vs exact ground truth in tests)
         "q_dedup_minhash",
         "q_simhash",

@@ -155,3 +155,34 @@ def test_stream_stream_join_batch_equivalence(spark):
         ).collect()
     )
     assert got == want
+
+
+def test_stream_stream_left_join_matches_batch(spark):
+    """Left-outer stream-stream join must equal the batch left join: every
+    click appears; matched multiplicity preserved; unmatched null-extended."""
+    got = sorted(
+        (r["click_id"], r["purchase_id"])
+        for r in QUERIES["q_stream_stream_left_join"](spark, SF_SMOKE).collect()
+    )
+    ev = load_table(spark, SF_SMOKE, "events")
+    a = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("cts"),
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+    )
+    want = sorted(
+        (r["click_id"], r["purchase_id"])
+        for r in a.join(
+            b,
+            (F.col("u") == F.col("pu"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("interval 1 hour")),
+            "left_outer",
+        ).collect()
+    )
+    assert got == want

@@ -445,3 +445,62 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.read.parquet(scratch)
+
+
+@query("q_stream_stream_left_join")  # rows-only: null-extension timing is
+# watermark-driven; row multiset == batch left join pinned in
+# tests/test_streaming.py
+def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join: every click emits -- matched rows
+    as purchases arrive, unmatched rows null-extended only once the
+    watermark proves no in-bound purchase can still come. Both staged
+    streams end with a far-future sentinel so the finite test stream
+    flushes its outer state (real deployments just keep receiving data).
+
+    Scale: identical state bound to the inner variant (watermark + 1 h
+    range condition); the outer buffer holds only clicks younger than
+    watermark - bound."""
+    # the sentinel must flow THROUGH each watermark node (filtering it out
+    # first would leave the tail of the stream behind the watermark and
+    # its unmatched rows would never emit); it joins nothing (user_id=-1)
+    # and is dropped from the output.
+    staged = stage_with_sentinel(spark, sf_dir, "ss_left")
+    clicks = (
+        read_event_stream(spark, staged)
+        .filter(F.col("event_type").isin("click", "sentinel"))
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "30 minutes")
+    )
+    staged2 = stage_with_sentinel(spark, sf_dir, "ss_left_b")
+    purchases = (
+        read_event_stream(spark, staged2)
+        .filter(F.col("event_type").isin("purchase", "sentinel"))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "30 minutes")
+    )
+    # outer emission gates on the MIN of both sides' watermarks, so the
+    # sentinel rides through BOTH watermark nodes. No extra predicate in
+    # the join condition: a one-sided filter there defeats Spark's
+    # watermark analysis for outer-state eviction (observed: zero outer
+    # rows emit). The two sentinels join each other (same user -1, same
+    # ts) -- that row and any sentinel outer row are dropped by the
+    # user_id >= 0 output filter.
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("interval 1 hour")),
+        "left_outer",
+    )
+    out = run_to_memory(joined, "sink_ss_left", "append")
+    return out.filter(F.col("user_id") >= 0).select(
+        "click_id", "purchase_id", "user_id", "click_ts", "purchase_ts"
+    )
