@@ -603,3 +603,40 @@ def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("l_quantity") >= 50).alias("any_max_qty"),
         F.count(F.when(F.col("l_tax") == 0, 1)).alias("n_tax_free"),
     )
+
+
+@query(
+    "q_udtf_lateral",
+    oracle="""
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS tok,
+           CAST(unnest(range(1, len(string_split(text, ' ')) + 1)) - 1 AS INT)
+               AS idx
+    FROM documents WHERE doc_id < 20
+    """,
+)
+def q_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 ``@udtf``) applied via LATERAL join -- the
+    SQL-registrable table function surface, distinct from the
+    ``mapInPandas`` flat-map (q_udtf_flatmap). One output row per token
+    with its position; the oracle zips DuckDB's parallel unnest.
+
+    UDTFs are row-at-a-time Python -- machinery coverage, not a hot
+    path; the JVM-native twin of this exact expansion is posexplode
+    (q_explode)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="tok string, idx int")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, t in enumerate(text.split(" ")):
+                yield (t, i)
+
+    spark.udtf.register("split_words_q", SplitWords)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 20
+    ).createOrReplaceTempView("docs_udtf_v")
+    return spark.sql(
+        "SELECT d.doc_id, s.tok, s.idx "
+        "FROM docs_udtf_v d, LATERAL split_words_q(d.text) s"
+    )

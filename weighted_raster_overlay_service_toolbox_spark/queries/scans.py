@@ -144,3 +144,31 @@ def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, sf_dir, "part")
     df.write.mode("overwrite").orc(path)
     return spark.read.schema(df.schema).orc(path)
+
+
+@query(
+    "q_custom_source",
+    oracle="""
+    SELECT i AS doc_id, md5(CAST(i AS VARCHAR)) AS payload
+    FROM range(0, 1000) t(i)
+    """,
+)
+def q_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source (Spark 4 datasource API,
+    ``sources/synthetic.py``): explicit input partitions, lazy
+    per-partition row generators -- the connector surface for formats
+    Spark does not ship. Output is a pure function of doc_id, so DuckDB
+    re-derives it from ``range()`` and the hash check proves the
+    partition sharding loses/duplicates nothing."""
+    from ..sources.synthetic import SyntheticDocsSource
+
+    try:
+        spark.dataSource.register(SyntheticDocsSource)
+    except Exception:
+        pass  # already registered in this session
+    return (
+        spark.read.format("synthetic_docs")
+        .option("n", "1000")
+        .option("partitions", "8")
+        .load()
+    )
