@@ -414,3 +414,29 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.05)
         ).alias("merge_within_5pct"),
     )
+
+
+@query(
+    "q_agg_salted",
+    oracle="""
+    SELECT l_suppkey, COUNT(*) AS n, SUM(l_quantity) AS total
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-stage aggregation
+    (``operators/skew.py:salted_count_sum``): stage 1 groups by
+    (key, salt) so a hot key's rows combine on many reducers; stage 2
+    combines the per-salt partials. Values are identical to the direct
+    groupBy -- the oracle IS the direct groupBy, so the hash match proves
+    the decomposition. (l_quantity is whole-valued, so the double sum is
+    exact under any grouping order; fractional measures would go through
+    the DECIMAL helpers like every money aggregate here.)
+
+    Scale: map-side partial agg runs in both stages; the extra shuffle
+    moves only n_salts rows per key, and the one-key-one-reducer
+    straggler disappears."""
+    from ..operators.skew import salted_count_sum
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    return salted_count_sum(li, key="l_suppkey", value="l_quantity", n_salts=16)

@@ -313,3 +313,37 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.join(o, li.l_orderkey == o.o_orderkey).select(
         "l_orderkey", "l_linenumber", "l_quantity", "o_orderstatus"
     )
+
+
+@query(
+    "q_join_salted",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, s.s_name, s.s_nationkey
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated equi-join via explicit hot-key salting
+    (``operators/skew.py:salted_join_hot_keys``): the declared hot keys'
+    fact rows fan out over ``n_salts`` tasks while the matching dim rows
+    replicate ``n_salts`` times; every other key joins against a single
+    dim replica with salt 0.
+
+    Salting is purely physical, so the oracle is the PLAIN join -- the
+    hash match is the proof that fan-out + replication loses nothing and
+    duplicates nothing. Scale: AQE's skew split handles moderate runtime
+    skew; explicit salting is for the pathological key known in advance
+    (the "the" token, the mega-customer) where one reducer would
+    otherwise own a large fraction of all rows."""
+    from ..operators.skew import salted_join_hot_keys
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name", "s_nationkey"
+    )
+    joined = salted_join_hot_keys(li, s, "l_suppkey", hot_keys=[0, 1, 2], n_salts=8)
+    return joined.select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "s_name", "s_nationkey"
+    )
