@@ -134,3 +134,13 @@ def test_bucketed_join_query_avoids_exchange(spark):
     assert "ShuffleExchange" not in plan.replace(
         "Exchange hashpartitioning", "ShuffleExchange"
     ), plan
+
+
+def test_scan_dpp_has_dynamic_pruning(spark):
+    """q_scan_dpp: the dim-side filter must reach the fact scan as a
+    dynamicpruningexpression in PartitionFilters -- runtime directory
+    skipping through the join, not a static filter."""
+    plan = plan_of(spark, "q_scan_dpp")
+    assert "dynamicpruning" in plan.lower(), plan
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "l_returnflag" in pf[0], plan

@@ -172,3 +172,40 @@ def q_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("partitions", "8")
         .load()
     )
+
+
+@query(
+    "q_scan_dpp",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+           'returned' AS flag_label
+    FROM lineitem WHERE l_returnflag IN ('A', 'R')
+    """,
+)
+def q_scan_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is partitioned by
+    l_returnflag; the filter lives on the DIM side (flag_label), so no
+    static partition filter exists -- Spark injects
+    ``dynamicpruningexpression(l_returnflag IN dynamicpruning#N)`` into
+    the fact scan's PartitionFilters, reusing the broadcast result to
+    skip whole directories at runtime (pinned in tests/test_plans.py).
+
+    Scale: this is THE mechanism that keeps star-schema joins from
+    scanning a 100 TB fact table when the dim predicate only selects a
+    few partitions; static pruning (q_sink_partitioned) cannot see
+    through a join."""
+    fact_path = _scratch("dpp_fact")
+    dim_path = _scratch("dpp_dim")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(fact_path)
+    spark.createDataFrame(
+        [("A", "returned"), ("R", "returned"), ("N", "live")],
+        "l_returnflag string, flag_label string",
+    ).write.mode("overwrite").parquet(dim_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("flag_label") == "returned")
+    return fact.join(dim, "l_returnflag").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "flag_label"
+    )
