@@ -1138,3 +1138,52 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(scale, 6).cast("double").alias("scale"),
         F.transform(e, lambda x: F.floor(x * scale).cast("int")).alias("q"),
     )
+
+
+@query(
+    "q_span_dedup",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS tk
+        FROM documents WHERE doc_id < 100
+    ),
+    u AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(tk[i : i + 2], ' ') AS span
+        FROM t, LATERAL (
+            SELECT unnest(range(1, greatest(len(tk) - 2, 0) + 1)) AS i
+        ) ix(i)
+    )
+    SELECT span, COUNT(DISTINCT doc_id) AS n_docs
+    FROM u GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span detection: every 3-token sliding window, grouped
+    across documents; spans occurring in >= 2 distinct docs are the
+    repeated-substring inventory (doc_id<100 probe block).
+
+    This is the Spark-shape of exact-substring dedup over a training
+    corpus (the suffix-array approach in single-node tools): sliding
+    windows via sequence+slice stay whole-stage-codegen JVM exprs, the
+    within-doc DISTINCT gets map-side partial aggregation, and the only
+    shuffle is keyed by span -- uniform hash keys, no quadratic pair
+    space. At 100 TB, raise n (e.g. 50-token windows hash-compressed
+    with xxhash64 instead of string spans) so the shuffle carries 8-byte
+    keys; the plan shape is unchanged."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    t = docs.select("doc_id", F.split("text", " ").alias("tk"))
+    spans = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("tk") - F.lit(2), F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice("tk", i, 3)),
+            )
+        ).alias("span"),
+    ).distinct()
+    return (
+        spans.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
