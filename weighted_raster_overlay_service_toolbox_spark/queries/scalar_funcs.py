@@ -640,3 +640,31 @@ def q_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, s.tok, s.idx "
         "FROM docs_udtf_v d, LATERAL split_words_q(d.text) s"
     )
+
+
+@query(
+    "q_bitwise_funcs",
+    oracle="""
+    SELECT l_returnflag,
+           BIT_AND(l_orderkey) AS all_and,
+           BIT_OR(l_linenumber) AS any_or,
+           BIT_XOR(l_suppkey) AS xor_key,
+           CAST(SUM(l_orderkey & 255) AS BIGINT) AS sum_low_byte,
+           CAST(SUM(l_orderkey >> 4) AS BIGINT) AS sum_shifted
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar + aggregate surface: &, >>, and the bit_and /
+    bit_or / bit_xor aggregates (integer-exact in both engines, so the
+    hash check is trivial). Bit tricks back the engine's sketch/bucket
+    operators (hyperplane buckets, simhash bands); this pins the raw
+    function layer itself."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and("l_orderkey").alias("all_and"),
+        F.bit_or("l_linenumber").alias("any_or"),
+        F.bit_xor("l_suppkey").alias("xor_key"),
+        F.sum(F.col("l_orderkey").bitwiseAND(F.lit(255))).alias("sum_low_byte"),
+        F.sum(F.shiftright("l_orderkey", 4)).alias("sum_shifted"),
+    )
