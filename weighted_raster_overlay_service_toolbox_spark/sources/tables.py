@@ -48,14 +48,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     _ensure_session_confs(spark)
     if name == "events":
-        # ts is parquet TIMESTAMP(NANOS): Spark's reader has no nanosecond
-        # timestamp type, so read nanos-as-long and truncate to micros the
-        # way DuckDB does. Integer division -- double division loses
-        # microsecond precision at 1.7e18 nanoseconds.
+        # ts encoding differs across fixture generations: TIMESTAMP(NANOS)
+        # (no Spark type -- read nanos-as-long, truncate to micros the way
+        # DuckDB does; integer division, double loses precision at 1.7e18)
+        # or plain TIMESTAMP(MICROS) (reads as TIMESTAMP_NTZ -- cast to the
+        # session-zone timestamp; session tz is pinned UTC so instants are
+        # unchanged and downstream window/watermark types stay stable).
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type == "long":
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

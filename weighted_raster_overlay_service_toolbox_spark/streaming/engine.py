@@ -47,13 +47,17 @@ def stage_event_files(
     the watermark has advanced past them, which is the deterministic
     late-data scenario for watermark/dedup queries.
 
-    Staged dirs are content-addressed by (sf_dir, params) and reused: the
-    fixture tables are read-only and the split is deterministic, so a
-    completed staging (marker file present) is valid across runs.
+    Staged dirs are content-addressed by (sf_dir, params, source
+    fingerprint) and reused: the fixture tables are read-only and the
+    split is deterministic, so a completed staging (marker file present)
+    is valid across runs. The fingerprint (source mtime+size) invalidates
+    stagings built from a previous generation of the fixture data.
     """
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    st = os.stat(f"{sf_dir}/events.parquet")
+    fp = f"{st.st_mtime_ns:x}_{st.st_size:x}"
     out = os.path.join(
-        _SCRATCH, f"stream_{name}_{sf_tag}_f{n_files}_l{late_events}"
+        _SCRATCH, f"stream_{name}_{sf_tag}_f{n_files}_l{late_events}_{fp}"
     )
     marker = os.path.join(out, "_STAGED")
     if os.path.exists(marker):
