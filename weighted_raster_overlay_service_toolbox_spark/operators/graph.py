@@ -36,13 +36,36 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Return ``(node, component)`` where component = MIN node id reachable.
 
     ``edges`` is an undirected pair list (each pair once, either order).
     Every endpoint appears in the output; isolated nodes are the caller's
     concern (left-join the node universe and ``coalesce`` to self).
+
+    ``shuffle_partitions``: optional override applied only while the
+    rounds run (restored after). Each round is several tiny jobs whose
+    cost is dominated by task-scheduling overhead when the edge list is
+    metadata-sized (a bounded probe set); callers with such inputs pass a
+    small value. Leave ``None`` for data-sized graphs -- the session's
+    AQE coalescing handles runtime sizing there.
     """
+    spark = edges.sparkSession
+    prev_parts = None
+    if shuffle_partitions is not None:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        return _run_rounds(edges, src, dst, max_iter)
+    finally:
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _run_rounds(
+    edges: DataFrame, src: str, dst: str, max_iter: int
+) -> DataFrame:
     # materialize once: the edge list re-evaluates EVERY round otherwise
     # (it is usually an expensive similarity join upstream)
     sym = (

@@ -316,7 +316,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.9)
         .select("src", "dst")
     )
-    comp = connected_components(edges, "src", "dst")
+    # bounded probe set (doc_id<500): the edge list is metadata-sized, so
+    # run the rounds on few partitions -- per-task overhead, not data,
+    # dominates. An unbounded corpus caller leaves the default.
+    comp = connected_components(edges, "src", "dst", shuffle_partitions=8)
     return d.select(F.col("doc_id").cast("long").alias("doc_id")).join(
         comp, F.col("doc_id") == F.col("node"), "left"
     ).select(
