@@ -50,6 +50,18 @@ def test_cluster_sizes(spark):
     assert sizes == {1: 3, 8: 2}
 
 
+def test_num_partitions_bounds_state_without_touching_session_conf(spark):
+    """num_partitions sizes the checkpointed loop state via repartition --
+    it must NOT write spark.sql.shuffle.partitions on the shared session
+    (VERDICT.md r3 'What's wrong' #1), and the answer must be identical."""
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    got = _components(
+        spark, [(1, 2), (2, 3), (3, 4), (10, 11)], num_partitions=4
+    )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
 def test_matches_union_find_on_fixture_edges(spark):
     # random-ish but deterministic edge set over 200 nodes; compare the
     # distributed answer against a driver-side union-find ground truth

@@ -37,6 +37,50 @@ def test_minhash_recall_vs_exact_jaccard(spark):
     assert not missed, f"minhash missed truly-similar pairs: {sorted(missed)[:5]}"
 
 
+def test_verified_edges_match_exact_thresholded_pairs(spark):
+    """q_dedup_clusters' default edge generator (banded LSH candidates +
+    exact verify on candidates) must produce EXACTLY the j>=0.9 pair set
+    the unbanded token-join ground truth produces on the probe block --
+    precision is exact by construction; this pins that recall loss is
+    zero on the fixtures (p_miss ~ 2e-6 per pair, fixed seeds)."""
+    from weighted_raster_overlay_service_toolbox_spark.operators.dedup import (
+        minhash_verified_edges,
+    )
+
+    d = load_table(spark, SF_ORACLE, "documents").filter(F.col("doc_id") < 500)
+    toks = F.array_distinct(F.split("text", " "))
+    banded = {
+        (r["src"], r["dst"])
+        for r in minhash_verified_edges(d, "doc_id", toks, threshold=0.9).collect()
+    }
+    g = d.select("doc_id", F.explode(toks).alias("tok"))
+    sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = g.alias("a"), g.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    jac = F.col("c").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+    exact = {
+        (r["src"], r["dst"])
+        for r in inter.join(
+            sizes.alias("sa"), F.col("sa.doc_id") == F.col("src")
+        )
+        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("dst"))
+        .filter(jac >= 0.9)
+        .select("src", "dst")
+        .collect()
+    }
+    assert banded == exact, (
+        f"missed: {sorted(exact - banded)[:5]} extra: {sorted(banded - exact)[:5]}"
+    )
+
+
 def test_minhash_estimate_tracks_exact(spark):
     """For recalled pairs, |est - exact| <= 0.35 (16 perms is coarse; the
     bound just catches sign/major errors deterministically)."""

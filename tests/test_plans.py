@@ -80,6 +80,35 @@ def test_simhash_pairing_is_blocked_equi_join(spark):
     assert "band_val" in plan, plan  # equi-join key reached the plan
 
 
+def test_dedup_cluster_edges_are_banded_not_all_pairs(spark):
+    """q_dedup_clusters' edge generator (the plan that runs BEFORE the
+    localCheckpoint truncates lineage) must be the banded two-phase shape:
+    LSH candidates joined on (band_idx, band_hash), exact verify on
+    candidates only -- never a token-keyed all-pairs self-join and never
+    a cartesian/nested-loop product (VERDICT.md r3 'Next round' #3)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from weighted_raster_overlay_service_toolbox_spark.operators.dedup import (
+        minhash_verified_edges,
+    )
+    from weighted_raster_overlay_service_toolbox_spark.sources import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 500)
+    edges = minhash_verified_edges(
+        d, "doc_id", F.array_distinct(F.split("text", " ")), threshold=0.9
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        edges.explain("formatted")
+    plan = buf.getvalue()
+    assert "band_hash" in plan, plan  # the LSH bucket key reached the join
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_partition_pruning_on_partitioned_layout(spark):
     """Date-partitioned layout + date filter => PartitionFilters prunes
     directories before any I/O -- the 100 TB layout for events/cells

@@ -36,7 +36,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
-    shuffle_partitions: int | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Return ``(node, component)`` where component = MIN node id reachable.
 
@@ -44,31 +44,33 @@ def connected_components(
     Every endpoint appears in the output; isolated nodes are the caller's
     concern (left-join the node universe and ``coalesce`` to self).
 
-    ``shuffle_partitions``: optional override applied only while the
-    rounds run (restored after). Each round is several tiny jobs whose
-    cost is dominated by task-scheduling overhead when the edge list is
+    ``num_partitions``: partition count for the per-round checkpointed
+    state (``repartition(n, "node")`` on the edge list and label frames --
+    NOT a session-conf write, so concurrent queries on the same session
+    are unaffected). Each round is several tiny jobs whose cost is
+    dominated by task-scheduling overhead when the edge list is
     metadata-sized (a bounded probe set); callers with such inputs pass a
-    small value. Leave ``None`` for data-sized graphs -- the session's
-    AQE coalescing handles runtime sizing there.
+    small value to bound map-task counts, and AQE coalescing sizes the
+    reducer side. Leave ``None`` for data-sized graphs.
     """
-    spark = edges.sparkSession
-    prev_parts = None
-    if shuffle_partitions is not None:
-        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    try:
-        return _run_rounds(edges, src, dst, max_iter)
-    finally:
-        if prev_parts is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return _run_rounds(edges, src, dst, max_iter, num_partitions)
 
 
 def _run_rounds(
-    edges: DataFrame, src: str, dst: str, max_iter: int
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int,
+    num_partitions: int | None,
 ) -> DataFrame:
+    def _sized(df: DataFrame) -> DataFrame:
+        # hash-distribute the loop state by node so every round's map side
+        # has a bounded task count; a no-op passthrough when unset.
+        return df.repartition(num_partitions, "node") if num_partitions else df
+
     # materialize once: the edge list re-evaluates EVERY round otherwise
     # (it is usually an expensive similarity join upstream)
-    sym = (
+    sym = _sized(
         edges.select(
             F.col(src).cast("long").alias("node"), F.col(dst).cast("long").alias("nbr")
         )
@@ -78,14 +80,12 @@ def _run_rounds(
                 F.col(src).cast("long").alias("nbr"),
             )
         )
-        .localCheckpoint(eager=True)
-    )
-    labels = (
+    ).localCheckpoint(eager=True)
+    labels = _sized(
         sym.select("node")
         .distinct()
         .select("node", F.col("node").alias("component"))
-        .localCheckpoint(eager=True)
-    )
+    ).localCheckpoint(eager=True)
     prev_sum = None
     for _ in range(max_iter):
         # min over neighbors' labels (one shuffle keyed by node)
@@ -123,7 +123,7 @@ def _run_rounds(
                 ),
             )
         )
-        labels = jumped.localCheckpoint(eager=True)
+        labels = _sized(jumped).localCheckpoint(eager=True)
         cur_sum = labels.agg(F.sum("component")).collect()[0][0]
         if cur_sum == prev_sum:
             break

@@ -32,6 +32,7 @@ from pyspark.sql.functions import broadcast
 from ..operators.dedup import (
     exact_dedup,
     minhash_candidates,
+    minhash_verified_edges,
     simhash_near_pairs,
     simhash_signatures,
 )
@@ -281,45 +282,34 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup CLUSTERS: thresholded token-Jaccard pairs (doc_id<500,
-    j>=0.9) merged into connected components; component = MIN doc_id
-    reachable, the canonical keep-one key. Pairs alone over-delete when
-    similarity is non-transitive (A~B, B~C, A!~C); clustering is the
-    missing half of every dedup pipeline.
+    """Near-dup CLUSTERS: MinHash-LSH candidate pairs, exact-verified at
+    token-Jaccard >= 0.9 (doc_id<500 probe block), merged into connected
+    components; component = MIN doc_id reachable, the canonical keep-one
+    key. Pairs alone over-delete when similarity is non-transitive (A~B,
+    B~C, A!~C); clustering is the missing half of every dedup pipeline.
 
-    Scale: edges come from a sparse token-keyed join (same shape as
-    q_jaccard_sim; at 100 TB swap in minhash_candidates so the pair space
-    stays banded); clustering is min-label propagation with pointer
+    Scale -- the executed plan IS the 100 TB plan: candidate edges come
+    from banded MinHash-LSH (operators/dedup.py minhash_candidates; the
+    only shuffle keys by (band_idx, band_hash) and the quadratic pair
+    space never materializes -- pinned in tests/test_plans.py), exact
+    Jaccard runs ONLY on the candidate pairs as per-pair array-intersect
+    JVM exprs, and clustering is min-label propagation with pointer
     jumping -- O(log diameter) rounds of two node-keyed shuffles, state
-    one row per node (operators/graph.py). The DuckDB oracle is the
-    recursive-CTE transitive closure, tractable only because the probe
+    one row per node (operators/graph.py). Recall: 8 bands of 2 means a
+    j=0.9 pair is missed only if all 8 band slices disagree, p ~
+    (1-0.81)^8 ~ 2e-6; the exact-verify step makes precision 1.0, and
+    tests/test_llm_ops.py asserts candidates cover every j>=0.9 pair on
+    the fixtures. The DuckDB oracle is the recursive-CTE transitive
+    closure over exact-Jaccard edges, tractable only because the probe
     set is bounded; the Spark side never materializes reachability."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    g = d.select("doc_id", F.explode(F.array_distinct(TOKS())).alias("tok"))
-    sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = g.alias("a"), g.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    jac = F.col("n_common").cast("double") / (
-        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
-    )
-    edges = (
-        inter.join(broadcast(sizes.alias("sa")), F.col("sa.doc_id") == F.col("src"))
-        .join(broadcast(sizes.alias("sb")), F.col("sb.doc_id") == F.col("dst"))
-        .filter(jac >= 0.9)
-        .select("src", "dst")
+    edges = minhash_verified_edges(
+        d, "doc_id", F.array_distinct(TOKS()), threshold=0.9, k=16, bands=8
     )
     # bounded probe set (doc_id<500): the edge list is metadata-sized, so
     # run the rounds on few partitions -- per-task overhead, not data,
     # dominates. An unbounded corpus caller leaves the default.
-    comp = connected_components(edges, "src", "dst", shuffle_partitions=8)
+    comp = connected_components(edges, "src", "dst", num_partitions=8)
     return d.select(F.col("doc_id").cast("long").alias("doc_id")).join(
         comp, F.col("doc_id") == F.col("node"), "left"
     ).select(
