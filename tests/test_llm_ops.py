@@ -81,6 +81,38 @@ def test_verified_edges_match_exact_thresholded_pairs(spark):
     )
 
 
+def test_hot_token_cap_drops_only_hot_posting_lists(spark):
+    """jaccard_pairs(max_token_df=N): a synthetic stop-word-grade token
+    shared by EVERY doc must stop contributing join rows and set mass,
+    while pairs related only through normal tokens are unchanged."""
+    from weighted_raster_overlay_service_toolbox_spark.operators.dedup import (
+        jaccard_pairs,
+    )
+
+    rows = [
+        (1, ["the", "alpha", "beta"]),
+        (2, ["the", "alpha", "beta"]),
+        (3, ["the", "gamma", "delta"]),
+        (4, ["the", "epsilon", "zeta"]),
+    ]
+    tok = (
+        spark.createDataFrame(rows, "doc_id long, toks array<string>")
+        .select("doc_id", F.explode("toks").alias("tok"))
+    )
+    uncapped = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 4)
+        for r in jaccard_pairs(tok).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 4)
+        for r in jaccard_pairs(tok, max_token_df=3).collect()
+    }
+    # uncapped: every pair shares "the"; capped: only the real near-dup
+    assert set(uncapped) == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+    assert capped == {(1, 2): 1.0}  # {alpha,beta} vs {alpha,beta}
+    assert uncapped[(1, 2)] == round(3 / 3, 4)  # all three tokens shared
+
+
 def test_minhash_estimate_tracks_exact(spark):
     """For recalled pairs, |est - exact| <= 0.35 (16 perms is coarse; the
     bound just catches sign/major errors deterministically)."""

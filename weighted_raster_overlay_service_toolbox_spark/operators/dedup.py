@@ -101,6 +101,57 @@ def minhash_candidates(
     return cand.select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
 
 
+def jaccard_pairs(
+    tok: DataFrame,
+    id_col: str = "doc_id",
+    tok_col: str = "tok",
+    max_token_df: int | None = None,
+) -> DataFrame:
+    """Exact pairwise Jaccard over a deduped ``(id, token)`` posting table
+    via the sparse token-keyed join: |A∩B| is counted only for pairs that
+    actually share a token, sizes broadcast back.
+
+    ``max_token_df`` is the hot-token cap -- the standard guard for
+    posting-list blowup: a token appearing in ``d`` documents contributes
+    d*(d-1)/2 join rows, so one stop-word-grade token ("the") dominates
+    the whole shuffle at corpus scale. When set, tokens whose document
+    frequency exceeds the cap are dropped from the token SETS first (both
+    intersection and union -- consistent set semantics, not just a join
+    prune). ``None`` (default) keeps exact uncapped semantics -- what the
+    bounded ground-truth probes and their DuckDB oracles use.
+
+    Returns ``doc_a, doc_b, jaccard`` (unrounded double, > 0 pairs only);
+    callers round/threshold/rename.
+    """
+    tok = tok.select(F.col(id_col).alias("_id"), F.col(tok_col).alias("_tok"))
+    if max_token_df is not None:
+        dfreq = tok.groupBy("_tok").agg(F.countDistinct("_id").alias("_df"))
+        tok = tok.join(
+            F.broadcast(dfreq.filter(F.col("_df") <= max_token_df).select("_tok")),
+            "_tok",
+        )
+    sizes = tok.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a._tok") == F.col("b._tok")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.alias("sa")), F.col("sa._id") == F.col("doc_a")
+        )
+        .join(F.broadcast(sizes.alias("sb")), F.col("sb._id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+
+
 def minhash_verified_edges(
     docs: DataFrame,
     id_col: str,

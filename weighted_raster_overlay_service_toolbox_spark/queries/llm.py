@@ -31,6 +31,7 @@ from pyspark.sql.functions import broadcast
 
 from ..operators.dedup import (
     exact_dedup,
+    jaccard_pairs,
     minhash_candidates,
     minhash_verified_edges,
     simhash_near_pairs,
@@ -124,28 +125,16 @@ def q_jaccard_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact pairwise Jaccard on distinct-token sets (doc_id<50 probe set;
     ground truth for q_dedup_minhash).
 
-    Scale: the explode/self-join computes |A∩B| only for pairs sharing a
-    token -- sparse, shuffle keyed by token. Token-frequency skew ("the")
-    is the known hazard; at 100 TB drop ultra-frequent tokens first or
-    switch to the MinHash path."""
+    Scale: operators/dedup.py jaccard_pairs -- the explode/self-join
+    computes |A∩B| only for pairs sharing a token (sparse, shuffle keyed
+    by token). Token-frequency skew ("the") is the known hazard; at
+    100 TB pass ``max_token_df`` (the hot-token posting-list cap, off
+    here so the exact probe matches its oracle) or switch to the MinHash
+    path."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     toks = d.select("doc_id", F.explode(F.array_distinct(TOKS())).alias("tok"))
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = toks.alias("a")
-    b = toks.alias("b")
-    inter = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    jac = F.col("n_common").cast("double") / (
-        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
-    )
-    return (
-        inter.join(broadcast(sizes.alias("sa")), F.col("sa.doc_id") == F.col("doc_a"))
-        .join(broadcast(sizes.alias("sb")), F.col("sb.doc_id") == F.col("doc_b"))
-        .filter(jac > 0)
-        .select("doc_a", "doc_b", F.round(jac, 4).cast("double").alias("jaccard"))
+    return jaccard_pairs(toks).select(
+        "doc_a", "doc_b", F.round("jaccard", 4).cast("double").alias("jaccard")
     )
 
 
@@ -216,7 +205,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-trigram Jaccard (shingle dedup; doc_id<30 probe set).
 
     Same sparse join shape as q_jaccard_sim but on character shingles --
-    the classic n-gram near-dup. The >=0.5 filter keeps only near-dups."""
+    the classic n-gram near-dup (operators/dedup.py jaccard_pairs; the
+    hot-shingle cap is available there for corpus scale). The >=0.5
+    filter keeps only near-dups."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
     g = (
         d.select(
@@ -227,22 +218,14 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.expr("substring(text, i, 3)").alias("sh"))
         .distinct()
     )
-    sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = g.alias("a")
-    b = g.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    jac = F.col("n_common").cast("double") / (
-        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
-    )
     return (
-        inter.join(broadcast(sizes.alias("sa")), F.col("sa.doc_id") == F.col("doc_a"))
-        .join(broadcast(sizes.alias("sb")), F.col("sb.doc_id") == F.col("doc_b"))
-        .filter(jac >= 0.5)
-        .select("doc_a", "doc_b", F.round(jac, 4).cast("double").alias("trigram_jaccard"))
+        jaccard_pairs(g, tok_col="sh")
+        .filter(F.col("jaccard") >= 0.5)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("jaccard", 4).cast("double").alias("trigram_jaccard"),
+        )
     )
 
 
@@ -1180,3 +1163,56 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("doc_id").alias("n_docs"))
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@query(
+    "q_span_dedup_hashed",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS tk
+        FROM documents WHERE doc_id < 100
+    ),
+    u AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(tk[i : i + 2], ' ') AS span
+        FROM t, LATERAL (
+            SELECT unnest(range(1, greatest(len(tk) - 2, 0) + 1)) AS i
+        ) ix(i)
+    ),
+    c AS (
+        SELECT span, COUNT(DISTINCT doc_id) AS n_docs
+        FROM u GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT n_docs, COUNT(*) AS n_spans FROM c GROUP BY n_docs
+    """,
+)
+def q_span_dedup_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_span_dedup's 100 TB form: spans are xxhash64-compressed BEFORE
+    the shuffle, so the span-keyed exchange carries 8-byte longs instead
+    of arbitrary-length strings -- the shuffle-volume fix the suffix-array
+    literature applies to exact-substring dedup at corpus scale. Same
+    plan shape (sliding windows as codegen JVM exprs, within-doc DISTINCT
+    with map-side partials, one span-keyed shuffle).
+
+    Output is the duplicated-span histogram (n_docs -> n_spans over spans
+    shared by >= 2 docs): hash KEYS cannot be compared across engines, so
+    the oracle checks the hash-free aggregate -- equal iff the per-span
+    grouping matched (no xxhash64 collisions on the fixtures; a collision
+    would merge two spans and shift two histogram buckets)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    t = docs.select("doc_id", F.split("text", " ").alias("tk"))
+    spans = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("tk") - F.lit(2), F.lit(0))),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("tk", i, 3))),
+            )
+        ).alias("span_key"),
+    ).distinct()
+    per_span = (
+        spans.groupBy("span_key")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    return per_span.groupBy("n_docs").agg(F.count(F.lit(1)).alias("n_spans"))
