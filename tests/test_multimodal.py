@@ -1,13 +1,23 @@
-"""Multimodal operator plumbing tests: schemas, batch shapes, determinism
-(the decode math is a documented stub; the Spark mechanics are real)."""
+"""Multimodal operator tests: the PPM decode is REAL -- width/height/
+channel-means/checksum are checked against ground truth computed
+independently in pure Python from the same fixture text, and malformed
+payloads must raise. The Spark mechanics (Arrow batching, row shapes)
+are pinned alongside."""
 
 from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pytest
 
 from pyspark.sql import functions as F
 
 from weighted_raster_overlay_service_toolbox_spark.operators.multimodal import (
-    decode_features,
+    decode_ppm_features,
     frame_sample,
+    parse_ppm,
+    ppm_payload,
     resize,
 )
 from weighted_raster_overlay_service_toolbox_spark.sources import load_table
@@ -15,36 +25,107 @@ from weighted_raster_overlay_service_toolbox_spark.sources import load_table
 from .conftest import SF_SMOKE
 
 
-def _payloads(spark):
+def _ppm_sources(spark):
     return load_table(spark, SF_SMOKE, "documents").select(
-        "doc_id", F.col("text").cast("binary").alias("payload")
+        "doc_id",
+        "text",
+        ((F.col("doc_id") % 6) + 2).cast("int").alias("w"),
+        ((F.col("doc_id") % 4) + 2).cast("int").alias("h"),
     )
 
 
-def test_decode_one_row_per_input(spark):
+def _payloads(spark):
+    return _ppm_sources(spark).select(
+        "doc_id", ppm_payload("w", "h", "text").alias("payload")
+    )
+
+
+def _expected_raster(text: str, n: int, pad: str = "pixel") -> bytes:
+    """Replicates rpad(text, n, 'pixel') -- truncate or pad by repeating
+    the pad string."""
+    if len(text) >= n:
+        return text[:n].encode("ascii")
+    need = n - len(text)
+    return (text + (pad * (need // len(pad) + 1))[:need]).encode("ascii")
+
+
+def test_parse_ppm_exact_known_image():
+    # 2x1 image, red then green pixel; comment in header per netpbm spec
+    raster = bytes([255, 0, 0, 0, 255, 0])
+    img = b"P6\n# a comment\n2 1\n255\n" + raster
+    meta = parse_ppm(img)
+    assert meta["width"] == 2 and meta["height"] == 1 and meta["maxval"] == 255
+    assert (meta["mean_r"], meta["mean_g"], meta["mean_b"]) == (127.5, 127.5, 0.0)
+    assert meta["checksum"] == hashlib.md5(raster).hexdigest()
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        b"P5\n2 1\n255\n" + bytes(6),  # wrong magic (greyscale PGM)
+        b"P6\n2 1\n255\n" + bytes(3),  # short raster
+        b"P6\n2 1\n70000\n" + bytes(6),  # maxval needs 2-byte samples
+        b"P6\nx 1\n255\n" + bytes(6),  # non-numeric width
+        b"P6\n2 1",  # truncated header
+    ],
+)
+def test_parse_ppm_rejects_malformed(bad):
+    with pytest.raises(ValueError):
+        parse_ppm(bad)
+
+
+def test_decode_matches_independent_ground_truth(spark):
+    """The decoded features must equal values computed WITHOUT Spark or
+    the parser: dims from the doc_id formula, means/checksum from a
+    pure-Python reconstruction of the raster bytes."""
+    got = {
+        r["id"]: r.asDict()
+        for r in decode_ppm_features(_payloads(spark), "doc_id", "payload").collect()
+    }
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet' "
+        "ORDER BY doc_id LIMIT 25"
+    ).fetchall()
+    assert docs
+    for doc_id, text in docs:
+        w, h = (doc_id % 6) + 2, (doc_id % 4) + 2
+        raster = _expected_raster(text, w * h * 3)
+        r = got[doc_id]
+        assert (r["width"], r["height"], r["maxval"]) == (w, h, 255)
+        assert r["checksum"] == hashlib.md5(raster).hexdigest()
+        for ch, name in enumerate(("mean_r", "mean_g", "mean_b")):
+            expect = round(sum(raster[ch::3]) / (w * h), 6)
+            assert abs(r[name] - expect) < 1e-9, (doc_id, name)
+
+
+def test_decode_one_row_per_input_and_deterministic(spark):
     src = _payloads(spark)
-    out = decode_features(src, "doc_id", "payload")
-    assert out.columns == ["id", "n_bytes", "width", "height"]
+    out = decode_ppm_features(src, "doc_id", "payload")
+    assert out.columns == [
+        "id", "width", "height", "maxval", "mean_r", "mean_g", "mean_b", "checksum",
+    ]
     assert out.count() == src.count()
-    r = out.first()
-    assert 1 <= r["width"] <= 1920 and 1 <= r["height"] <= 1080
-    # deterministic across runs
     assert sorted(map(tuple, out.collect())) == sorted(
-        map(tuple, decode_features(src, "doc_id", "payload").collect())
+        map(tuple, decode_ppm_features(src, "doc_id", "payload").collect())
     )
 
 
-def test_resize_respects_max_side(spark):
-    out = resize(_payloads(spark), "doc_id", "payload", max_side=256)
+def test_resize_respects_max_side_with_real_dims(spark):
+    out = resize(_payloads(spark), "doc_id", "payload", max_side=4)
     rows = out.collect()
     assert rows
     for r in rows:
-        assert max(r["width"], r["height"]) <= 256
+        w, h = (r["id"] % 6) + 2, (r["id"] % 4) + 2
+        assert max(r["width"], r["height"]) <= 4
         assert 0 < r["scale"] <= 1.0
+        assert r["width"] == int(round(w * r["scale"]))
+        assert r["height"] == int(round(h * r["scale"]))
 
 
 def test_frame_sample_expands_rows(spark):
-    src = _payloads(spark)
+    src = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
     out = frame_sample(src, "doc_id", "payload", every_n_bytes=40)
     n_in = src.count()
     n_out = out.count()

@@ -6,13 +6,17 @@ column plus a typed metadata struct; per-item processing runs in
 Arrow-batched ``mapInPandas`` so bytes move Python-side once per batch,
 never per row.
 
-STUBS, clearly marked: this container has no media libraries (PIL,
-librosa, av), so the pixel/sample math is a deterministic fake derived
-from the payload hash. Everything Spark-side is real and is what a true
-decoder would use unchanged: the input/output schemas, the Arrow batch
-iteration, the partition-preserving shape (one output row per input for
-decode/resize, N rows per input for frame sampling). Swap the body of
-``_fake_*`` for real decode calls and nothing else changes.
+The decoder is REAL: binary P6 PPM (the trivial open raster format --
+ASCII header ``P6\\n<w> <h>\\n<maxval>\\n`` with ``#`` comments, then
+width*height*3 raw RGB bytes). No media library needed, and the decode is
+falsifiable -- width/height/channel means/checksum are checked against
+independently computed ground truth in tests/test_multimodal.py.
+Malformed payloads raise ``ValueError``. Swapping the parser body for
+PIL/librosa calls (richer formats) changes nothing Spark-side: the
+input/output schemas, the Arrow batch iteration, and the
+partition-preserving shape (one output row per input for decode/resize,
+N rows per input for frame sampling) are exactly what a production
+decoder uses.
 
 Scale: mapInPandas is narrow (no shuffle); payload bytes stay columnar in
 Arrow; batch size is governed by ``spark.sql.execution.arrow.
@@ -25,51 +29,134 @@ from __future__ import annotations
 import hashlib
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 
-def _fake_dims(payload: bytes) -> tuple[int, int]:
-    """STUB for a real image decode: deterministic dims from the hash."""
-    h = hashlib.md5(payload).digest()
-    return (
-        int.from_bytes(h[:2], "big") % 1920 + 1,
-        int.from_bytes(h[2:4], "big") % 1080 + 1,
+# --------------------------------------------------------------------------
+# pure-Python P6 PPM codec (no media libraries required)
+# --------------------------------------------------------------------------
+
+
+def _header_tokens(buf: bytes, n: int) -> tuple[list[bytes], int]:
+    """First ``n`` whitespace-separated ASCII header tokens (``#`` starts
+    a to-end-of-line comment, per the netpbm spec); returns (tokens,
+    offset-just-past-the-single-whitespace-after-the-last-token)."""
+    i, toks = 0, []
+    while len(toks) < n:
+        while i < len(buf) and buf[i : i + 1].isspace():
+            i += 1
+        if i < len(buf) and buf[i : i + 1] == b"#":
+            while i < len(buf) and buf[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(buf) and not buf[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PPM header")
+        toks.append(buf[i:j])
+        i = j
+    if i >= len(buf) or not buf[i : i + 1].isspace():
+        raise ValueError("PPM header not followed by whitespace")
+    return toks, i + 1
+
+
+def parse_ppm(payload: bytes) -> dict:
+    """Decode one binary P6 PPM image.
+
+    Returns ``{width, height, maxval, mean_r, mean_g, mean_b, checksum}``
+    (means rounded to 6, checksum = md5 of the raster bytes). Raises
+    ``ValueError`` on a wrong magic, malformed header, unsupported
+    maxval, or short raster -- honest failure, not a silent fake."""
+    toks, off = _header_tokens(payload, 4)
+    if toks[0] != b"P6":
+        raise ValueError(f"not a P6 PPM (magic {toks[0]!r})")
+    try:
+        width, height, maxval = int(toks[1]), int(toks[2]), int(toks[3])
+    except ValueError as exc:
+        raise ValueError(f"non-numeric PPM dimensions {toks[1:]}") from exc
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad PPM dimensions {width}x{height}")
+    if not 0 < maxval < 256:
+        raise ValueError(f"unsupported PPM maxval {maxval} (1-byte samples only)")
+    n = width * height * 3
+    raster = payload[off : off + n]
+    if len(raster) < n:
+        raise ValueError(f"short PPM raster: need {n} bytes, have {len(raster)}")
+    px = np.frombuffer(raster, dtype=np.uint8).reshape(-1, 3)
+    means = px.mean(axis=0)
+    return {
+        "width": width,
+        "height": height,
+        "maxval": maxval,
+        "mean_r": round(float(means[0]), 6),
+        "mean_g": round(float(means[1]), 6),
+        "mean_b": round(float(means[2]), 6),
+        "checksum": hashlib.md5(raster).hexdigest(),
+    }
+
+
+def ppm_payload(width_col: str, height_col: str, fill_col: str) -> Column:
+    """Valid P6 payload as a pure JVM expression: real header plus a
+    raster filled from ``fill_col`` text (rpad repeats/truncates to
+    exactly w*h*3 bytes; ASCII-only fill assumed -- the fixture corpus
+    convention). This is the fixture-side encoder the decode queries and
+    tests share; a production pipeline reads payload bytes from storage
+    instead."""
+    w, h = F.col(width_col), F.col(height_col)
+    header = F.concat(
+        F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"), F.lit("\n255\n")
     )
+    raster = F.expr(f"rpad({fill_col}, {width_col} * {height_col} * 3, 'pixel')")
+    return F.concat(header.cast("binary"), raster.cast("binary"))
 
 
-def decode_features(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
-    """binary -> (id, n_bytes, width, height): one output row per input."""
+# --------------------------------------------------------------------------
+# Arrow-batched operators
+# --------------------------------------------------------------------------
+
+_DECODE_SCHEMA = (
+    "id long, width int, height int, maxval int, "
+    "mean_r double, mean_g double, mean_b double, checksum string"
+)
+
+
+def decode_ppm_features(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """binary PPM -> (id, width, height, maxval, mean_r/g/b, checksum):
+    one output row per input, real parse (ValueError propagates -- a
+    corrupt payload fails the task, it does not fake a row)."""
+
+    cols = ["width", "height", "maxval", "mean_r", "mean_g", "mean_b", "checksum"]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = [_fake_dims(p) for p in pdf[payload_col]]
-            yield pd.DataFrame(
-                {
-                    "id": pdf[id_col],
-                    "n_bytes": pdf[payload_col].str.len().astype("int64"),
-                    "width": [d[0] for d in dims],
-                    "height": [d[1] for d in dims],
-                }
-            )
+            feats = [parse_ppm(p) for p in pdf[payload_col]]
+            out = pd.DataFrame(feats, columns=cols)
+            out.insert(0, "id", pdf[id_col].to_numpy())
+            yield out
 
-    return df.mapInPandas(run, "id long, n_bytes long, width int, height int")
+    return df.mapInPandas(run, _DECODE_SCHEMA)
 
 
 def resize(
     df: DataFrame, id_col: str, payload_col: str, max_side: int
 ) -> DataFrame:
-    """binary -> (id, width, height, scale): aspect-preserving shrink so
-    the longest side is ``max_side`` (scale 1.0 when already smaller).
-    One output row per input; a real implementation would also emit the
-    resized payload bytes."""
+    """binary PPM -> (id, width, height, scale): aspect-preserving shrink
+    so the longest side is ``max_side`` (scale 1.0 when already smaller).
+    Dimensions come from the REAL header parse; one output row per input.
+    A full implementation would also resample and re-emit payload bytes
+    -- the row shape and schema would not change."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_rows = []
             for i, p in zip(pdf[id_col], pdf[payload_col]):
-                w, h = _fake_dims(p)
+                meta = parse_ppm(p)
+                w, h = meta["width"], meta["height"]
                 scale = min(1.0, max_side / max(w, h))
                 out_rows.append(
                     (i, int(round(w * scale)), int(round(h * scale)), round(scale, 6))

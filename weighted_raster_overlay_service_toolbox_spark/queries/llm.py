@@ -14,16 +14,12 @@ training-data operators a 100 TB corpus needs, built Spark-first:
   exact q_jaccard_sim / q_cosine_topk keep small probe sets and exist as
   ground truth for the approximate variants);
 - multimodal payloads are opaque binary + typed metadata; decode is a
-  clearly-stubbed deterministic fake behind ``mapInPandas`` (the Spark
-  plumbing -- schema, Arrow batching, partitioning -- is real).
+  REAL pure-Python P6 PPM parser behind Arrow-batched ``mapInPandas``
+  (operators/multimodal.py), verified against independently computed
+  ground truth.
 """
 
 from __future__ import annotations
-
-import hashlib
-from typing import Iterator
-
-import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -38,6 +34,7 @@ from ..operators.dedup import (
     simhash_signatures,
 )
 from ..operators.graph import connected_components
+from ..operators.multimodal import decode_ppm_features, ppm_payload
 from ..operators.similarity import (
     cosine_scores,
     dot_expr,
@@ -619,8 +616,8 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal column model: opaque binary payload + typed metadata
     struct + per-"frame" array -- the schema/plumbing for image/audio
-    pipelines. The payload here is the doc text as bytes (the container
-    has no media libs; see q_multimodal_decode for the stubbed decoder)."""
+    pipelines. The payload here is the doc text as bytes; see
+    q_multimodal_decode for the real PPM decoder."""
     d = load_table(spark, sf_dir, "documents")
     payload = F.col("text").cast("binary")
     return d.select(
@@ -641,42 +638,28 @@ def q_multimodal_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_multimodal_decode")  # rows-only: decode is a deterministic stub
+@query("q_multimodal_decode")  # rows-only: binary payloads, cross-engine forms differ
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stubbed media decode over mapInPandas: Arrow-batched, one output row
-    per input, deterministic fake features derived from payload bytes.
+    """REAL media decode over mapInPandas: each document becomes a valid
+    binary P6 PPM image (real header + text-derived raster bytes, built
+    as pure JVM exprs -- operators/multimodal.py ppm_payload), then the
+    pure-Python PPM parser decodes width/height/maxval, per-channel
+    means, and the raster checksum. Arrow-batched, one output row per
+    input; a corrupt payload raises, it does not fake a row.
 
-    STUB: a real deployment would decode image/audio here (PIL/librosa are
-    not in this container); the Spark-side contract -- binary in, fixed
-    feature schema out, batch-wise Arrow transfer -- is exactly what a real
-    decoder uses. Raises nothing; the fake is deterministic md5 math."""
-
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = pdf["payload"]
-            out = pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": payloads.str.len().astype("int64"),
-                    # deterministic fake "decoded" dimensions from the hash
-                    "fake_width": [
-                        int.from_bytes(hashlib.md5(p).digest()[:2], "big") % 1920
-                        for p in payloads
-                    ],
-                    "fake_height": [
-                        int.from_bytes(hashlib.md5(p).digest()[2:4], "big") % 1080
-                        for p in payloads
-                    ],
-                }
-            )
-            yield out
-
+    The payload ENCODER is fixture plumbing (this container ships no
+    image files); the DECODER is a real parser of a real format, and
+    tests/test_multimodal.py checks its output against independently
+    computed ground truth. Swap parse_ppm's body for PIL and nothing
+    Spark-side changes."""
     d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.col("text").cast("binary").alias("payload")
+        "doc_id",
+        "text",
+        ((F.col("doc_id") % 6) + 2).cast("int").alias("w"),
+        ((F.col("doc_id") % 4) + 2).cast("int").alias("h"),
     )
-    return d.mapInPandas(
-        decode, "doc_id long, n_bytes long, fake_width int, fake_height int"
-    )
+    payloads = d.select("doc_id", ppm_payload("w", "h", "text").alias("payload"))
+    return decode_ppm_features(payloads, "doc_id", "payload")
 
 
 @query("q_kmeans")  # rows-only: iterative algorithm, not SQL-expressible
