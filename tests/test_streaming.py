@@ -13,6 +13,28 @@ from weighted_raster_overlay_service_toolbox_spark.sources import load_table
 from .conftest import SF_SMOKE
 
 
+def test_staging_prunes_stale_fingerprint_dirs(spark):
+    """A staged dir from a previous fixture generation (same name/params
+    prefix, different source fingerprint) must be removed by the next
+    successful stage call -- fixture regeneration must not leak scratch
+    dirs forever (ADVICE r3)."""
+    import os
+    import shutil
+
+    from weighted_raster_overlay_service_toolbox_spark.streaming import engine
+
+    real = engine.stage_event_files(spark, SF_SMOKE, "prunecheck")
+    stale = real[: real.rfind("_")] + "_deadbeef"
+    os.makedirs(stale, exist_ok=True)
+    try:
+        again = engine.stage_event_files(spark, SF_SMOKE, "prunecheck")
+        assert again == real and os.path.exists(real)
+        assert not os.path.exists(stale), stale
+    finally:
+        shutil.rmtree(stale, ignore_errors=True)
+        shutil.rmtree(real, ignore_errors=True)
+
+
 def test_tumbling_batch_equivalence(spark):
     """Streaming tumbling counts == batch date_trunc counts."""
     got = {

@@ -77,7 +77,20 @@ def minhash_candidates(
     )
     a = bandsdf.alias("a")
     b = bandsdf.alias("b")
-    cand = (
+    # est is computed per collision ROW (identical for every band a pair
+    # collides in), then the pair is deduped with groupBy(max) -- NOT a
+    # distinct over the signatures: that would shuffle 2*k longs per row,
+    # where this shuffles (doc_a, doc_b, est) with map-side combine.
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+                lambda m: m,
+            )
+        ).cast("double")
+        / k
+    )
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -87,18 +100,11 @@ def minhash_candidates(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            est.alias("est_row"),
         )
-        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.round(F.max("est_row"), 4).alias("est_jaccard"))
     )
-    est = (
-        F.size(
-            F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
-        ).cast("double")
-        / k
-    )
-    return cand.select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
 
 
 def jaccard_pairs(
@@ -159,6 +165,7 @@ def minhash_verified_edges(
     threshold: float,
     k: int = 16,
     bands: int = 8,
+    candidate_floor: float | None = None,
 ) -> DataFrame:
     """Exact-thresholded near-dup edges via the banded two-phase plan:
     LSH candidates first (:func:`minhash_candidates` -- the only shuffle
@@ -168,13 +175,23 @@ def minhash_verified_edges(
     collision probability 1-(1-j^(k/bands))^bands, ~1-2e-6 at j=0.9 with
     the defaults.
 
+    ``candidate_floor``: optional pre-verify prune on the SIGNATURE
+    agreement rate (est_jaccard). Template-heavy corpora make many
+    band-collision pairs whose true similarity is far below the
+    threshold; dropping est < floor pairs before the (relatively
+    expensive) exact set arithmetic cuts the verify load. Keep the floor
+    well under the threshold: a true j-pair's agreement is Binom(k, j)/k,
+    so floor=threshold/2 adds only ~1e-4 miss probability at j=0.9, k=16
+    (the fixture equality test pins zero misses deterministically).
+
     Returns ``(src, dst)`` with ``src < dst``. The token-set side is
     broadcast: bounded probe blocks fit in a broadcast; an unbounded
     corpus caller swaps the hint for a doc-keyed shuffle join -- the
     shape stays linear in candidates either way."""
-    cand = minhash_candidates(docs, id_col, tokens_col, k=k, bands=bands).select(
-        "doc_a", "doc_b"
-    )
+    cand = minhash_candidates(docs, id_col, tokens_col, k=k, bands=bands)
+    if candidate_floor is not None:
+        cand = cand.filter(F.col("est_jaccard") >= candidate_floor)
+    cand = cand.select("doc_a", "doc_b")
     sets_ = docs.select(
         F.col(id_col).cast("long").alias("sid"), tokens_col.alias("tk")
     )

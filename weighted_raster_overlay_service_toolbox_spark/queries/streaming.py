@@ -346,9 +346,14 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: join state is keyed by user_id and bounded by
     watermark + the 1 h range condition; at 100 TB/day the state store
-    holds ~1 h of clicks per user, not the stream's history."""
+    holds ~1 h of clicks per user, not the stream's history.
+    files_per_trigger=2: a watermarked INNER join's final output is
+    batch-count-invariant (state is evicted only once no future match is
+    possible), so the backfill runs with larger micro-batches to
+    amortize per-batch state-store overhead -- the sequencing-sensitive
+    queries (watermark/dedup) keep 1."""
     staged = stage_event_files(spark, sf_dir, "ss_join")
-    ev = read_event_stream(spark, staged)
+    ev = read_event_stream(spark, staged, files_per_trigger=2)
     clicks = (
         ev.filter(F.col("event_type") == "click")
         .select(
@@ -360,7 +365,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     staged2 = stage_event_files(spark, sf_dir, "ss_join_b")
     purchases = (
-        read_event_stream(spark, staged2)
+        read_event_stream(spark, staged2, files_per_trigger=2)
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),

@@ -20,6 +20,7 @@ keyed by (window, user) exactly as here.
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 
@@ -56,9 +57,14 @@ def stage_event_files(
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     st = os.stat(f"{sf_dir}/events.parquet")
     fp = f"{st.st_mtime_ns:x}_{st.st_size:x}"
-    out = os.path.join(
-        _SCRATCH, f"stream_{name}_{sf_tag}_f{n_files}_l{late_events}_{fp}"
-    )
+    prefix = f"stream_{name}_{sf_tag}_f{n_files}_l{late_events}_"
+    out = os.path.join(_SCRATCH, prefix + fp)
+    # prune stagings of the SAME (name, sf, params) built from a previous
+    # fixture generation (different fingerprint) -- without this, every
+    # fixture regeneration leaks a stale dir into .scratch forever
+    for stale in glob.glob(os.path.join(_SCRATCH, prefix + "*")):
+        if stale != out:
+            shutil.rmtree(stale, ignore_errors=True)
     marker = os.path.join(out, "_STAGED")
     if os.path.exists(marker):
         return out
@@ -115,16 +121,25 @@ def stage_with_sentinel(
     return out
 
 
-def read_event_stream(spark: SparkSession, staged_dir: str) -> DataFrame:
-    """File-source stream over the staged dir, one file per micro-batch
-    (files are globbed in name order => deterministic batch sequence)."""
+def read_event_stream(
+    spark: SparkSession, staged_dir: str, files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over the staged dir (files are globbed in name
+    order => deterministic batch sequence).
+
+    ``files_per_trigger`` is the latency/throughput knob: 1 maximizes the
+    number of micro-batches (what the late-data/watermark-sequencing
+    queries pin); larger batches amortize per-batch state-store and
+    commit overhead -- the right setting for availableNow backfill of
+    queries whose RESULT is batch-count-invariant (watermarked inner
+    joins, final-state aggregations)."""
     schema = (
         "event_id long, ts timestamp, user_id long, event_type string, "
         "value double, props string"
     )
     return (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", files_per_trigger)
         .option("recursiveFileLookup", "true")
         .parquet(staged_dir)
     )
