@@ -80,6 +80,17 @@ def test_simhash_pairing_is_blocked_equi_join(spark):
     assert "band_val" in plan, plan  # equi-join key reached the plan
 
 
+def test_zorder_key_is_narrow_codegen(spark):
+    """q_zorder_layout's Morton key must stay a pure projection: no
+    exchange (it is a per-row layout key, shuffle-free by design) and no
+    Python UDF -- the interleave is a bitwise expression chain inside
+    whole-stage codegen."""
+    plan = plan_of(spark, "q_zorder_layout")
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "* Project" in plan, plan  # '*' = inside WholeStageCodegen
+
+
 def test_dedup_cluster_edges_are_banded_not_all_pairs(spark):
     """q_dedup_clusters' edge generator (the plan that runs BEFORE the
     localCheckpoint truncates lineage) must be the banded two-phase shape:

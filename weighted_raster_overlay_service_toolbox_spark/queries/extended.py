@@ -740,3 +740,54 @@ def q_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("sv"), 2).cast("double").alias("sum_value"),
         )
     )
+
+
+def _interleave_bits_sql(x: str, y: str, bits: int = 8) -> str:
+    """Morton/Z-order interleave as one arithmetic expression -- the SAME
+    ANSI string runs in Spark SQL and DuckDB (shift/mask/add), so the
+    oracle is bit-identical by construction."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "q_zorder_layout",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_id,
+               CAST(user_id % 256 AS BIGINT) AS bx,
+               CAST(CAST(floor(value) AS BIGINT) % 256 AS BIGINT) AS by
+        FROM events
+    )
+    SELECT event_id, bx, by,
+           CAST({_interleave_bits_sql('bx', 'by')} AS BIGINT) AS zkey
+    FROM b
+    """,
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over two dimensions -- the
+    data-layout operator behind multi-dimensional pruning (Delta/Iceberg
+    Z-ORDER BY): writing files sorted by the interleaved key makes
+    parquet min/max row-group stats selective on BOTH dimensions at
+    once, so a 100 TB scan with predicates on either column skips most
+    files. The key build is a pure bitwise expression chain inside
+    whole-stage codegen (no UDF, no shuffle); the write path pairs it
+    with ``repartitionByRange(zkey).sortWithinPartitions(zkey)``.
+
+    Here: bucket user_id and value to 8 bits each, interleave to a
+    16-bit zkey; the oracle runs the SAME arithmetic string."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.select(
+        "event_id",
+        (F.col("user_id") % 256).cast("long").alias("bx"),
+        (F.floor("value").cast("long") % 256).cast("long").alias("by"),
+    )
+    return b.select(
+        "event_id",
+        "bx",
+        "by",
+        F.expr(_interleave_bits_sql("bx", "by")).cast("long").alias("zkey"),
+    )

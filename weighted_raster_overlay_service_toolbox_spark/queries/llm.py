@@ -1203,3 +1203,150 @@ def q_span_dedup_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
     )
     return per_span.groupBy("n_docs").agg(F.count(F.lit(1)).alias("n_spans"))
+
+
+@query(
+    "q_dedup_keep_one",
+    oracle="""
+    WITH RECURSIVE
+    t AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents WHERE doc_id < 500
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+        SELECT i.doc_a AS src, i.doc_b AS dst
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.9
+    ),
+    sym AS (
+        SELECT src, dst FROM edges
+        UNION SELECT dst, src FROM edges
+        UNION SELECT doc_id, doc_id FROM documents WHERE doc_id < 500
+    ),
+    walk(node, lbl) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT w.node, s.dst FROM walk w JOIN sym s ON w.lbl = s.src
+    ),
+    comp AS (
+        SELECT node AS doc_id, MIN(lbl) AS component
+        FROM walk GROUP BY node
+    )
+    SELECT component AS keep_id, COUNT(*) AS n_members
+    FROM comp GROUP BY component
+    """,
+)
+def q_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep-one scan that completes the dedup pipeline: near-dup
+    clusters (same banded edges + connected components as
+    q_dedup_clusters) reduced to one canonical survivor per cluster --
+    ``keep_id`` = MIN doc_id reachable -- plus the cluster size the
+    deletion report needs. Downstream, the corpus filter is a semi-join
+    of documents against ``keep_id``.
+
+    Scale: everything up to components is the q_dedup_clusters plan; the
+    reduction is one component-keyed aggregation with map-side partials
+    (component ids are cluster-sized -- orders of magnitude fewer keys
+    than docs)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    edges = minhash_verified_edges(
+        d, "doc_id", F.array_distinct(TOKS()), threshold=0.9, k=16, bands=8
+    )
+    comp = connected_components(edges, "src", "dst", num_partitions=8)
+    members = (
+        d.select(F.col("doc_id").cast("long").alias("doc_id"))
+        .join(comp, F.col("doc_id") == F.col("node"), "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("component"))
+    )
+    return members.groupBy(F.col("component").alias("keep_id")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+
+
+@query(
+    "q_dedup_rate",
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_unique,
+           CAST(ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE)
+                / COUNT(*), 4) AS DOUBLE) AS dup_rate
+    FROM documents
+    """,
+)
+def q_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus duplication summary: exact-duplicate rate over the whole
+    table in one scan -- the before/after number every dedup run reports.
+
+    Scale: COUNT(DISTINCT hash) is planned as a two-stage expand/partial
+    aggregation (map-side partials on the 128-bit hash, uniform keys);
+    the text itself never shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5(F.col("text").cast("binary"))).alias("n_unique"),
+        F.round(
+            F.lit(1.0)
+            - F.countDistinct(F.md5(F.col("text").cast("binary"))).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        )
+        .cast("double")
+        .alias("dup_rate"),
+    )
+
+
+@query(
+    "q_decontaminate",
+    oracle="""
+    WITH ev AS (
+        SELECT doc_id, unnest(list_distinct([substring(text, i, 16)
+                       for i in range(1, length(text) - 14, 4)])) AS sh
+        FROM documents WHERE source = 'src0' AND length(text) >= 16
+    ), tr AS (
+        SELECT DISTINCT unnest([substring(text, i, 16)
+                       for i in range(1, length(text) - 14, 4)]) AS sh
+        FROM documents WHERE source <> 'src0' AND length(text) >= 16
+    )
+    SELECT e.doc_id
+    FROM ev e LEFT JOIN tr t USING (sh)
+    GROUP BY e.doc_id
+    HAVING SUM(CASE WHEN t.sh IS NOT NULL THEN 1 ELSE 0 END) = 0
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_contamination's enforcement half: the CLEAN eval set -- docs
+    whose strided 16-gram shingles never appear in the train split --
+    expressed as the semi/anti join pair a decontamination pass actually
+    runs (flag dirty docs by shingle semi-join, anti-join them away).
+
+    Scale: both joins key by shingle/doc_id -- no doc x doc space; the
+    dirty-doc set is small and broadcast-eligible for the anti join. At
+    100 TB hash the shingles (xxhash64) so the semi join ships 8-byte
+    keys."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 16)
+
+    def shingles(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - 15, F.lit(4))
+            ).alias("i"),
+            "text",
+        ).select("doc_id", F.expr("substring(text, i, 16)").alias("sh"))
+
+    ev = shingles(d.filter(F.col("source") == "src0")).distinct()
+    tr = shingles(d.filter(F.col("source") != "src0")).select("sh").distinct()
+    dirty = ev.join(tr, "sh", "left_semi").select("doc_id").distinct()
+    return (
+        ev.select("doc_id")
+        .distinct()
+        .join(broadcast(dirty), "doc_id", "left_anti")
+    )
