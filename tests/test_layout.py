@@ -1,0 +1,83 @@
+"""Z-order layout: prove multi-dimensional clustering from the written
+parquet footers themselves -- the file-skipping evidence a 100 TB scan
+relies on, not just a plan assertion."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pyarrow.parquet as pq
+
+from pyspark.sql import functions as F
+
+from weighted_raster_overlay_service_toolbox_spark.operators.layout import (
+    write_zordered,
+    zorder_key,
+)
+from weighted_raster_overlay_service_toolbox_spark.sources import load_table
+
+from .conftest import SF_SMOKE
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".scratch")
+
+
+def _bucketed_events(spark):
+    e = load_table(spark, SF_SMOKE, "events")
+    return e.select(
+        "event_id",
+        (F.col("user_id") % 256).cast("long").alias("bx"),
+        (F.floor("value").cast("long") % 256).cast("long").alias("by"),
+    )
+
+
+def _file_stats_area(path: str) -> float:
+    """Sum over files of the (bx, by) bounding-box area the file's footer
+    stats advertise -- exactly what min/max pruning sees. Smaller total
+    area = more selective stats = more files skipped per predicate."""
+    total = 0.0
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    assert files, path
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        mins = {"bx": None, "by": None}
+        maxs = {"bx": None, "by": None}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name in mins and col.statistics is not None:
+                    st = col.statistics
+                    mins[name] = st.min if mins[name] is None else min(mins[name], st.min)
+                    maxs[name] = st.max if maxs[name] is None else max(maxs[name], st.max)
+        assert mins["bx"] is not None and mins["by"] is not None, f
+        total += (maxs["bx"] - mins["bx"] + 1) * (maxs["by"] - mins["by"] + 1)
+    return total
+
+
+def test_zorder_write_shrinks_file_bounding_boxes(spark):
+    src = _bucketed_events(spark)
+    z_path = os.path.join(_SCRATCH, "layout_zorder")
+    flat_path = os.path.join(_SCRATCH, "layout_flat")
+    try:
+        write_zordered(
+            src, z_path, zorder_key(F.col("bx"), F.col("by")), n_files=8
+        )
+        # unclustered control: same rows, hash-scattered into 8 files
+        src.repartition(8).write.mode("overwrite").parquet(flat_path)
+
+        # layout changed, data did not
+        z = spark.read.parquet(z_path)
+        assert sorted(map(tuple, z.collect())) == sorted(
+            map(tuple, src.collect())
+        )
+
+        area_z = _file_stats_area(z_path)
+        area_flat = _file_stats_area(flat_path)
+        # hash scatter puts ~the full (bx, by) range in every file; the
+        # z-ordered tiling must cut the advertised search area hard
+        assert area_z < 0.5 * area_flat, (area_z, area_flat)
+    finally:
+        shutil.rmtree(z_path, ignore_errors=True)
+        shutil.rmtree(flat_path, ignore_errors=True)

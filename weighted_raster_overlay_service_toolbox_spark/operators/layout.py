@@ -1,0 +1,55 @@
+"""Data-layout operators: multi-dimensional clustering for scan pruning.
+
+The 100 TB read path lives or dies on file/row-group skipping: parquet
+footers carry min/max per column, and the engine prunes any file whose
+stats exclude the predicate. A single-column sort makes ONE column's
+stats selective; interleaving the bits of two columns (Morton / Z-order
+-- the technique behind Delta/Iceberg ``ZORDER BY``) makes BOTH
+selective at once, so point/range predicates on either dimension skip
+most files.
+
+``zorder_key`` is a pure bitwise expression chain (whole-stage codegen,
+no UDF, no shuffle); ``write_zordered`` pairs it with
+``repartitionByRange`` (range-partition the keyspace so files tile the
+curve) + ``sortWithinPartitions`` (row groups tile within each file).
+tests/test_layout.py PROVES the effect from the written parquet footers:
+the per-file bounding area over the two dimensions shrinks by an order
+of magnitude vs an unclustered write of the same rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key(x: Column, y: Column, bits: int = 8) -> Column:
+    """Morton interleave of the low ``bits`` of two non-negative integer
+    columns: bit i of x lands at position 2i, bit i of y at 2i+1.
+    Callers bucket raw values into [0, 2^bits) first (modulo or
+    width-scaling); the chain stays inside whole-stage codegen."""
+    key: Column | None = None
+    for i in range(bits):
+        xb = F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        yb = F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        key = xb + yb if key is None else key + xb + yb
+    assert key is not None
+    return key
+
+
+def write_zordered(
+    df: DataFrame, path: str, key: Column, n_files: int
+) -> None:
+    """Write ``df`` as ``n_files`` parquet files clustered by ``key``:
+    range-partition the key space (files tile disjoint key ranges --
+    a hash repartition would scatter the curve) then sort within each
+    partition (row groups tile within the file). The key column is
+    dropped before the write; only the layout changes, never the data."""
+    (
+        df.withColumn("_zkey", key)
+        .repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -1350,3 +1350,57 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .join(broadcast(dirty), "doc_id", "left_anti")
     )
+
+
+@query(
+    "q_approx_topk",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    cnt AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+    k AS (SELECT c AS c10 FROM cnt ORDER BY c DESC LIMIT 1 OFFSET 9)
+    SELECT CAST(i AS INT) AS rk,
+           (SELECT c10 FROM k) AS kth_count,
+           TRUE AS is_valid_topk
+    FROM range(1, 11) t(i)
+    """,
+)
+def q_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based heavy hitters: ``approx_top_k`` over the token stream
+    -- the 100 TB path for vocabulary/stop-word discovery (mergeable
+    frequent-items sketch, one pass, no per-token shuffle of the full
+    count table to the driver).
+
+    Same oracle pattern as q_agg_approx_distinct: sketch internals are
+    engine-specific, so the checkable statement is VALIDITY -- each of
+    the sketch's top-10 items must have an exact corpus count >= the
+    exact 10th-highest count (ties make several top-10 sets equally
+    correct; membership-above-threshold accepts exactly the valid ones).
+    The exact side is the verification yardstick; only the sketch runs
+    at scale. At fixture vocabulary sizes (< the sketch's 10k tracked
+    items) the sketch is exact, so the booleans are deterministically
+    TRUE."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(TOKS()).alias("t"))
+    approx = tok.agg(F.expr("approx_top_k(t, 10)").alias("tk")).select(
+        F.posexplode("tk").alias("pos", "entry")
+    ).select(
+        (F.col("pos") + 1).cast("int").alias("rk"),
+        F.col("entry.item").alias("item"),
+    )
+    exact = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    c10 = (
+        exact.orderBy(F.col("c").desc(), F.col("t"))
+        .limit(10)
+        .agg(F.min("c").alias("c10"))
+    )
+    return (
+        approx.join(broadcast(exact), F.col("item") == F.col("t"), "left")
+        .crossJoin(broadcast(c10))
+        .select(
+            "rk",
+            F.col("c10").alias("kth_count"),
+            (F.coalesce("c", F.lit(0)) >= F.col("c10")).alias("is_valid_topk"),
+        )
+    )
