@@ -1404,3 +1404,111 @@ def q_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("c", F.lit(0)) >= F.col("c10")).alias("is_valid_topk"),
         )
     )
+
+
+@query(
+    "q_dedup_incremental",
+    oracle="""
+    WITH idx AS (
+        SELECT DISTINCT md5(array_to_string(list_sort(list_distinct(
+                   string_split(text, ' '))), ' ')) AS fp
+        FROM documents WHERE doc_id < 400
+    ),
+    batch AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                   string_split(text, ' '))), ' ')) AS fp
+        FROM documents WHERE doc_id >= 400
+    )
+    SELECT fp, MIN(doc_id) AS keep_id
+    FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM idx i WHERE i.fp = b.fp)
+    GROUP BY fp
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (daily-ingest) dedup: the new batch (doc_id >= 400)
+    is deduped AGAINST the existing corpus fingerprint index (doc_id <
+    400) with an anti join, then within itself (min doc_id per
+    fingerprint) -- the shape every rolling corpus build runs nightly,
+    where re-deduping the whole history would be quadratic in days.
+
+    Scale: the index side is fingerprints only (16 bytes/doc, no text);
+    the anti join and the keep-one agg both key on the fingerprint --
+    uniform hash keys, map-side partials, and the historical text is
+    never read again."""
+    d = load_table(spark, sf_dir, "documents")
+    idx = (
+        d.filter(F.col("doc_id") < 400)
+        .select(fingerprint("text").alias("fp"))
+        .distinct()
+    )
+    batch = d.filter(F.col("doc_id") >= 400).select(
+        "doc_id", fingerprint("text").alias("fp")
+    )
+    return (
+        batch.join(idx, "fp", "left_anti")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+
+
+@query(
+    "q_ann_filtered",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    p AS (SELECT * FROM v WHERE vec_id < 25),
+    s AS (
+        SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+               CAST(ROUND(list_dot_product(p.e, c.e)
+                    / (sqrt(list_dot_product(p.e, p.e))
+                       * sqrt(list_dot_product(c.e, c.e))), 4) AS DOUBLE) AS sim
+        FROM p JOIN v c ON c.label = p.label AND c.vec_id <> p.vec_id
+    ),
+    r AS (
+        SELECT probe_id, cand_id, sim,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY sim DESC, cand_id) AS rn
+        FROM s
+    )
+    SELECT probe_id, cand_id, sim, CAST(rn AS INT) AS rk
+    FROM r WHERE rn <= 3
+    """,
+)
+def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search: top-3 same-label neighbors per probe
+    (vec_id < 25) -- the metadata-predicate + similarity composition
+    every production vector store serves (tenant/class/language scoping).
+    The filter is an equi-join condition, so it prunes candidates BEFORE
+    any similarity math instead of post-filtering a global top-k (which
+    under-fills when the filter is selective).
+
+    Scale: probes (with labels) broadcast; the label condition rides the
+    broadcast hash join, candidates stream; per-partition partial top-k
+    merges in the probe-keyed window. A label-partitioned parquet layout
+    would add partition pruning on the candidate scan."""
+    v = with_norm(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+        )
+    )
+    p = v.filter(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("p_label"),
+        F.col("e").alias("pe"),
+        F.col("nrm").alias("pnrm"),
+    )
+    joined = v.join(
+        broadcast(p),
+        (F.col("label") == F.col("p_label")) & (F.col("vec_id") != F.col("probe_id")),
+    )
+    scored = joined.select(
+        "probe_id",
+        F.col("vec_id").alias("cand_id"),
+        F.round(
+            _dot(F.col("pe"), F.col("e")) / (F.col("pnrm") * F.col("nrm")), 4
+        ).cast("double").alias("sim"),
+    )
+    return topk_per_probe(scored, 3)
