@@ -139,8 +139,9 @@ def q_jaccard_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidates via MinHash + LSH banding (fixed seeds).
 
-    shingle -> 16 min-hashes -> 4 bands of 4 -> band-hash bucket join ->
-    candidate pairs -> exact Jaccard verify on the candidates only.
+    tokens -> 16 min-hashes -> 8 bands of 2 -> band-hash bucket join ->
+    candidate pairs, est-filtered (exact verify is the
+    minhash_verified_edges / q_dedup_clusters path).
 
     Scale: never forms the quadratic pair space -- the shuffle is keyed by
     (band_idx, band_hash) and only same-bucket pairs are joined; estimated
@@ -1512,3 +1513,79 @@ def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double").alias("sim"),
     )
     return topk_per_probe(scored, 3)
+
+
+@query(
+    "q_collocations",
+    oracle="""
+    WITH tk AS (
+        SELECT string_split(text, ' ') AS t FROM documents
+    ),
+    uni AS (SELECT unnest(t) AS w FROM tk),
+    ucnt AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+    nu AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM uni),
+    big AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM tk CROSS JOIN LATERAL (
+            SELECT unnest(range(1, len(t))) AS i
+        ) ix(i)
+    ),
+    bcnt AS (SELECT w1, w2, COUNT(*) AS cxy FROM big GROUP BY w1, w2),
+    nb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM big)
+    SELECT b.w1, b.w2, b.cxy,
+           CAST(ROUND(ln((CAST(b.cxy AS DOUBLE) / nb.n)
+                    / ((c1.c / nu.n) * (c2.c / nu.n))), 4) AS DOUBLE) AS pmi
+    FROM bcnt b
+    CROSS JOIN nb CROSS JOIN nu
+    JOIN ucnt c1 ON c1.w = b.w1
+    JOIN ucnt c2 ON c2.w = b.w2
+    WHERE b.cxy >= 10
+    """,
+)
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation (phrase) mining: pointwise mutual information over
+    adjacent token bigrams -- the phrase-detection pass (word2vec-style)
+    a tokenizer-training pipeline runs before building a vocabulary.
+    PMI = ln(p(xy) / (p(x) p(y))) with bigram/unigram probabilities;
+    frequency floor cxy >= 10 keeps estimates stable.
+
+    Scale: bigram and unigram counts are token-keyed aggregations with
+    map-side partials; the unigram table is vocabulary-sized and
+    BROADCAST back to the bigram counts; the two corpus totals are
+    scalar cross joins. One corpus scan feeds both counts. The ln is
+    rounded to 4dp (the tfidf cross-engine convention)."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select(F.split("text", " ").alias("t"))
+    uni = tk.select(F.explode("t").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    nu = uni.agg(F.count(F.lit(1)).cast("double").alias("nu"))
+    # size >= 2 guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0],
+    # not an empty array (DuckDB's range(1, 1) IS empty), so single-token
+    # docs would fabricate null bigrams without it
+    big = tk.filter(F.size("t") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bcnt = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cxy"))
+    nb = big.agg(F.count(F.lit(1)).cast("double").alias("nb"))
+    c1 = ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    c2 = ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.log(
+        (F.col("cxy").cast("double") / F.col("nb"))
+        / ((F.col("c1") / F.col("nu")) * (F.col("c2") / F.col("nu")))
+    )
+    return (
+        bcnt.filter(F.col("cxy") >= 10)
+        .crossJoin(broadcast(nb))
+        .crossJoin(broadcast(nu))
+        .join(broadcast(c1), "w1")
+        .join(broadcast(c2), "w2")
+        .select(
+            "w1", "w2", "cxy",
+            F.round(pmi, 4).cast("double").alias("pmi"),
+        )
+    )
