@@ -50,6 +50,23 @@ def test_near_dup_stage_drops_higher_id(spark):
     assert 2 in {r["doc_id"] for r in kept.collect()}
 
 
+def test_near_dup_exact_verify_uses_true_jaccard(spark):
+    """near_dup_exact_jaccard routes through minhash_verified_edges:
+    docs 2 and 6 share 6 of 8 distinct tokens (j = 0.75), so a 0.7
+    exact threshold drops the higher id while a 0.8 threshold keeps
+    both -- est-only mode cannot make that distinction reliably."""
+    _, dropped_07, _ = curate_corpus(
+        _docs(spark), min_tokens=5, near_dup=True, near_dup_exact_jaccard=0.7
+    )
+    reasons = {r["doc_id"]: r["reason"] for r in dropped_07.collect()}
+    assert reasons.get(6) == "near_duplicate"
+    kept_08, dropped_08, _ = curate_corpus(
+        _docs(spark), min_tokens=5, near_dup=True, near_dup_exact_jaccard=0.8
+    )
+    assert "near_duplicate" not in {r["reason"] for r in dropped_08.collect()}
+    assert {2, 6} <= {r["doc_id"] for r in kept_08.collect()}
+
+
 def test_domain_cap_is_deterministic(spark):
     a = curate_corpus(_docs(spark), min_tokens=5, docs_per_source=1)
     b = curate_corpus(_docs(spark), min_tokens=5, docs_per_source=1)

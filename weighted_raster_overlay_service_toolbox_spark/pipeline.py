@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .operators.dedup import minhash_candidates
+from .operators.dedup import minhash_candidates, minhash_verified_edges
 from .operators.graph import connected_components
 from .operators.text import fingerprint, repetition_features, tokens_of
 
@@ -38,6 +38,7 @@ def curate_corpus(
     max_top_trigram_share: float | None = 0.5,
     near_dup: bool = False,
     near_dup_est_jaccard: float = 0.5,
+    near_dup_exact_jaccard: float | None = None,
     docs_per_source: int | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Run the curation cascade; return ``(kept, dropped, stats)``.
@@ -56,7 +57,11 @@ def curate_corpus(
        lower-id doc (catches exact and reordered copies);
     4. ``near_duplicate`` (opt-in) -- MinHash-LSH candidates merged into
        connected components; every member but the component minimum
-       drops;
+       drops. With ``near_dup_exact_jaccard`` set, candidates are
+       exact-verified at that token-Jaccard threshold before clustering
+       (operators/dedup.py minhash_verified_edges -- exact precision,
+       banded recall); otherwise the estimated-similarity threshold
+       ``near_dup_est_jaccard`` decides alone;
     5. ``domain_capped`` (opt-in) -- deterministic md5-ordered cap per
        source.
     """
@@ -100,9 +105,16 @@ def curate_corpus(
     # stage 4 (opt-in): near-dup clusters among survivors
     if near_dup:
         alive = staged.filter(F.col("_reason").isNull()).select(id_col, text_col)
-        cand = minhash_candidates(
-            alive, id_col, F.array_distinct(tokens_of(text_col)), k=16, bands=8
-        ).filter(F.col("est_jaccard") >= near_dup_est_jaccard)
+        toks = F.array_distinct(tokens_of(text_col))
+        if near_dup_exact_jaccard is not None:
+            cand = minhash_verified_edges(
+                alive, id_col, toks, threshold=near_dup_exact_jaccard,
+                k=16, bands=8,
+            ).withColumnRenamed("src", "doc_a").withColumnRenamed("dst", "doc_b")
+        else:
+            cand = minhash_candidates(
+                alive, id_col, toks, k=16, bands=8
+            ).filter(F.col("est_jaccard") >= near_dup_est_jaccard)
         comp = connected_components(cand, "doc_a", "doc_b")
         near = (
             comp.filter(F.col("node") != F.col("component"))
