@@ -56,6 +56,35 @@ def _file_stats_area(path: str) -> float:
     return total
 
 
+def test_compact_parquet_reduces_file_count_preserving_rows(spark):
+    from weighted_raster_overlay_service_toolbox_spark.operators.layout import (
+        compact_parquet,
+    )
+
+    src = _bucketed_events(spark)
+    path = os.path.join(_SCRATCH, "layout_compact")
+    try:
+        src.repartition(16).write.mode("overwrite").parquet(path)
+        before = sorted(map(tuple, spark.read.parquet(path).collect()))
+        n_before = len(glob.glob(os.path.join(path, "*.parquet")))
+        assert n_before == 16
+        n_after = compact_parquet(spark, path, target_file_bytes=10**9)
+        assert n_after == 1
+        assert len(glob.glob(os.path.join(path, "*.parquet"))) == 1
+        assert not os.path.exists(path + ".compact.tmp")
+        assert not os.path.exists(path + ".compact.old")
+        assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+        # sorted compaction restores a clustering key while compacting
+        src.repartition(16).write.mode("overwrite").parquet(path)
+        compact_parquet(spark, path, target_file_bytes=10**9, sort_col="bx")
+        part = spark.read.parquet(path)
+        assert sorted(map(tuple, part.collect())) == before
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(path + ".compact.tmp", ignore_errors=True)
+        shutil.rmtree(path + ".compact.old", ignore_errors=True)
+
+
 def test_zorder_write_shrinks_file_bounding_boxes(spark):
     src = _bucketed_events(spark)
     z_path = os.path.join(_SCRATCH, "layout_zorder")

@@ -37,6 +37,49 @@ def zorder_key(x: Column, y: Column, bits: int = 8) -> Column:
     return key
 
 
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_col: str | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet dir into
+    ``ceil(total_bytes / target_file_bytes)`` files; returns the new file
+    count. The maintenance pass every streaming/incremental sink needs --
+    micro-batches and per-executor writers leave file counts that grow
+    without bound, and at 100 TB scan cost is driven by file COUNT
+    (footer reads, task scheduling) as much as bytes.
+
+    ``sort_col`` optionally re-sorts within files during the rewrite (the
+    natural moment to restore a clustering key, e.g. a Z-order key --
+    compaction and re-clustering share the same read+write).
+
+    Crash-safe: the rewrite lands in a sibling ``<path>.compact.tmp`` and
+    swaps in atomically via rename (same snapshot-swap discipline as
+    sources/catalog_store.py); a crash mid-rewrite leaves the original
+    intact."""
+    import glob as _glob
+    import math
+    import os
+    import shutil
+
+    files = _glob.glob(os.path.join(path, "*.parquet"))
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp, old = path + ".compact.tmp", path + ".compact.old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    out = df.repartition(n_out)
+    if sort_col is not None:
+        out = df.repartitionByRange(n_out, sort_col).sortWithinPartitions(sort_col)
+    out.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return len(_glob.glob(os.path.join(path, "*.parquet")))
+
+
 def write_zordered(
     df: DataFrame, path: str, key: Column, n_files: int
 ) -> None:
