@@ -38,6 +38,18 @@ from . import extended  # noqa: F401,E402
 # Every entry is oracle-backed so all 50 driver rows can go green.
 # Queries outside the window stay registered and are hash-verified against
 # DuckDB every test run by tests/test_oracle_parity.py.
+#
+# ROUND-5 ROTATION PLAN (swap into the non-flagship slots next round so
+# every oracle-backed query accrues at least one driver-green row):
+# q_scd2, q_hll_rollup, q_span_dedup, q_span_dedup_hashed, q_join_salted,
+# q_agg_salted, q_udtf_lateral, q_block_dedup, q_sample_stratified,
+# q_embed_quantize, q_outliers_zscore, q_impute_group_mean,
+# q_rollup_two_level, q_rare_token_ratio, q_subquery_scalar, q_agg_argmax,
+# q_dedup_keep_one, q_dedup_rate, q_decontaminate, q_zorder_layout,
+# q_approx_topk, q_dedup_incremental, q_ann_filtered, q_collocations,
+# plus any relational-family members still missing a driver row
+# (q_join_left/right/full/semi/anti/cross/theta, q_win_* frames,
+# q_sort_*, q_union_*/intersect/except, q_agg_rollup/cube/grouping_sets).
 _DRIVER_WINDOW = [
     # -- permanent flagships (all driver-green in r3) --
     "q_wro_equal_interval", "q_wro_overlay", "q_wro_catalog_update",
