@@ -80,6 +80,15 @@ def test_simhash_pairing_is_blocked_equi_join(spark):
     assert "band_val" in plan, plan  # equi-join key reached the plan
 
 
+def test_bucket_pruning_selects_one_bucket(spark):
+    """q_scan_bucket_pruned's equality predicate on the bucketing column
+    must prune to 1 of 8 bucket files before any I/O, and the
+    bucket-keyed aggregate must need no exchange."""
+    plan = plan_of(spark, "q_scan_bucket_pruned")
+    assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
 def test_zorder_key_is_narrow_codegen(spark):
     """q_zorder_layout's Morton key must stay a pure projection: no
     exchange (it is a per-row layout key, shuffle-free by design) and no

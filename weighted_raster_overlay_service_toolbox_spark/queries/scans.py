@@ -209,3 +209,53 @@ def q_scan_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fact.join(dim, "l_returnflag").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "flag_label"
     )
+
+
+@query(
+    "q_scan_bucket_pruned",
+    oracle="""
+    SELECT l_orderkey, COUNT(*) AS n_lines,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS sum_qty
+    FROM lineitem WHERE l_orderkey = 128
+    GROUP BY l_orderkey
+    """,
+)
+def q_scan_bucket_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket PRUNING on a keyed lookup-aggregate: the equality predicate
+    on the bucketing column lets the scan read 1 of the 8 bucket files
+    and skip the other 7 before any I/O, and the bucket-keyed aggregation
+    needs no exchange (the bucketed layout IS the required distribution).
+    The plan advertises ``SelectedBucketsCount: 1 out of 8`` with zero
+    Exchange nodes (pinned in tests/test_plans.py). A bare filter scan
+    would NOT prune: Spark's auto-bucketed-scan disables bucketed reading
+    when nothing downstream uses the distribution, so the aggregate here
+    is what keeps pruning live -- the realistic shape anyway (point
+    lookups aggregate).
+
+    Scale: at 100 TB a keyed lookup against a bucketed fact table
+    touches total_bytes/n_buckets, independent of cluster size; layered
+    under partitioning it composes with partition pruning. Values are
+    layout-independent, so the oracle runs on the plain parquet source."""
+    import os as _os
+    import shutil as _shutil
+
+    spark.sql("DROP TABLE IF EXISTS q_bp_lineitem")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    _shutil.rmtree(_os.path.join(warehouse, "q_bp_lineitem"), ignore_errors=True)
+    load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("q_bp_lineitem")
+    return (
+        spark.table("q_bp_lineitem")
+        .filter(F.col("l_orderkey") == 128)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
