@@ -30,14 +30,30 @@ def asof_join(
     ts: str,
     ref_value_cols: list[str],
     suffix: str = "_ref",
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """Left as-of join (backward direction, inclusive).
+    """Left as-of join, inclusive at equal timestamps.
 
-    ``probe`` keeps all its columns; for each probe row the reference row
-    with the greatest ``ts`` <= probe ``ts`` (per ``on`` key) contributes
-    ``ref_value_cols`` plus ``ts + suffix``. No match -> nulls.
-    ``ref`` must be unique per (key, ts); pre-aggregate it otherwise.
+    ``direction``: "backward" (default) matches the reference row with
+    the greatest ``ts`` <= probe ``ts``; "forward" the smallest ``ts``
+    >= probe ``ts`` -- the pandas ``merge_asof`` directions, same single
+    shuffle either way (only the window's sort order flips; ties still
+    resolve ref-before-probe so both directions are inclusive).
+
+    ``tolerance_seconds``: maximum |probe.ts - ref.ts| gap; a nearest
+    match farther than this nulls out (exactly "no match within
+    tolerance" -- applied AFTER the nearest-match window, which equals
+    restricting the join window because the nearest match inside the
+    tolerance IS the overall nearest when one exists).
+
+    ``probe`` keeps all its columns; the matched reference row
+    contributes ``ref_value_cols`` plus ``ts + suffix``. No match ->
+    nulls. ``ref`` must be unique per (key, ts); pre-aggregate it
+    otherwise.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     tag = "__asof_tag"
     fill_cols = [ts + suffix] + [c + suffix for c in ref_value_cols]
 
@@ -56,16 +72,23 @@ def asof_join(
     )
     unioned = probe_side.unionByName(ref_side, allowMissingColumns=True)
 
+    ts_order = F.col(ts).asc() if direction == "backward" else F.col(ts).desc()
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col(ts).asc(), F.col(tag).asc())
+        .orderBy(ts_order, F.col(tag).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled: list[Column] = [
         F.last(c, ignorenulls=True).over(w).alias(c) for c in fill_cols
     ]
-    return (
-        unioned.select(*probe_cols, tag, *filled)
-        .filter(F.col(tag) == 1)
-        .drop(tag)
-    )
+    out = unioned.select(*probe_cols, tag, *filled).filter(F.col(tag) == 1).drop(tag)
+    if tolerance_seconds is not None:
+        gap = F.col(ts).cast("double") - F.col(ts + suffix).cast("double")
+        if direction == "forward":
+            gap = -gap
+        ok = F.col(ts + suffix).isNotNull() & (gap <= F.lit(float(tolerance_seconds)))
+        out = out.select(
+            *probe_cols,
+            *[F.when(ok, F.col(c)).otherwise(F.lit(None)).alias(c) for c in fill_cols],
+        )
+    return out

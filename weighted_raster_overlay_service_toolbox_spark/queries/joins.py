@@ -347,3 +347,50 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "l_orderkey", "l_linenumber", "l_suppkey", "s_name", "s_nationkey"
     )
+
+
+@query(
+    "q_join_asof_forward",
+    oracle="""
+    WITH r AS (
+        SELECT user_id, ts, MAX_BY(value, event_id) AS ref_value
+        FROM events WHERE event_type = 'signup'
+        GROUP BY user_id, ts
+    ), p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ), m AS (
+        SELECT p.event_id, p.user_id, p.ts, MIN(r.ts) AS ts_ref
+        FROM p LEFT JOIN r
+          ON r.user_id = p.user_id
+         AND r.ts >= p.ts AND r.ts <= p.ts + INTERVAL 1 HOUR
+        GROUP BY p.event_id, p.user_id, p.ts
+    )
+    SELECT m.event_id, m.user_id, m.ts, m.ts_ref,
+           r2.ref_value AS ref_value_ref
+    FROM m LEFT JOIN r r2
+      ON r2.user_id = m.user_id AND r2.ts = m.ts_ref
+    """,
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance: for each 'error' event, the
+    user's NEXT 'signup' within the following hour (the
+    pandas-merge_asof direction='forward' + tolerance surface). Same
+    single-shuffle union+window operator as q_join_asof -- only the
+    window's sort order flips, and the tolerance nulls matches beyond
+    the gap after the nearest-match fill (equivalent to restricting the
+    join window, since the nearest match within tolerance IS the overall
+    nearest when one exists). The oracle computes the same thing as a
+    min-forward join restricted to the hour window."""
+    ev = load_table(spark, sf_dir, "events")
+    ref = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("ref_value"))
+    )
+    probe = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        probe, ref, on=["user_id"], ts="ts", ref_value_cols=["ref_value"],
+        direction="forward", tolerance_seconds=3600,
+    )
