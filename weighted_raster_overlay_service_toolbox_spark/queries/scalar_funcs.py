@@ -668,3 +668,42 @@ def q_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_orderkey").bitwiseAND(F.lit(255))).alias("sum_low_byte"),
         F.sum(F.shiftright("l_orderkey", 4)).alias("sum_shifted"),
     )
+
+
+@query(
+    "q_hof_funcs",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents WHERE doc_id < 200)
+    SELECT doc_id,
+           list_transform(toks, x -> CAST(length(x) AS INT))   AS tok_lens,
+           list_sort(list_filter(toks, x -> length(x) > 4))    AS long_toks,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS INT)
+                                                               AS total_chars,
+           len(list_filter(toks, x -> length(x) > 6)) > 0      AS any_long,
+           len(list_filter(toks, x -> length(x) > 10)) = 0     AS all_short
+    FROM t
+    """,
+)
+def q_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions -- transform / filter / aggregate /
+    exists / forall as lambda expressions evaluated INSIDE the JVM per
+    row (Catalyst lambda variables), the idiomatic replacement for a
+    Python UDF over array columns. DuckDB expresses exists/forall via
+    list_filter cardinality; values match exactly.
+
+    Scale: all five are narrow per-row expressions -- no shuffle, no
+    Python; this is the pattern the MinHash signature builder and the
+    quantizer use in their hot paths."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.transform(toks, lambda t: F.length(t)).alias("tok_lens"),
+        F.array_sort(F.filter(toks, lambda t: F.length(t) > 4)).alias("long_toks"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+        ).alias("total_chars"),
+        F.exists(toks, lambda t: F.length(t) > 6).alias("any_long"),
+        F.forall(toks, lambda t: F.length(t) <= 10).alias("all_short"),
+    )

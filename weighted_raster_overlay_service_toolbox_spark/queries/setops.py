@@ -76,3 +76,45 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT ALL -- multiset difference (keeps multiplicity)."""
     lo, hi = _split_halves(spark, sf_dir)
     return lo.exceptAll(hi)
+
+
+def _multiset_halves(spark: SparkSession, sf_dir: str):
+    """Two overlapping lineitem slices with REPEATED (orderkey, flag)
+    rows, so the ALL-variants genuinely differ from the distinct ones."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    lo = li.filter(F.col("l_orderkey") <= 2000)
+    hi = li.filter(F.col("l_orderkey") >= 1000)
+    return lo, hi
+
+
+@query(
+    "q_intersect_all",
+    oracle="""
+    SELECT l_orderkey, l_returnflag FROM lineitem WHERE l_orderkey <= 2000
+    INTERSECT ALL
+    SELECT l_orderkey, l_returnflag FROM lineitem WHERE l_orderkey >= 1000
+    """,
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL -- multiset intersection (min of the two
+    multiplicities per row). One shuffle keyed by the full row with
+    per-side counts; rows repeated k times in both slices appear k
+    times, which plain INTERSECT collapses to one."""
+    lo, hi = _multiset_halves(spark, sf_dir)
+    return lo.intersectAll(hi)
+
+
+@query(
+    "q_except_distinct",
+    oracle="""
+    SELECT l_orderkey, l_returnflag FROM lineitem WHERE l_orderkey <= 2000
+    EXCEPT
+    SELECT l_orderkey, l_returnflag FROM lineitem WHERE l_orderkey >= 1000
+    """,
+)
+def q_except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) -- set difference with dedup, the complement of
+    q_except's EXCEPT ALL: a row present 5 times on the left and 0 on
+    the right appears once here, 5 times there."""
+    lo, hi = _multiset_halves(spark, sf_dir)
+    return lo.subtract(hi)
