@@ -707,3 +707,39 @@ def q_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.exists(toks, lambda t: F.length(t) > 6).alias("any_long"),
         F.forall(toks, lambda t: F.length(t) <= 10).alias("all_short"),
     )
+
+
+@query(
+    "q_json_typed",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-driven JSON parse: ``from_json(props, 'k INT')`` turns the
+    payload column into a typed struct in one pass (JacksonParser with a
+    target schema -- the semi-structured ingest path), then aggregates
+    by the extracted key. Differs from q_json_extract's per-path
+    extraction: ONE parse populates every declared field, which is the
+    right shape when several fields are read (per-path re-parses the
+    document each time).
+
+    Scale: parse is a narrow per-row expression; the aggregation
+    shuffles on the (bounded-cardinality) extracted key with map-side
+    partials. At 100 TB, parse-once-into-struct then prune columns."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.select(
+        F.from_json("props", "k INT").alias("p"),
+        F.col("value"),
+    )
+    return parsed.groupBy(F.col("p.k").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("sum_value"),
+    )
