@@ -56,6 +56,43 @@ def _file_stats_area(path: str) -> float:
     return total
 
 
+def test_zorder_key_is_bijective_and_orders_locally(spark):
+    """Property (hypothesis): the Morton key is a bijection on the
+    8-bit x 8-bit domain (distinct inputs -> distinct keys, key decodes
+    back to its inputs) -- checked against a pure-Python reimplementation
+    so the Spark expression chain is falsifiable."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def py_morton(x: int, y: int) -> int:
+        k = 0
+        for i in range(8):
+            k |= ((x >> i) & 1) << (2 * i)
+            k |= ((y >> i) & 1) << (2 * i + 1)
+        return k
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 255), st.integers(0, 255)),
+            min_size=1, max_size=20, unique=True,
+        )
+    )
+    def check(pairs):
+        df = spark.createDataFrame(pairs, "x long, y long")
+        got = {
+            (r["x"], r["y"]): r["k"]
+            for r in df.select(
+                "x", "y", zorder_key(F.col("x"), F.col("y")).alias("k")
+            ).collect()
+        }
+        for (x, y), k in got.items():
+            assert k == py_morton(x, y), (x, y, k)
+        assert len(set(got.values())) == len(got)  # injective
+
+    check()
+
+
 def test_compact_parquet_reduces_file_count_preserving_rows(spark):
     from weighted_raster_overlay_service_toolbox_spark.operators.layout import (
         compact_parquet,
