@@ -93,6 +93,38 @@ def test_zorder_key_is_bijective_and_orders_locally(spark):
     check()
 
 
+def test_zorder_nd_matches_python_and_rejects_overflow(spark):
+    import pytest
+
+    from weighted_raster_overlay_service_toolbox_spark.operators.layout import (
+        zorder_key_nd,
+    )
+
+    def py_morton_nd(vals, bits):
+        k = 0
+        for i in range(bits):
+            for d, v in enumerate(vals):
+                k |= ((v >> i) & 1) << (i * len(vals) + d)
+        return k
+
+    rows = [(3, 200, 17), (255, 0, 255), (0, 0, 0), (128, 64, 32)]
+    df = spark.createDataFrame(rows, "a long, b long, c long")
+    got = df.select(
+        "a", "b", "c",
+        zorder_key_nd([F.col("a"), F.col("b"), F.col("c")]).alias("k"),
+    ).collect()
+    for r in got:
+        assert r["k"] == py_morton_nd((r["a"], r["b"], r["c"]), 8)
+    # 2-dim wrapper stays consistent with the N-dim form
+    two = df.select(
+        zorder_key(F.col("a"), F.col("b")).alias("k2"),
+        zorder_key_nd([F.col("a"), F.col("b")]).alias("kn"),
+    ).collect()
+    assert all(r["k2"] == r["kn"] for r in two)
+    with pytest.raises(ValueError):
+        zorder_key_nd([F.col("a")] * 8, bits=8)  # 64 > 63-bit budget
+
+
 def test_compact_parquet_reduces_file_count_preserving_rows(spark):
     from weighted_raster_overlay_service_toolbox_spark.operators.layout import (
         compact_parquet,

@@ -28,11 +28,26 @@ def zorder_key(x: Column, y: Column, bits: int = 8) -> Column:
     columns: bit i of x lands at position 2i, bit i of y at 2i+1.
     Callers bucket raw values into [0, 2^bits) first (modulo or
     width-scaling); the chain stays inside whole-stage codegen."""
+    return zorder_key_nd([x, y], bits)
+
+
+def zorder_key_nd(cols: list[Column], bits: int = 8) -> Column:
+    """N-dimensional Morton interleave (round-robin bit placement: bit i
+    of column d lands at position i*N + d). 64-bit output bounds N*bits
+    <= 63. Two dims cover the common (key, time) layout; 3-4 dims are
+    the practical ceiling -- each added dimension halves the per-dim
+    resolution at fixed key width, which is the standard Z-order
+    trade-off."""
+    n = len(cols)
+    if n < 1:
+        raise ValueError("zorder_key_nd needs at least one column")
+    if n * bits > 63:
+        raise ValueError(f"{n} dims x {bits} bits exceeds the 63-bit key budget")
     key: Column | None = None
     for i in range(bits):
-        xb = F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
-        yb = F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        key = xb + yb if key is None else key + xb + yb
+        for d, c in enumerate(cols):
+            b = F.shiftleft(F.shiftright(c, i).bitwiseAND(F.lit(1)), i * n + d)
+            key = b if key is None else key + b
     assert key is not None
     return key
 
