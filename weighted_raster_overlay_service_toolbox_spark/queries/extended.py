@@ -791,3 +791,102 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "by",
         F.expr(_interleave_bits_sql("bx", "by")).cast("long").alias("zkey"),
     )
+
+
+@query(
+    "q_retention_cohorts",
+    oracle="""
+    WITH firstseen AS (
+        SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id,
+               CAST(date_trunc('week', e.ts) AS TIMESTAMP) AS wk
+        FROM events e
+    )
+    SELECT f.cohort,
+           CAST(date_diff('week', f.cohort, a.wk) AS INT) AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_active
+    FROM activity a JOIN firstseen f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week, counted active
+    in each subsequent week -- the product-analytics staple every event
+    warehouse serves. Spark side: first-seen is one user-keyed
+    aggregation; the (vocabulary-sized) cohort map broadcasts back onto
+    weekly activity; the final rollup keys on (cohort, offset).
+
+    Scale: no self-join of the event table -- the only event-table pass
+    is the distinct (user, week) projection; everything after operates
+    on user- or cohort-cardinality data. date_trunc('week') is
+    engine-aligned (both truncate to Monday)."""
+    from pyspark.sql.functions import broadcast
+
+    e = load_table(spark, sf_dir, "events")
+    firstseen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    return (
+        activity.join(broadcast(firstseen), "user_id")
+        .groupBy(
+            "cohort",
+            (F.datediff(F.col("wk"), F.col("cohort")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@query(
+    "q_funnel_ordered",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, MIN(ts) AS first_click FROM events
+        WHERE event_type = 'click' GROUP BY user_id
+    ),
+    p AS (
+        SELECT user_id, MAX(ts) AS last_purchase FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_clickers,
+           SUM(CASE WHEN p.last_purchase >= c.first_click
+                    THEN 1 ELSE 0 END) AS n_converted
+    FROM c LEFT JOIN p USING (user_id)
+    """,
+)
+def q_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: of the users who clicked, how many
+    purchased AT OR AFTER their first click (sequence matters -- a
+    purchase before any click is not a conversion). The standard
+    two-step funnel reduced to per-user boundary timestamps, so the
+    event table is scanned once per step and the comparison runs on
+    user-cardinality data; no event-level self-join, no window over the
+    full stream.
+
+    Scale: two filtered user-keyed aggregations + one user-keyed join;
+    at 100 TB both aggregations push partials map-side and the join is
+    user-cardinality, orders of magnitude under event-cardinality."""
+    e = load_table(spark, sf_dir, "events")
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("last_purchase"))
+    )
+    return c.join(p, "user_id", "left").agg(
+        F.count(F.lit(1)).alias("n_clickers"),
+        F.sum(
+            F.when(F.col("last_purchase") >= F.col("first_click"), 1).otherwise(0)
+        ).alias("n_converted"),
+    )
