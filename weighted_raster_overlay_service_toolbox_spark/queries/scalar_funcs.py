@@ -743,3 +743,70 @@ def q_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+@query(
+    "q_str_funcs2",
+    oracle="""
+    SELECT doc_id,
+           reverse(lang)                       AS lang_rev,
+           repeat(lang, 2)                     AS lang_twice,
+           lpad(lang, 6, '_')                  AS lang_lpad,
+           rpad(lang, 6, '.')                  AS lang_rpad,
+           translate(lang, 'aeiou', 'AEIOU')   AS lang_vowels,
+           left(source, 3)                     AS src_left,
+           right(source, 1)                    AS src_right,
+           ascii(lang)                         AS lang_ascii
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q_str_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string-function sweep: reverse / repeat / lpad / rpad /
+    translate / left / right / ascii -- the remaining R30-family surface
+    beyond q_str_funcs. All JVM scalar expressions inside whole-stage
+    codegen."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.reverse("lang").alias("lang_rev"),
+        F.repeat("lang", 2).alias("lang_twice"),
+        F.lpad("lang", 6, "_").alias("lang_lpad"),
+        F.rpad("lang", 6, ".").alias("lang_rpad"),
+        F.translate("lang", "aeiou", "AEIOU").alias("lang_vowels"),
+        F.substring("source", 1, 3).alias("src_left"),
+        F.substring("source", -1, 1).alias("src_right"),
+        F.ascii("lang").alias("lang_ascii"),
+    )
+
+
+@query(
+    "q_seasonality_matrix",
+    oracle="""
+    SELECT CAST(EXTRACT(dow FROM ts) + 1 AS INT) AS dow,
+           CAST(EXTRACT(hour FROM ts) AS INT)    AS hod,
+           COUNT(*)                              AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_seasonality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality heat-map: event counts and value by (day-of-week,
+    hour-of-day) -- the time-profile rollup behind capacity planning and
+    anomaly baselines. Day-of-week conventions differ across engines
+    (Spark dayofweek is 1=Sunday; DuckDB EXTRACT(dow) is 0=Sunday), so
+    the oracle aligns explicitly with +1.
+
+    Scale: one scan, one shuffle on a 7x24-key grid with map-side
+    partials -- the aggregate is grid-sized regardless of event count."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("sum_value"),
+    )
