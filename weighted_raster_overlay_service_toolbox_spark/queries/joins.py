@@ -394,3 +394,45 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe, ref, on=["user_id"], ts="ts", ref_value_cols=["ref_value"],
         direction="forward", tolerance_seconds=3600,
     )
+
+
+@query(
+    "q_join_null_safe",
+    oracle="""
+    WITH a AS (
+        SELECT o_orderkey, nullif(o_custkey % 10, 7) AS k
+        FROM orders WHERE o_orderkey <= 2000
+    ),
+    b AS (
+        SELECT nullif(c_custkey % 10, 7) AS k, COUNT(*) AS n_dim
+        FROM customer WHERE c_custkey <= 100
+        GROUP BY 1
+    )
+    SELECT a.o_orderkey, a.k, b.n_dim
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-SAFE equi-join (``<=>`` / IS NOT DISTINCT FROM): null keys
+    MATCH each other instead of silently dropping -- the semantics trap
+    in every dimension join where the key is optional (a plain ``=``
+    discards all null-keyed facts; an outer join keeps them but without
+    their null-keyed dimension row). The nullable key is synthesized
+    with nullif because the TPC-H fixtures carry no null keys.
+
+    Scale: Spark plans eqNullSafe as an ordinary hash join (null hashes
+    to a regular bucket) -- same shuffle/broadcast shapes as ``=``, no
+    nested-loop fallback."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
+    a = o.select(
+        "o_orderkey", F.nullif(F.col("o_custkey") % 10, F.lit(7)).alias("k")
+    )
+    b = (
+        c.select(F.nullif(F.col("c_custkey") % 10, F.lit(7)).alias("bk"))
+        .groupBy("bk")
+        .agg(F.count(F.lit(1)).alias("n_dim"))
+    )
+    return a.join(broadcast(b), F.col("k").eqNullSafe(F.col("bk"))).select(
+        "o_orderkey", "k", "n_dim"
+    )
