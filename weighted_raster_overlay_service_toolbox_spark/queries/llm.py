@@ -1589,3 +1589,65 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(pmi, 4).cast("double").alias("pmi"),
         )
     )
+
+
+@query(
+    "q_containment_sim",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents WHERE doc_id < 50
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(ROUND(CAST(i.n_common AS DOUBLE) / sa.n, 4) AS DOUBLE)
+               AS cont_a_in_b,
+           CAST(ROUND(CAST(i.n_common AS DOUBLE) / sb.n, 4) AS DOUBLE)
+               AS cont_b_in_a
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.8
+    """,
+)
+def q_containment_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment similarity (|A∩B| / |A| each direction,
+    doc_id<50 probe): catches subset-duplicates -- a short doc fully
+    embedded in a long one scores containment ~1 while its Jaccard is
+    small, so symmetric thresholds miss exactly the quote/excerpt
+    duplication a corpus dedup cares about. Pairs kept when the smaller
+    side is >= 80% contained.
+
+    Scale: same sparse token-keyed join as q_jaccard_sim (bounded
+    ground-truth probe; the banded MinHash path is the bulk variant,
+    and hot-token capping applies identically)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = d.select("doc_id", F.explode(F.array_distinct(TOKS())).alias("tok"))
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    nc = F.col("n_common").cast("double")
+    return (
+        inter.join(broadcast(sizes.alias("sa")), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(broadcast(sizes.alias("sb")), F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(nc / F.least(F.col("sa.n"), F.col("sb.n")) >= 0.8)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(nc / F.col("sa.n"), 4).cast("double").alias("cont_a_in_b"),
+            F.round(nc / F.col("sb.n"), 4).cast("double").alias("cont_b_in_a"),
+        )
+    )
