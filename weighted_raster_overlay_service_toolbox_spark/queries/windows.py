@@ -224,3 +224,49 @@ def q_win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).cast("double").alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).cast("double").alias("cume"),
     )
+
+
+@query(
+    "q_win_time_range",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_trailing_hour,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) OVER w, 2) AS DOUBLE)
+               AS sum_trailing_hour
+    FROM events
+    WHERE user_id < 50
+    WINDOW w AS (
+        PARTITION BY user_id
+        ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def q_win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour RANGE frame per user: count and value of each
+    event's preceding 60 minutes -- the event-level rolling feature
+    (rate limiting, burst detection, trailing spend) that a grouped
+    tumbling window cannot express because every row needs its OWN
+    trailing interval.
+
+    Engine alignment: both sides order by floor(epoch seconds) so the
+    value-based frame boundary is identical despite microsecond
+    timestamps. Scale: one shuffle keyed by user_id; the frame is
+    evaluated in a single sorted pass per partition (no self-join --
+    the naive ts-range self-join is quadratic per user)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_hour"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")).over(w), 2)
+        .cast("double")
+        .alias("sum_trailing_hour"),
+    )
