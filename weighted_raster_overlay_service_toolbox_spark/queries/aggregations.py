@@ -440,3 +440,39 @@ def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
     return salted_count_sum(li, key="l_suppkey", value="l_quantity", n_salts=16)
+
+
+@query(
+    "q_histogram_numeric",
+    oracle="""
+    SELECT CASE WHEN o_totalprice >= 600000 THEN 21
+                ELSE CAST(floor(o_totalprice / 30000.0) + 1 AS INT) END AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram: 20 buckets of 30k over [0, 600k)
+    (overflow bucket 21), with per-bucket count and observed min/max --
+    the distribution profile a data-quality dashboard draws, and the
+    boundary logic NDV/selectivity estimators share. The bucket id is
+    the SAME floor-division arithmetic in both engines (IEEE double
+    division + floor -- bit-identical), written out manually because
+    width_bucket is not universally available.
+
+    Scale: one scan, one shuffle on <=21 bucket keys with map-side
+    partials -- output is bucket-count-sized regardless of row count."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") >= 600000, F.lit(21))
+        .otherwise((F.floor(F.col("o_totalprice") / 30000.0) + 1).cast("int"))
+        .cast("int")
+    )
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").cast("double").alias("lo"),
+        F.max("o_totalprice").cast("double").alias("hi"),
+    )
