@@ -13,7 +13,13 @@ from datetime import datetime
 
 
 def _norm_cell(v):
-    """Normalize a cell for cross-engine comparison."""
+    """Normalize a cell for cross-engine comparison.
+
+    Non-scalar cells (list/dict/bytes) are REJECTED, not canonicalized:
+    the external driver's pandas ``sort_values`` canonicalizer raises
+    ``TypeError: unhashable type`` on them (CORRECTNESS_r04 regression),
+    so any oracle-backed query emitting one must serialize it
+    (``array_join`` / ``to_json``) before the driver ever sees it."""
     if v is None:
         return None
     if isinstance(v, float):
@@ -24,12 +30,11 @@ def _norm_cell(v):
         return v + 0.0 if v == 0.0 else v
     if isinstance(v, datetime):
         return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm_cell(x) for x in v)
-    if isinstance(v, dict):
-        return tuple(sorted((k, _norm_cell(x)) for k, x in v.items()))
-    if isinstance(v, bytes):
-        return v.hex()
+    if isinstance(v, (list, tuple, dict, set, bytes, bytearray)):
+        raise TypeError(
+            f"non-scalar cell {type(v).__name__} is driver-incompatible; "
+            "serialize with array_join/to_json in the query output"
+        )
     return v
 
 

@@ -41,6 +41,30 @@ def test_driver_window_spans_all_families_and_is_oracle_backed():
         assert flagship in window, flagship
 
 
+def test_oracle_backed_outputs_are_driver_hashable(spark):
+    """No oracle-backed query may emit Array/Map/Struct/Binary output
+    columns: the driver's pandas canonicalizer raises ``unhashable
+    type`` on such cells (the CORRECTNESS_r04 regression -- correct
+    values, red rows). Schema resolution only, no job execution; this
+    fails BEFORE the driver does on any future unserialized query."""
+    from pyspark.sql import types as T
+
+    from .conftest import SF_ORACLE
+    import __spark_entry__ as e
+
+    q, o = e.queries(), e.oracle_sql()
+    bad: list[str] = []
+    for name in o:
+        schema = q[name](spark, SF_ORACLE).schema
+        for f in schema.fields:
+            if isinstance(
+                f.dataType,
+                (T.ArrayType, T.MapType, T.StructType, T.BinaryType),
+            ):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not bad, f"driver-unhashable output columns: {bad}"
+
+
 def test_rows_only_queries_are_the_intended_set():
     """Queries WITHOUT an oracle must be exactly the genuinely
     non-SQL-expressible ones (SURVEY.md section 2.2) -- a silently

@@ -693,15 +693,19 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_partkey, messy,
            trim(regexp_replace(regexp_replace(lower(messy),
                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))        AS clean,
-           string_split(trim(regexp_replace(regexp_replace(lower(messy),
-                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')  AS clean_toks
+           array_to_string(
+               string_split(trim(regexp_replace(regexp_replace(lower(messy),
+                    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
+               '|')                                              AS clean_toks
     FROM raw
     """,
 )
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text normalization pipeline: lowercase -> strip non-alphanumerics
     -> squeeze whitespace -> tokenize (the standard pre-dedup cleanup;
-    messy input synthesized deterministically from part strings)."""
+    messy input synthesized deterministically from part strings). The
+    token array is '|'-joined in the output -- the driver canonicalizer
+    cannot hash list cells -- which still pins the split boundaries."""
     p = load_table(spark, sf_dir, "part")
     messy = F.concat(
         F.col("p_name"), F.lit("!!  "), F.col("p_brand"),
@@ -716,7 +720,7 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         messy.alias("messy"),
         clean.alias("clean"),
-        F.split(clean, " ").alias("clean_toks"),
+        F.array_join(F.split(clean, " "), "|").alias("clean_toks"),
     )
 
 
@@ -1081,7 +1085,8 @@ def q_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            CAST(ROUND(scale, 6) AS DOUBLE) AS scale,
-           list_transform(e, x -> CAST(floor(x * scale) AS INT)) AS q
+           array_to_string(
+               list_transform(e, x -> CAST(floor(x * scale) AS INT)), ',') AS q
     FROM s
     """,
 )
@@ -1093,14 +1098,18 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     double *,/ are IEEE-exact in both engines.
 
     Scale: narrow per-row transform, no shuffle; at 100 TB this runs
-    inside the same scan that builds the IVF buckets."""
+    inside the same scan that builds the IVF buckets. The quantized
+    vector is ','-joined in the output (driver canonicalizer cannot
+    hash list cells); real consumers keep the array form."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     e = F.transform("embedding", lambda x: x.cast("double"))
     scale = F.lit(127.0) / F.array_max(F.transform(e, F.abs))
     return emb.select(
         "vec_id",
         F.round(scale, 6).cast("double").alias("scale"),
-        F.transform(e, lambda x: F.floor(x * scale).cast("int")).alias("q"),
+        F.array_join(
+            F.transform(e, lambda x: F.floor(x * scale).cast("string")), ","
+        ).alias("q"),
     )
 
 

@@ -336,27 +336,30 @@ def q_cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
     SELECT doc_id,
-           CAST(len(toks) AS INT)                      AS n_toks,
-           list_contains(toks, 'spark')                AS has_spark,
-           list_sort(toks)                             AS toks_sorted,
-           list_sort(list_distinct(toks))              AS toks_uniq,
-           toks[1:3]                                   AS first3
+           CAST(len(toks) AS INT)                              AS n_toks,
+           list_contains(toks, 'spark')                        AS has_spark,
+           array_to_string(list_sort(toks), ' ')               AS toks_sorted,
+           array_to_string(list_sort(list_distinct(toks)), ' ') AS toks_uniq,
+           array_to_string(toks[1:3], ' ')                     AS first3
     FROM t
     """,
 )
 def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """split->array, size, contains, sort, distinct, slice (R33/R34,
     ``.pyt:163-165, 994-995``). array_distinct is order-unstable across
-    engines, hence the array_sort wrap on both sides."""
+    engines, hence the array_sort wrap on both sides. Array-typed
+    intermediates are exercised in full; the OUTPUT serializes them via
+    array_join because the driver's pandas canonicalizer cannot
+    sort/hash list cells (CORRECTNESS_r04 regression)."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     return d.select(
         "doc_id",
         F.size(toks).alias("n_toks"),
         F.array_contains(toks, "spark").alias("has_spark"),
-        F.array_sort(toks).alias("toks_sorted"),
-        F.array_sort(F.array_distinct(toks)).alias("toks_uniq"),
-        F.slice(toks, 1, 3).alias("first3"),
+        F.array_join(F.array_sort(toks), " ").alias("toks_sorted"),
+        F.array_join(F.array_sort(F.array_distinct(toks)), " ").alias("toks_uniq"),
+        F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
     )
 
 
@@ -378,18 +381,22 @@ def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_array_agg",
     oracle="""
     SELECT lang, source,
-           list_sort(list(doc_id))  AS doc_ids,
-           COUNT(*)                 AS n_docs
+           array_to_string(list_sort(list(doc_id)), ',') AS doc_ids,
+           COUNT(*)                                      AS n_docs
     FROM documents
     GROUP BY lang, source
     """,
 )
 def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list is partition-order nondeterministic, so determinism
-    comes from array_sort -- same convention as the oracle's list_sort."""
+    comes from array_sort -- same convention as the oracle's list_sort.
+    Output serialized with array_join (driver canonicalizer cannot hash
+    list cells); the collect_list/array_sort semantics are unchanged."""
     d = load_table(spark, sf_dir, "documents")
+    ids = F.array_sort(F.collect_list("doc_id"))
     return d.groupBy("lang", "source").agg(
-        F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+        F.array_join(F.transform(ids, lambda x: x.cast("string")), ",")
+        .alias("doc_ids"),
         F.count(F.lit(1)).alias("n_docs"),
     )
 
@@ -401,7 +408,7 @@ def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            '{"brand":"' || p_brand || '","type":"' || p_type
                || '","size":"' || CAST(p_size AS VARCHAR) || '"}' AS meta_json,
            p_brand AS brand_val,
-           ['brand', 'type', 'size'] AS meta_keys
+           'brand,type,size' AS meta_keys
     FROM part
     """,
 )
@@ -411,7 +418,8 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The map COLUMN itself has no cross-engine canonical form, so the
     oracle-comparable output is its deterministic JSON serialization
     (``to_json`` preserves ``create_map`` key order; fixture values
-    contain no JSON metacharacters) plus a lookup and the key list."""
+    contain no JSON metacharacters) plus a lookup and the key list
+    (array_join-serialized -- the driver cannot hash list cells)."""
     p = load_table(spark, sf_dir, "part")
     m = F.create_map(
         F.lit("brand"), F.col("p_brand"),
@@ -422,7 +430,7 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.to_json(m).alias("meta_json"),
         F.element_at(m, "brand").alias("brand_val"),
-        F.map_keys(m).alias("meta_keys"),
+        F.array_join(F.map_keys(m), ",").alias("meta_keys"),
     )
 
 
@@ -676,8 +684,10 @@ def q_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
                FROM documents WHERE doc_id < 200)
     SELECT doc_id,
-           list_transform(toks, x -> CAST(length(x) AS INT))   AS tok_lens,
-           list_sort(list_filter(toks, x -> length(x) > 4))    AS long_toks,
+           array_to_string(list_transform(toks, x -> length(x)), ',')
+                                                               AS tok_lens,
+           array_to_string(list_sort(list_filter(toks, x -> length(x) > 4)),
+                           ' ')                                AS long_toks,
            CAST(list_sum(list_transform(toks, x -> length(x))) AS INT)
                                                                AS total_chars,
            len(list_filter(toks, x -> length(x) > 6)) > 0      AS any_long,
@@ -694,13 +704,18 @@ def q_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: all five are narrow per-row expressions -- no shuffle, no
     Python; this is the pattern the MinHash signature builder and the
-    quantizer use in their hot paths."""
+    quantizer use in their hot paths. Array outputs are array_join-
+    serialized (driver canonicalizer cannot hash list cells)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     toks = F.split("text", " ")
     return d.select(
         "doc_id",
-        F.transform(toks, lambda t: F.length(t)).alias("tok_lens"),
-        F.array_sort(F.filter(toks, lambda t: F.length(t) > 4)).alias("long_toks"),
+        F.array_join(
+            F.transform(toks, lambda t: F.length(t).cast("string")), ","
+        ).alias("tok_lens"),
+        F.array_join(
+            F.array_sort(F.filter(toks, lambda t: F.length(t) > 4)), " "
+        ).alias("long_toks"),
         F.aggregate(
             F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
         ).alias("total_chars"),
