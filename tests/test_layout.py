@@ -125,6 +125,58 @@ def test_zorder_nd_matches_python_and_rejects_overflow(spark):
         zorder_key_nd([F.col("a")] * 8, bits=8)  # 64 > 63-bit budget
 
 
+def test_zorder_nd_int_columns_survive_high_bit_positions(spark):
+    """Regression (r4 advice): IntegerType inputs with 3 dims x 16 bits
+    place bits at positions up to 47; without the internal cast-to-long
+    the Java int shift wraps mod 32 and silently corrupts the key. The
+    int-typed and long-typed results must be identical."""
+    from weighted_raster_overlay_service_toolbox_spark.operators.layout import (
+        zorder_key_nd,
+    )
+
+    def py_morton_nd(vals, bits):
+        k = 0
+        for i in range(bits):
+            for d, v in enumerate(vals):
+                k |= ((v >> i) & 1) << (i * len(vals) + d)
+        return k
+
+    rows = [(40000, 1, 2), (65535, 65535, 65535), (0, 40000, 12345)]
+    df = spark.createDataFrame(rows, "a int, b int, c int")
+    got = df.select(
+        "a", "b", "c",
+        zorder_key_nd([F.col("a"), F.col("b"), F.col("c")], bits=16).alias("k"),
+    ).collect()
+    for r in got:
+        assert r["k"] == py_morton_nd((r["a"], r["b"], r["c"]), 16), tuple(r)
+
+
+def test_compact_parquet_recovers_from_mid_swap_crash(spark):
+    """Regression (r4 advice): a crash between the two swap renames
+    leaves the dataset path absent with bytes in .compact.old; the next
+    call must restore and proceed instead of failing on a missing path."""
+    from weighted_raster_overlay_service_toolbox_spark.operators.layout import (
+        compact_parquet,
+    )
+
+    src = _bucketed_events(spark)
+    path = os.path.join(_SCRATCH, "layout_recover")
+    try:
+        src.repartition(4).write.mode("overwrite").parquet(path)
+        before = sorted(map(tuple, spark.read.parquet(path).collect()))
+        # simulate the crash window: original moved aside, path missing
+        os.rename(path, path + ".compact.old")
+        assert not os.path.exists(path)
+        n_after = compact_parquet(spark, path, target_file_bytes=10**9)
+        assert n_after == 1
+        assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+        assert not os.path.exists(path + ".compact.old")
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(path + ".compact.tmp", ignore_errors=True)
+        shutil.rmtree(path + ".compact.old", ignore_errors=True)
+
+
 def test_compact_parquet_reduces_file_count_preserving_rows(spark):
     from weighted_raster_overlay_service_toolbox_spark.operators.layout import (
         compact_parquet,

@@ -211,3 +211,39 @@ def test_kmeans_deterministic_and_improving(spark):
     assert sorted(map(tuple, a3.select("vec_id", "cluster").collect())) == sorted(
         map(tuple, again.select("vec_id", "cluster").collect())
     )
+
+
+def test_span_dedup_handles_sub_window_docs(spark, tmp_path):
+    """Regression (r4 advice): docs with <= 2 tokens must yield no spans
+    instead of crashing -- Spark's sequence(1, 0) is descending [1, 0]
+    (unlike DuckDB's empty range) and slice(tk, 0, 3) raises
+    INVALID_PARAMETER_VALUE.START. Both span queries share the guard."""
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                "one",                      # 1 token: sub-window
+                "two tokens",               # 2 tokens: sub-window
+                "alpha beta gamma delta",   # shares the span below
+                "alpha beta gamma delta",   # exact dup -> shared spans
+                "x y z",                    # exactly one window, unshared
+            ],
+            "lang": ["en"] * 5,
+            "source": ["t"] * 5,
+            "n_chars": [3, 10, 22, 22, 5],
+        }
+    )
+    sf_dir = str(tmp_path)
+    docs.to_parquet(f"{sf_dir}/documents.parquet", index=False)
+
+    shared = QUERIES["q_span_dedup"](spark, sf_dir).collect()
+    got = {(r["span"], r["n_docs"]) for r in shared}
+    assert got == {
+        ("alpha beta gamma", 2),
+        ("beta gamma delta", 2),
+    }, got
+
+    hist = QUERIES["q_span_dedup_hashed"](spark, sf_dir).collect()
+    assert {(r["n_docs"], r["n_spans"]) for r in hist} == {(2, 2)}

@@ -43,9 +43,15 @@ def zorder_key_nd(cols: list[Column], bits: int = 8) -> Column:
         raise ValueError("zorder_key_nd needs at least one column")
     if n * bits > 63:
         raise ValueError(f"{n} dims x {bits} bits exceeds the 63-bit key budget")
+    # Cast to long FIRST: shiftleft preserves the input's integer type,
+    # and a Java int shift wraps mod 32 -- an IntegerType input with a
+    # bit landing at position >= 32 (e.g. 3 dims x 16 bits) would
+    # silently produce a wrong key. Long shifts honor the full 63-bit
+    # budget regardless of the caller's column type.
+    longs = [c.cast("long") for c in cols]
     key: Column | None = None
     for i in range(bits):
-        for d, c in enumerate(cols):
+        for d, c in enumerate(longs):
             b = F.shiftleft(F.shiftright(c, i).bitwiseAND(F.lit(1)), i * n + d)
             key = b if key is None else key + b
     assert key is not None
@@ -69,21 +75,31 @@ def compact_parquet(
     natural moment to restore a clustering key, e.g. a Z-order key --
     compaction and re-clustering share the same read+write).
 
-    Crash-safe: the rewrite lands in a sibling ``<path>.compact.tmp`` and
-    swaps in atomically via rename (same snapshot-swap discipline as
-    sources/catalog_store.py); a crash mid-rewrite leaves the original
-    intact."""
+    Crash-tolerant, not atomic: the rewrite lands in a sibling
+    ``<path>.compact.tmp`` and swaps in via TWO renames (original ->
+    ``.compact.old``, tmp -> original). A crash during the rewrite
+    leaves the original untouched; a crash BETWEEN the renames leaves
+    the dataset path briefly absent with the bytes preserved in
+    ``.compact.old`` -- the recovery preamble below restores it on the
+    next call, so a re-run always starts from intact data. (True
+    single-rename atomicity needs a versioned-pointer scheme like
+    sources/catalog_store.py; directory swap-in-place cannot have it.)"""
     import glob as _glob
     import math
     import os
     import shutil
 
+    tmp, old = path + ".compact.tmp", path + ".compact.old"
+    # Recovery: a previous run that crashed between its two renames left
+    # the dataset absent and the original bytes in .compact.old.
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+    shutil.rmtree(tmp, ignore_errors=True)
+
     files = _glob.glob(os.path.join(path, "*.parquet"))
     total = sum(os.path.getsize(f) for f in files)
     n_out = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
-    tmp, old = path + ".compact.tmp", path + ".compact.old"
-    shutil.rmtree(tmp, ignore_errors=True)
     out = df.repartition(n_out)
     if sort_col is not None:
         out = df.repartitionByRange(n_out, sort_col).sortWithinPartitions(sort_col)

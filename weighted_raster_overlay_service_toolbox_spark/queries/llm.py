@@ -1146,11 +1146,16 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys; the plan shape is unchanged."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     t = docs.select("doc_id", F.split("text", " ").alias("tk"))
+    # Docs shorter than the window yield no spans -- and MUST be filtered
+    # out before sequence/slice: sequence(1, 0) is DESCENDING [1, 0] in
+    # Spark (unlike the oracle's empty range), and slice(tk, 0, 3)
+    # raises INVALID_PARAMETER_VALUE.START. Same guard as q_collocations.
+    t = t.filter(F.size("tk") >= 3)
     spans = t.select(
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size("tk") - F.lit(2), F.lit(0))),
+                F.sequence(F.lit(1), F.size("tk") - F.lit(2)),
                 lambda i: F.concat_ws(" ", F.slice("tk", i, 3)),
             )
         ).alias("span"),
@@ -1198,11 +1203,14 @@ def q_span_dedup_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     would merge two spans and shift two histogram buckets)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     t = docs.select("doc_id", F.split("text", " ").alias("tk"))
+    # size >= 3 guard: see q_span_dedup -- sequence(1, 0) descends and
+    # slice(tk, 0, 3) raises on sub-window docs.
+    t = t.filter(F.size("tk") >= 3)
     spans = t.select(
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size("tk") - F.lit(2), F.lit(0))),
+                F.sequence(F.lit(1), F.size("tk") - F.lit(2)),
                 lambda i: F.xxhash64(F.concat_ws(" ", F.slice("tk", i, 3))),
             )
         ).alias("span_key"),
