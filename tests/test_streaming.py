@@ -208,3 +208,27 @@ def test_stream_stream_left_join_matches_batch(spark):
         ).collect()
     )
     assert got == want
+
+
+def test_stream_session_isolates_caller_conf(spark):
+    """Regression (r4 advice): micro-batch execution must not write the
+    caller's session conf. The stream runs on a private newSession clone
+    with 8 state partitions; the caller's shuffle.partitions -- set here
+    to a sentinel value -- must be untouched afterwards (the old
+    context-manager restore had a window where concurrent work saw 8)."""
+    from weighted_raster_overlay_service_toolbox_spark.streaming.engine import (
+        stream_session,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "23")
+    try:
+        clone = stream_session(spark)
+        assert clone is not spark
+        assert clone.conf.get(key) == "8"
+        assert stream_session(spark) is clone  # memoized, one clone per base
+        QUERIES["q_stream_tumbling"](spark, SF_SMOKE).collect()
+        assert spark.conf.get(key) == "23"
+    finally:
+        spark.conf.set(key, prev)

@@ -816,15 +816,18 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by first-seen week, counted active
     in each subsequent week -- the product-analytics staple every event
     warehouse serves. Spark side: first-seen is one user-keyed
-    aggregation; the (vocabulary-sized) cohort map broadcasts back onto
-    weekly activity; the final rollup keys on (cohort, offset).
+    aggregation joined back onto the distinct (user, week) activity;
+    the final rollup keys on (cohort, offset).
 
     Scale: no self-join of the event table -- the only event-table pass
     is the distinct (user, week) projection; everything after operates
-    on user- or cohort-cardinality data. date_trunc('week') is
+    on user- or cohort-cardinality data. The first-seen side is
+    USER-cardinality, so it carries no broadcast hint: a forced
+    broadcast would OOM at 100 TB (hundreds of millions of users),
+    while AQE still converts the join to broadcast whenever the built
+    side is actually small. Both sides are keyed by user_id, so the
+    shuffle is the minimal co-partitioning. date_trunc('week') is
     engine-aligned (both truncate to Monday)."""
-    from pyspark.sql.functions import broadcast
-
     e = load_table(spark, sf_dir, "events")
     firstseen = e.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("cohort")
@@ -833,7 +836,7 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.date_trunc("week", "ts").alias("wk")
     ).distinct()
     return (
-        activity.join(broadcast(firstseen), "user_id")
+        activity.join(firstseen, "user_id")
         .groupBy(
             "cohort",
             (F.datediff(F.col("wk"), F.col("cohort")) / 7)

@@ -842,14 +842,23 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed training-data pipeline: quality filter (>=5 tokens) ->
     canonical-fingerprint dedup (keep lowest doc_id per fingerprint) ->
     corpus top-15 terms. One declarative plan end to end: the dedup is a
-    fingerprint-keyed min-join (no quadratic pair space), the term count
-    gets map-side partials, the top-k is a TakeOrdered."""
+    fingerprint-keyed window rank (ONE shuffle on fp, no join -- the
+    winner set is corpus-cardinality, so the previous min-agg +
+    broadcast-join would OOM at 100 TB exactly like a forced broadcast
+    of any unbounded side), the term count gets map-side partials, the
+    top-k is a TakeOrdered."""
+    from pyspark.sql import Window
+
     d = load_table(spark, sf_dir, "documents")
     quality = d.select(
         "doc_id", "text", F.size(TOKS()).alias("n_toks"), fingerprint("text").alias("fp")
     ).filter(F.col("n_toks") >= 5)
-    keep = quality.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    kept = quality.join(broadcast(keep), ["fp", "doc_id"])
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    kept = (
+        quality.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
     return (
         kept.select(F.explode(TOKS()).alias("token"))
         .groupBy("token")

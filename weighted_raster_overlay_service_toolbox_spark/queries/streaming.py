@@ -23,7 +23,6 @@ from pyspark.sql import functions as F
 
 from ..sources import load_table
 from ..streaming.engine import (
-    _few_state_partitions,
     read_event_stream,
     run_foreach_batch,
     run_to_memory,
@@ -186,11 +185,14 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import broadcast
 
     staged = stage_event_files(spark, sf_dir, "static_join")
-    dim = load_table(spark, sf_dir, "customer").select(
+    ev = read_event_stream(spark, staged)
+    # the static side must resolve in the SAME session as the stream
+    # (read_event_stream runs on the private stream-session clone)
+    dim = load_table(ev.sparkSession, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"),
         F.col("c_mktsegment").alias("segment"),
     )
-    enriched = read_event_stream(spark, staged).join(broadcast(dim), "user_id")
+    enriched = ev.join(broadcast(dim), "user_id")
     agg = enriched.groupBy(
         F.window("ts", "1 hour").alias("win"), "segment"
     ).agg(
@@ -441,14 +443,13 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep = current.join(latest, "user_id", "left_anti")
         replace_catalog(scratch, keep.unionByName(latest))
 
-    with _few_state_partitions(spark):
-        q = (
-            stream.writeStream.foreachBatch(upsert)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     return spark.read.parquet(scratch)
 
 

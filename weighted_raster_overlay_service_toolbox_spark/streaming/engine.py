@@ -132,7 +132,14 @@ def read_event_stream(
     queries pin); larger batches amortize per-batch state-store and
     commit overhead -- the right setting for availableNow backfill of
     queries whose RESULT is batch-count-invariant (watermarked inner
-    joins, final-state aggregations)."""
+    joins, final-state aggregations).
+
+    The stream is built on the private ``stream_session`` clone so its
+    state-store partitioning never touches the caller's session conf;
+    callers needing a static side for a stream-static join must load it
+    via the returned DataFrame's ``sparkSession`` so both plans resolve
+    in the same session."""
+    spark = stream_session(spark)
     schema = (
         "event_id long, ts timestamp, user_id long, event_type string, "
         "value double, props string"
@@ -145,38 +152,49 @@ def read_event_stream(
     )
 
 
-class _few_state_partitions:
-    """Micro-batch state stores cost per-partition overhead each batch;
-    the test streams are small, so run them with 8 state partitions
-    (a fresh checkpoint per run pins the count; batch queries are
-    unaffected because the conf is restored)."""
+_STREAM_SESSIONS: dict = {}
 
-    def __init__(self, spark: SparkSession, n: int = 8):
-        self.spark, self.n = spark, n
 
-    def __enter__(self):
-        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
-        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+def stream_session(spark: SparkSession, n: int = 8) -> SparkSession:
+    """Private cloned session for micro-batch execution.
 
-    def __exit__(self, *exc):
-        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+    A stateful query's state-store partition count is whatever
+    ``spark.sql.shuffle.partitions`` says at FIRST query start (it is
+    persisted in the checkpoint) -- it cannot be steered with a
+    ``repartition()`` on the input. The test streams are small, so 8
+    state partitions beat the session default; pinning that on a PRIVATE
+    clone (``newSession``: shared SparkContext and cached data, isolated
+    SQL conf) keeps concurrent batch work on the caller's session
+    untouched -- no session-global conf write, no restore window.
+    The correctness confs (UTC, nanos-as-long) are re-pinned because a
+    driver-provided session may not come from ``session.get_spark``."""
+    key = (id(spark._jsparkSession), n)
+    s = _STREAM_SESSIONS.get(key)
+    if s is None:
+        s = spark.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", str(n))
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _STREAM_SESSIONS[key] = s
+    return s
 
 
 def run_to_memory(
     streaming_df: DataFrame, name: str, output_mode: str
 ) -> DataFrame:
     """Execute the streaming plan to completion (availableNow) into the
-    in-memory sink; return the sink contents as a batch DataFrame."""
+    in-memory sink; return the sink contents as a batch DataFrame. The
+    memory sink's table registers in the session that starts the query
+    (the stream clone), so read it back from there."""
     spark = streaming_df.sparkSession
-    with _few_state_partitions(spark):
-        q = (
-            streaming_df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     return spark.table(name)
 
 
@@ -188,12 +206,11 @@ def run_foreach_batch(streaming_df: DataFrame, output_mode: str) -> list:
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         captured.append((batch_id, batch_df.collect()))
 
-    with _few_state_partitions(streaming_df.sparkSession):
-        q = (
-            streaming_df.writeStream.foreachBatch(sink)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    q = (
+        streaming_df.writeStream.foreachBatch(sink)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     return captured
