@@ -73,13 +73,13 @@ def test_rows_only_queries_are_the_intended_set():
 
     rows_only = set(e.queries()) - set(e.oracle_sql())
     expected = {
-        # micro-batch-sequencing-dependent streaming
+        # micro-batch-sequencing-dependent streaming (upsert and the
+        # left stream-stream join were PROMOTED to oracle-backed in r5:
+        # their final state/multiset is batch-equivalent)
         "q_stream_watermark",
         "q_stream_dedup",
         "q_stream_agg_update",
         "q_stream_stateful_custom",
-        "q_stream_upsert",
-        "q_stream_stream_left_join",
         # approximate-by-design (validated vs exact ground truth in tests)
         "q_dedup_minhash",
         "q_simhash",

@@ -389,9 +389,20 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_stream_upsert")  # rows-only: per-micro-batch merge sequencing is
-# not SQL-expressible; final state == batch truth is pinned in
-# tests/test_streaming.py
+@query(
+    "q_stream_upsert",
+    oracle="""
+    WITH r AS (
+        SELECT user_id, ts, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id, ts AS last_ts, event_type AS last_type,
+           value AS last_value
+    FROM r WHERE rn = 1
+    """,
+)
 def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming UPSERT sink via ``foreachBatch``: each micro-batch
     reduces to the latest (ts, event_type, value) per user, then MERGEs
@@ -399,6 +410,13 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     the catalog store's crash-safe snapshot swap. The CDC-style sink
     every incremental pipeline ends in when the target lacks native
     MERGE.
+
+    Oracle-backed (promoted from rows-only in r5): the PER-BATCH merge
+    sequencing is not SQL-expressible, but the FINAL state is exactly
+    latest-per-user over all events -- batches arrive in (ts, event_id)
+    order and each batch's winner is max_by struct(ts, event_id), so
+    the last writer for a user holds the global argmax. The DuckDB
+    oracle is the equivalent window-rank.
 
     Scale: per batch the work is keyed by user_id (one shuffle of the
     BATCH, never the history); the state table rewrite is the parquet-
@@ -453,15 +471,30 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(scratch)
 
 
-@query("q_stream_stream_left_join")  # rows-only: null-extension timing is
-# watermark-driven; row multiset == batch left join pinned in
-# tests/test_streaming.py
+@query(
+    "q_stream_stream_left_join",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+           a.user_id, a.ts AS click_ts, b.ts AS purchase_ts
+    FROM events a LEFT JOIN events b
+      ON a.user_id = b.user_id
+     AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    WHERE a.event_type = 'click'
+    """,
+)
 def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT OUTER stream-stream join: every click emits -- matched rows
     as purchases arrive, unmatched rows null-extended only once the
     watermark proves no in-bound purchase can still come. Both staged
     streams end with a far-future sentinel so the finite test stream
     flushes its outer state (real deployments just keep receiving data).
+
+    Oracle-backed (promoted from rows-only in r5): the null-extension
+    TIMING is watermark-driven, but the final appended multiset is
+    exactly the batch left join (the sentinel flushes all outer state),
+    so the batch-equivalence oracle holds -- the same argument that
+    makes the watermarked INNER join oracle-safe.
 
     Scale: identical state bound to the inner variant (watermark + 1 h
     range condition); the outer buffer holds only clicks younger than
