@@ -193,3 +193,26 @@ def test_scan_dpp_has_dynamic_pruning(spark):
     assert "dynamicpruning" in plan.lower(), plan
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "l_returnflag" in pf[0], plan
+
+
+def test_corpus_pipeline_keep_one_is_windowed_not_broadcast_join(spark):
+    """q_corpus_pipeline's fingerprint dedup (round 5): the keep-one must
+    be a window rank with WindowGroupLimit pushed BELOW the fp exchange
+    (each map task prunes to its local top-1 per fingerprint before the
+    shuffle), never the old min-agg + broadcast join of the
+    corpus-cardinality winner set."""
+    plan = plan_of(spark, "q_corpus_pipeline")
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastHashJoin" not in plan and "BroadcastExchange" not in plan, plan
+    # partial (pre-shuffle) + final (post-shuffle) pruning = two instances
+    assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_retention_cohorts_has_no_forced_broadcast(spark):
+    """q_retention_cohorts (round 5): the first-seen side is
+    user-cardinality; the logical plan must carry NO broadcast hint --
+    Catalyst may still CHOOSE broadcast from size stats at fixture scale
+    (that's the point: size-based, revocable at 100 TB, not forced)."""
+    df = QUERIES["q_retention_cohorts"](spark, SF_SMOKE)
+    logical = df._jdf.queryExecution().logical().toString()
+    assert "UnresolvedHint" not in logical and "ResolvedHint" not in logical, logical

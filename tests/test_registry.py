@@ -87,10 +87,10 @@ def test_rows_only_queries_are_the_intended_set():
         # iterative algorithm (not SQL-expressible)
         "q_kmeans",
         # binary/struct canonical forms differ across engines
+        # (q_udtf_flatmap was PROMOTED to oracle-backed in r5: its row
+        # expansion is deterministic and unnest-expressible)
         "q_multimodal_struct",
         "q_multimodal_decode",
-        # mapInPandas row expansion
-        "q_udtf_flatmap",
     }
     assert rows_only == expected, (
         f"unexpected rows-only: {sorted(rows_only - expected)}; "

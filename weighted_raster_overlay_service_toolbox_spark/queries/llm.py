@@ -284,10 +284,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure over exact-Jaccard edges, tractable only because the probe
     set is bounded; the Spark side never materializes reachability."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    # no candidate_floor: on fixture-length token arrays the exact verify
-    # is cheaper than materializing est_jaccard per collision row (A/B'd);
-    # corpora with long documents flip that trade -- the knob stays on the
-    # operator.
+    # no candidate_floor: A/B at sf0.1 (3 reps, min-of-3 end-to-end incl.
+    # the CC rounds) -- floor=None 3.69s, floor=0.25 3.82s, floor=0.45
+    # 3.50s: within run noise, because fixture docs are short enough that
+    # exact array_intersect verify costs less than materializing
+    # est_jaccard per collision row, and the wall clock is dominated by
+    # per-round job overhead in the pointer-jumping loop. Long-document
+    # corpora flip that trade -- the knob stays on the operator.
     edges = minhash_verified_edges(
         d, "doc_id", F.array_distinct(TOKS()), threshold=0.9, k=16, bands=8
     )

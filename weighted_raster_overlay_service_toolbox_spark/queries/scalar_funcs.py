@@ -509,10 +509,19 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_udtf_flatmap")  # rows-only: mapInPandas row expansion
+@query(
+    "q_udtf_flatmap",
+    oracle="""
+    SELECT o_orderkey, unnest(string_split(o_orderpriority, '-')) AS prio_token
+    FROM orders
+    """,
+)
 def q_udtf_flatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table-generating mapInPandas: one output row per '-'-separated
-    token of o_orderpriority (Arrow-batched, never per-row pickling)."""
+    token of o_orderpriority (Arrow-batched, never per-row pickling).
+    Oracle-backed (promoted from rows-only in r5): the Python row
+    expansion is deterministic, so the unnest rewrite hash-checks the
+    whole mapInPandas machinery, not just its row count."""
 
     def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
