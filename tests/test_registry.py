@@ -73,11 +73,11 @@ def test_rows_only_queries_are_the_intended_set():
 
     rows_only = set(e.queries()) - set(e.oracle_sql())
     expected = {
-        # micro-batch-sequencing-dependent streaming (upsert and the
-        # left stream-stream join were PROMOTED to oracle-backed in r5:
-        # their final state/multiset is batch-equivalent)
-        "q_stream_watermark",
-        "q_stream_dedup",
+        # per-micro-batch EMISSION LOGS (which batch re-emitted which
+        # key) -- genuinely not SQL-expressible. The other five streaming
+        # queries that were rows-only through r4 (watermark, dedup,
+        # upsert, stream-stream left join) were promoted in r5 with
+        # batch-equivalence oracles over their FINAL output.
         "q_stream_agg_update",
         "q_stream_stateful_custom",
         # approximate-by-design (validated vs exact ground truth in tests)

@@ -211,12 +211,38 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_stream_watermark")  # rows-only: drop set depends on batch sequencing
+@query(
+    "q_stream_watermark",
+    oracle="""
+    WITH ranked AS (
+        SELECT ts, row_number() OVER (ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    mx AS (SELECT MAX(ts) AS m FROM events)
+    SELECT date_trunc('hour', ts)                   AS win_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
+           COUNT(*)                                 AS n_events
+    FROM ranked, mx
+    WHERE rn > 200
+      AND date_trunc('hour', ts) + INTERVAL 1 HOUR <= m - INTERVAL 10 MINUTE
+    GROUP BY 1, 2
+    """,
+)
 def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Late-data drop beyond a 10-minute watermark: 200 early events are
-    replayed in a final late file after the watermark has advanced past
-    them; append-mode tumbling counts therefore exclude them. The exact
-    drop set is pinned in tests/test_streaming.py."""
+    """Late-data drop beyond a 10-minute watermark: the 200 earliest
+    events are withheld and delivered in a final late file after the
+    watermark has advanced past them; append-mode tumbling counts
+    therefore exclude them.
+
+    Oracle-backed (promoted from rows-only in r5): with the staged
+    deterministic batch order, the final appended output is EXACTLY the
+    watermark discipline written as SQL -- on-time events only (the 200
+    withheld-late rows, rn <= 200 in (ts, event_id) order, arrive
+    behind the watermark and are dropped) restricted to finalized
+    windows (window end <= global max ts - 10 min, the final watermark
+    frontier; later windows stay in unemitted state in append mode).
+    Matching this oracle pins both the exact drop SET and the exact
+    finalization frontier, verified at sf0.001 and sf0.01."""
     staged = stage_event_files(spark, sf_dir, "watermark", n_files=4, late_events=200)
     agg = (
         read_event_stream(spark, staged)
@@ -232,12 +258,38 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_stream_dedup")  # rows-only: stateful, watermark-scoped
+@query(
+    "q_stream_dedup",
+    oracle="""
+    WITH ranked AS (
+        SELECT ts, row_number() OVER (ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    mx AS (SELECT MAX(ts) AS m FROM events)
+    SELECT date_trunc('hour', ts)                   AS win_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
+           COUNT(*)                                 AS n_events
+    FROM ranked, mx
+    WHERE rn > 200
+      AND date_trunc('hour', ts) + INTERVAL 1 HOUR <= m - INTERVAL 10 MINUTE
+    GROUP BY 1, 2
+    """,
+)
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dropDuplicates on event_id within a 10-minute
-    watermark: the late replay file re-sends 200 already-seen events; state
-    dedups them while bounded by the watermark. Emits the surviving
-    per-hour counts (append)."""
+    watermark, then append-mode per-hour counts. The staged stream
+    withholds the 200 earliest events into a final late file: the dedup
+    state sees each event_id at most once, and the watermark drops the
+    late rows before they reach state.
+
+    Oracle-backed (promoted from rows-only in r5): the fixture stream
+    contains no true duplicate event_ids, so a CORRECT dropDuplicates
+    must pass every on-time event through -- the oracle is the same
+    on-time-in-finalized-windows model as q_stream_watermark, and any
+    over-deduplication (state dropping a legitimate event) or
+    under-drop (late row reaching state) breaks the hash. The
+    duplicate-suppression half of the operator is pinned separately in
+    tests/test_streaming.py."""
     staged = stage_event_files(spark, sf_dir, "dedup", n_files=4, late_events=200)
     deduped = (
         read_event_stream(spark, staged)
