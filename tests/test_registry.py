@@ -73,22 +73,20 @@ def test_rows_only_queries_are_the_intended_set():
 
     rows_only = set(e.queries()) - set(e.oracle_sql())
     expected = {
-        # per-micro-batch EMISSION LOGS (which batch re-emitted which
-        # key) -- genuinely not SQL-expressible. The other five streaming
-        # queries that were rows-only through r4 (watermark, dedup,
-        # upsert, stream-stream left join) were promoted in r5 with
-        # batch-equivalence oracles over their FINAL output.
-        "q_stream_agg_update",
+        # custom applyInPandasWithState machine: its per-micro-batch
+        # emission log depends on Python state transitions, not a SQL
+        # statement. (q_stream_agg_update WAS promoted in r5: with the
+        # deterministic file staging, update-mode's emission log is
+        # itself SQL-expressible -- running count per (batch, key).)
         "q_stream_stateful_custom",
-        # approximate-by-design (validated vs exact ground truth in tests)
-        "q_dedup_minhash",
-        "q_simhash",
-        "q_ann_ivf",
         # iterative algorithm (not SQL-expressible)
         "q_kmeans",
         # binary/struct canonical forms differ across engines
         # (q_udtf_flatmap was PROMOTED to oracle-backed in r5: its row
-        # expansion is deterministic and unnest-expressible)
+        # expansion is deterministic and unnest-expressible; likewise
+        # q_simhash/q_dedup_minhash via the portable md5-60-bit token
+        # hash and q_ann_ivf via literal-inlined hyperplanes -- the
+        # "approximate" algorithms are pure functions of their inputs)
         "q_multimodal_struct",
         "q_multimodal_decode",
     }

@@ -37,10 +37,33 @@ def _seeded_hash(i: int):
     return lambda t: F.xxhash64(F.lit(i), t)
 
 
-def minhash_signature(tokens: Column, k: int) -> Column:
-    """k seeded min-hashes over a token array as one array<long> column."""
+def portable_hash60(c: Column, seed: int | None = None) -> Column:
+    """60-bit cross-engine token hash: the leading 15 hex chars of md5 as
+    a BIGINT. Bit-identical in Spark (``conv(substring(md5(x),1,15),16,10)``)
+    and DuckDB (``CAST('0x'||substring(md5(x),1,15) AS BIGINT)``), which is
+    what lets hash-dependent queries (simhash, minhash) carry exact DuckDB
+    oracles. ``xxhash64`` stays the scale-path default -- it is a single
+    codegen'd JVM op with no hex-string round-trip -- so callers opt into
+    portability per query, not globally."""
+    s = c if seed is None else F.concat_ws(":", F.lit(str(seed)), c)
+    return F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+def _portable_seeded_hash(i: int):
+    """Portable (md5-60-bit) twin of :func:`_seeded_hash`; same factory
+    shape for the same ``F.transform`` two-parameter pitfall."""
+    return lambda t: portable_hash60(t, seed=i)
+
+
+def minhash_signature(tokens: Column, k: int, seeded_hash=None) -> Column:
+    """k seeded min-hashes over a token array as one array<long> column.
+
+    ``seeded_hash`` is a factory ``int -> (Column -> Column)``; default is
+    the xxhash64 scale path, :func:`_portable_seeded_hash` gives the
+    md5-based variant a DuckDB oracle can reproduce."""
+    seeded_hash = seeded_hash or _seeded_hash
     return F.array(
-        *[F.array_min(F.transform(tokens, _seeded_hash(i))) for i in range(k)]
+        *[F.array_min(F.transform(tokens, seeded_hash(i))) for i in range(k)]
     )
 
 
@@ -57,16 +80,27 @@ def lsh_band_hashes(sig: Column, k: int, bands: int) -> Column:
 
 
 def minhash_candidates(
-    docs: DataFrame, id_col: str, tokens_col: Column, k: int = 16, bands: int = 4
+    docs: DataFrame,
+    id_col: str,
+    tokens_col: Column,
+    k: int = 16,
+    bands: int = 4,
+    seeded_hash=None,
 ) -> DataFrame:
     """Near-dup candidate pairs via MinHash + LSH banding.
 
     Returns ``doc_a, doc_b, est_jaccard`` (signature agreement rate).
     The shuffle is keyed by (band_idx, band_hash); only same-bucket pairs
     join. Estimated similarity filters before any exact verify.
+
+    ``seeded_hash`` swaps the per-token hash (see
+    :func:`minhash_signature`); the band hash stays xxhash64 regardless --
+    it only defines join buckets and never reaches the output, so two
+    engines only need the TOKEN hashes to agree.
     """
     sig = docs.select(
-        F.col(id_col).alias("doc_id"), minhash_signature(tokens_col, k).alias("sig")
+        F.col(id_col).alias("doc_id"),
+        minhash_signature(tokens_col, k, seeded_hash=seeded_hash).alias("sig"),
     )
     bandsdf = sig.select(
         "doc_id",
@@ -217,16 +251,21 @@ def minhash_verified_edges(
 
 
 def simhash_signatures(
-    docs: DataFrame, id_col: str, tokens_col: Column
+    docs: DataFrame, id_col: str, tokens_col: Column, hash_fn=None, nbits: int = 64
 ) -> DataFrame:
-    """64-bit SimHash per doc: each distinct token's xxhash64 votes +/-1
-    per bit position; the sign of the vote becomes the signature bit."""
+    """``nbits``-bit SimHash per doc: each distinct token's hash votes
+    +/-1 per bit position; the sign of the vote becomes the signature bit.
+
+    ``hash_fn`` maps the token Column to a long hash Column (default
+    xxhash64 with the full 64 bits; :func:`portable_hash60` with
+    ``nbits=60`` gives the variant a DuckDB oracle reproduces exactly)."""
+    hash_fn = hash_fn or F.xxhash64
     tok_hash = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens_col).alias("tok")
-    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    ).select("doc_id", hash_fn(F.col("tok")).alias("h"))
     bits = tok_hash.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        F.explode(F.sequence(F.lit(0), F.lit(nbits - 1))).alias("bit"),
         "h",
     ).select(
         "doc_id",
@@ -246,10 +285,10 @@ def simhash_signatures(
     )
 
 
-def simhash_band_values(sig: Column, bands: int) -> Column:
-    """Split a 64-bit signature into ``bands`` contiguous bit-slices
-    (one array<long> element per slice)."""
-    width = 64 // bands
+def simhash_band_values(sig: Column, bands: int, nbits: int = 64) -> Column:
+    """Split an ``nbits``-bit signature into ``bands`` contiguous
+    bit-slices (one array<long> element per slice)."""
+    width = nbits // bands
     mask = (1 << width) - 1
     return F.array(
         *[
@@ -260,7 +299,10 @@ def simhash_band_values(sig: Column, bands: int) -> Column:
 
 
 def simhash_near_pairs(
-    signatures: DataFrame, max_hamming: int, bands: int | None = None
+    signatures: DataFrame,
+    max_hamming: int,
+    bands: int | None = None,
+    nbits: int = 64,
 ) -> DataFrame:
     """Pairs within a hamming radius via banded blocking -- NOT an
     all-pairs self-join.
@@ -283,12 +325,14 @@ def simhash_near_pairs(
         bands = 2
         while bands <= max_hamming:
             bands *= 2
-    if 64 % bands or bands <= max_hamming:
-        raise ValueError(f"bands={bands} must divide 64 and exceed {max_hamming=}")
+    if nbits % bands or bands <= max_hamming:
+        raise ValueError(
+            f"bands={bands} must divide {nbits=} and exceed {max_hamming=}"
+        )
     banded = signatures.select(
         "doc_id",
         "simhash",
-        F.posexplode(simhash_band_values(F.col("simhash"), bands)).alias(
+        F.posexplode(simhash_band_values(F.col("simhash"), bands, nbits)).alias(
             "band_idx", "band_val"
         ),
     )

@@ -49,12 +49,15 @@ from . import extended  # noqa: F401,E402
 # tail is exactly 8 names -- q_containment_sim, q_except_distinct,
 # q_funnel_ordered, q_histogram_numeric, q_intersect_all, q_json_typed,
 # q_seasonality_matrix, q_str_funcs2. Round 6 = 16 flagships + those 8 +
-# the 5 queries promoted from rows-only to oracle-backed in r5 (their
+# the 9 queries promoted from rows-only to oracle-backed in r5 (their
 # old driver rows were the weaker rows-only check: q_stream_watermark,
 # q_stream_dedup, q_stream_upsert, q_stream_stream_left_join,
-# q_udtf_flatmap) + 21 re-grade slots prioritizing queries whose only
-# green row is r1/r2 (q_join_left/right/full/semi/anti/cross/theta,
-# q_win_* frames, q_sort_*, set-ops, q_agg_rollup/cube/grouping_sets),
+# q_udtf_flatmap, and -- promoted late in r5 via the portable md5-60-bit
+# token hash / deterministic-staging arguments -- q_simhash,
+# q_dedup_minhash, q_stream_agg_update, q_ann_ivf) + 17 re-grade slots
+# prioritizing queries whose only green row is r1/r2
+# (q_join_left/right/full/semi/anti/cross/theta, q_win_* frames,
+# q_sort_*, set-ops, q_agg_rollup/cube/grouping_sets),
 # giving every oracle-backed query a driver-green HASH row by end of r6.
 _DRIVER_WINDOW = [
     # -- permanent flagships (driver-green in r3 and r4) --

@@ -135,7 +135,41 @@ def q_jaccard_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_dedup_minhash")  # rows-only; validated against q_jaccard_sim in tests
+@query(
+    "q_dedup_minhash",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents WHERE doc_id < 200
+    ),
+    hs AS (
+        SELECT doc_id, s.seed,
+               MIN(CAST('0x' || substring(md5(CONCAT(s.seed, ':', tok)), 1, 15)
+                        AS BIGINT)) AS mh
+        FROM t CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) s
+        GROUP BY doc_id, s.seed
+    ),
+    bandvals AS (
+        SELECT doc_id, seed // 2 AS band_idx,
+               string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS band_key
+        FROM hs GROUP BY doc_id, seed // 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bandvals a JOIN bandvals b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(ROUND(SUM(CASE WHEN ha.mh = hb.mh THEN 1 ELSE 0 END) / 16.0, 4)
+                AS DOUBLE) AS est_jaccard
+    FROM cand c
+    JOIN hs ha ON ha.doc_id = c.doc_a
+    JOIN hs hb ON hb.doc_id = c.doc_b AND hb.seed = ha.seed
+    GROUP BY c.doc_a, c.doc_b
+    HAVING SUM(CASE WHEN ha.mh = hb.mh THEN 1 ELSE 0 END) / 16.0 >= 0.25
+    """,
+)
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidates via MinHash + LSH banding (fixed seeds).
 
@@ -143,34 +177,93 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs, est-filtered (exact verify is the
     minhash_verified_edges / q_dedup_clusters path).
 
+    Oracle-exact: the per-token seeded hash is the portable md5-60-bit
+    hash (operators/dedup.py portable_hash60) so DuckDB reproduces every
+    signature; the BAND hash stays xxhash64 -- it only defines join
+    buckets (the oracle joins on the slice values directly) and never
+    reaches the output. The xxhash64 token path stays the scale default
+    for non-oracle callers (minhash_verified_edges, curate_corpus).
+
     Scale: never forms the quadratic pair space -- the shuffle is keyed by
     (band_idx, band_hash) and only same-bucket pairs are joined; estimated
     similarity then filters before the (expensive) exact verify."""
+    from ..operators.dedup import _portable_seeded_hash
+
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     # 8 bands of 2: LSH threshold ~(1/8)^(1/2) ~ 0.35, so truly-similar
     # pairs (j >= 0.8) are recalled with probability ~1 -- 4 bands of 4
     # misses a third of j=0.7 pairs (1-(1-0.7^4)^4 = 0.67).
     cand = minhash_candidates(
-        d, "doc_id", F.array_distinct(TOKS()), k=16, bands=8
+        d,
+        "doc_id",
+        F.array_distinct(TOKS()),
+        k=16,
+        bands=8,
+        seeded_hash=_portable_seeded_hash,
     )
     return cand.filter(F.col("est_jaccard") >= 0.25)
 
 
-@query("q_simhash")  # rows-only; deterministic (commutative SUM over tokens)
+@query(
+    "q_simhash",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents WHERE doc_id < 100
+    ),
+    h AS (
+        SELECT doc_id,
+               CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS h
+        FROM t
+    ),
+    votes AS (
+        SELECT doc_id, b.bit,
+               SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS bit) b
+        GROUP BY doc_id, b.bit
+    ),
+    sig AS (
+        SELECT doc_id,
+               SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+                        ELSE 0 END) AS simhash
+        FROM votes GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, simhash, b.band_idx,
+               (simhash >> (b.band_idx * 15)) & 32767 AS band_val
+        FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band_idx) b
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash near-dup: per-token xxhash64, each bit votes +/-1,
-    sign of the vote is the signature bit; pairs at hamming distance <= 3
-    among doc_id<100 are near-dup candidates.
+    """60-bit SimHash near-dup: per-token portable hash, each bit votes
+    +/-1, sign of the vote is the signature bit; pairs at hamming
+    distance <= 3 among doc_id<100 are near-dup candidates.
+
+    Oracle-exact: the token hash is the md5-60-bit portable hash
+    (operators/dedup.py portable_hash60) so the DuckDB oracle rebuilds
+    the identical signatures, bands, and pair set; the xxhash64/64-bit
+    path stays the library default for scale callers.
 
     Scale: signature build is explode + groupBy(doc, bit) + bit-pack --
     two shuffles on uniform keys. Pairing is a banded equi-join on 4
-    contiguous 16-bit signature slices (pigeonhole: hamming<=3 differing
+    contiguous 15-bit signature slices (pigeonhole: hamming<=3 differing
     bits cannot touch all 4 bands, so recall is exact); the shuffle keys
     by (band_idx, band_val) and no all-pairs join exists in the plan
     (pinned in tests/test_plans.py)."""
+    from ..operators.dedup import portable_hash60
+
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    sigs = simhash_signatures(d, "doc_id", F.array_distinct(TOKS()))
-    return simhash_near_pairs(sigs, max_hamming=3)
+    sigs = simhash_signatures(
+        d, "doc_id", F.array_distinct(TOKS()), hash_fn=portable_hash60, nbits=60
+    )
+    return simhash_near_pairs(sigs, max_hamming=3, nbits=60)
 
 
 @query(
@@ -355,11 +448,64 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_per_probe(cosine_scores(v, p, bulk=True), k=5)
 
 
-@query("q_ann_ivf")  # rows-only: approximate by design; recall tested vs exact
+def _ann_ivf_oracle() -> str:
+    """DuckDB oracle for q_ann_ivf, with the 4 hyperplanes inlined as
+    double literals: the planes are deterministic md5-derived constants
+    (operators/similarity.py _plane), so the oracle recomputes the exact
+    sign buckets, the 5-bucket multi-probe set, and the rank-on
+    (rounded sim DESC, cand_id) top-5 -- the "approximate" algorithm is
+    still a pure function of its inputs."""
+    from ..operators.similarity import _plane
+
+    lits = [
+        "[" + ", ".join(repr(x) for x in _plane(64, s)) + "]" for s in range(4)
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {lits[i]}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(4)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    vb AS (
+        SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm,
+               {bucket} AS bucket
+        FROM v
+    ),
+    p AS (
+        SELECT vec_id AS probe_id, e AS pe, nrm AS pnrm, bucket AS pb
+        FROM vb WHERE vec_id < 25
+    ),
+    j AS (
+        SELECT p.probe_id, c.vec_id AS cand_id,
+               CAST(ROUND(list_dot_product(p.pe, c.e) / (p.pnrm * c.nrm), 4)
+                    AS DOUBLE) AS sim
+        FROM vb c JOIN p
+          ON c.vec_id <> p.probe_id
+         AND c.bucket IN (p.pb, xor(p.pb, 1), xor(p.pb, 2),
+                          xor(p.pb, 4), xor(p.pb, 8))
+    ),
+    r AS (
+        SELECT probe_id, cand_id, sim,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY sim DESC, cand_id) AS rk
+        FROM j
+    )
+    SELECT probe_id, cand_id, sim, CAST(rk AS INTEGER) AS rk
+    FROM r WHERE rk <= 5
+    """
+
+
+@query("q_ann_ivf", oracle=_ann_ivf_oracle())
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF/LSH-bucketed approximate nearest neighbor: 4 seeded hyperplanes
     partition vectors into 16 sign buckets; each probe (vec_id<25) searches
     ONLY its own bucket -- the scale path where brute force is quadratic.
+
+    Oracle-exact despite being "approximate": the hyperplanes are
+    deterministic constants, so the bucket assignment and top-5 selection
+    are pure functions the DuckDB oracle reproduces (planes inlined as
+    literals; rank on rounded sim with cand_id tiebreak).
 
     Scale: the bucket id is a plain column -> the search is an equi-join
     on bucket (shuffle keyed by bucket, or broadcast of tiny probe set);

@@ -307,11 +307,41 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_stream_agg_update")  # rows-only: per-micro-batch emission log
+@query(
+    "q_stream_agg_update",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type,
+               ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
+               COUNT(*) OVER () AS total
+        FROM events
+    ),
+    b AS (
+        SELECT event_type,
+               CAST((rn - 1) // (total // 4 + 1) AS INTEGER) AS batch_id
+        FROM ranked
+    ),
+    c AS (
+        SELECT batch_id, event_type, COUNT(*) AS cnt
+        FROM b GROUP BY batch_id, event_type
+    )
+    SELECT batch_id, event_type,
+           CAST(SUM(cnt) OVER (PARTITION BY event_type
+                               ORDER BY batch_id) AS BIGINT) AS n
+    FROM c
+    """,
+)
 def q_stream_agg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Update-mode stateful running aggregate: per event_type counts,
     foreachBatch captures WHICH rows each micro-batch re-emits (only
-    updated keys). Returns the emission log (batch_id, event_type, n)."""
+    updated keys). Returns the emission log (batch_id, event_type, n).
+
+    Oracle-exact: the staging split is deterministic (events in
+    (ts, event_id) order, 4 equal row-chunks, one file per micro-batch
+    under maxFilesPerTrigger=1), so update-mode's emission log IS a SQL
+    statement -- for each batch, every event_type present in that chunk
+    re-emits its running count. The DuckDB oracle rebuilds exactly that
+    from the batch assignment ``(rn-1) // (total//4 + 1)``."""
     staged = stage_event_files(spark, sf_dir, "agg_update")
     agg = (
         read_event_stream(spark, staged)
