@@ -1826,3 +1826,89 @@ def q_containment_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(nc / F.col("sb.n"), 4).cast("double").alias("cont_b_in_a"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# training-batch preparation: chunking + sequence packing
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_chunk_documents",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    e AS (
+        SELECT doc_id, tk,
+               unnest(range(0, CAST(ceil(len(tk) / 48.0) AS INTEGER))) AS i
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS chunk_idx,
+           CAST(i * 48 AS INTEGER) AS chunk_start,
+           CAST(len(tk[i*48 + 1 : i*48 + 64]) AS INTEGER) AS n_chunk_tokens,
+           array_to_string(tk[i*48 + 1 : i*48 + 64], ' ') AS chunk_text
+    FROM e
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length chunking: 64-token windows, stride 48 (16-token
+    overlap), every token covered, last window short.
+
+    Scale: pure per-row column expressions (sequence/explode/slice/
+    array_join) -- narrow, no shuffle, whole-stage codegen; output size
+    ~= corpus x (1 + overlap ratio), which is the expected cost of
+    overlap chunking, not a plan artifact."""
+    from ..operators.packing import chunk_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_tokens(d, "doc_id", TOKS(), chunk_size=64, stride=48)
+
+
+@query(
+    "q_pack_sequences",
+    oracle="""
+    WITH RECURSIVE d AS (
+        SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS INTEGER)
+                   AS n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, lang, n_tokens, rn, 0 AS bin_id, n_tokens AS fill
+        FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.doc_id, d.lang, d.n_tokens, d.rn,
+               CASE WHEN r.fill + d.n_tokens <= 512
+                    THEN r.bin_id ELSE r.bin_id + 1 END,
+               CASE WHEN r.fill + d.n_tokens <= 512
+                    THEN r.fill + d.n_tokens ELSE d.n_tokens END
+        FROM r JOIN d ON d.lang = r.lang AND d.rn = r.rn + 1
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(bin_id AS INTEGER) AS bin_id,
+           CAST(fill AS INTEGER) AS bin_fill
+    FROM r
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy first-fit-in-order sequence packing into 512-token training
+    bins, one independent bin stream per language shard.
+
+    Packing is sequential within a stream by definition (each bin's
+    contents depend on every earlier doc), so the engine parallelizes
+    ACROSS streams: one shuffle on the shard key, then an Arrow-batched
+    O(n) pass per stream (operators/packing.py pack_greedy). The DuckDB
+    oracle replays the identical walk as a recursive CTE, so this
+    "imperative" operator still carries an exact hash oracle.
+
+    Scale: shard by hash bucket instead of lang to bound stream length
+    (bin ids are stream-local; global ids are (shard, bin_id) pairs --
+    no cross-shard coordination anywhere)."""
+    from ..operators.packing import pack_greedy
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(TOKS()).alias("n_tokens")
+    )
+    return pack_greedy(
+        d, shard_col="lang", order_col="doc_id", size_col="n_tokens", budget=512
+    )
