@@ -49,21 +49,62 @@ def portable_hash60(c: Column, seed: int | None = None) -> Column:
     return F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
 
 
-def _portable_seeded_hash(i: int):
-    """Portable (md5-60-bit) twin of :func:`_seeded_hash`; same factory
-    shape for the same ``F.transform`` two-parameter pitfall."""
-    return lambda t: portable_hash60(t, seed=i)
+_MERSENNE31 = 2_147_483_647  # 2^31 - 1, prime
 
 
-def minhash_signature(tokens: Column, k: int, seeded_hash=None) -> Column:
-    """k seeded min-hashes over a token array as one array<long> column.
+def minhash_affine_consts(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal-hash MinHash family
+    ``h_i(t) = (a_i * base(t) + b_i) mod (2^31 - 1)`` -- md5-derived
+    constants, never random at run time, embeddable as literals in a
+    DuckDB oracle. a_i in [1, p-1] keeps the map a permutation of the
+    field; products stay under 2^62 so BIGINT arithmetic is exact in
+    both engines."""
+    import hashlib
 
-    ``seeded_hash`` is a factory ``int -> (Column -> Column)``; default is
-    the xxhash64 scale path, :func:`_portable_seeded_hash` gives the
-    md5-based variant a DuckDB oracle can reproduce."""
-    seeded_hash = seeded_hash or _seeded_hash
+    out = []
+    for i in range(k):
+        da = hashlib.md5(f"minhash-a-{i}".encode()).digest()
+        db = hashlib.md5(f"minhash-b-{i}".encode()).digest()
+        a = int.from_bytes(da[:8], "big") % (_MERSENNE31 - 1) + 1
+        b = int.from_bytes(db[:8], "big") % _MERSENNE31
+        out.append((a, b))
+    return out
+
+
+def minhash_base_hashes(tokens: Column) -> Column:
+    """Per-token base hash for the portable MinHash family: md5-60-bit
+    (:func:`portable_hash60`) reduced mod 2^31-1. Materialize this ONCE
+    per row (its own projection), then derive all k signature lanes from
+    it -- the md5 cost is paid once per token, not once per (token, seed)."""
+    return F.transform(tokens, lambda t: portable_hash60(t) % _MERSENNE31)
+
+
+def minhash_signature_from_base(base: Column, k: int) -> Column:
+    """Cross-engine-exact MinHash signature from pre-computed base hashes:
+    ``k`` affine universal-hash lanes ``(a_i*h + b_i) mod (2^31-1)`` --
+    the classic construction (same family as datasketch), every value
+    reproducible in DuckDB SQL via the same literals."""
     return F.array(
-        *[F.array_min(F.transform(tokens, seeded_hash(i))) for i in range(k)]
+        *[
+            F.array_min(
+                F.transform(
+                    base,
+                    (lambda a_, b_: lambda h: (a_ * h + b_) % _MERSENNE31)(
+                        F.lit(a), F.lit(b)
+                    ),
+                )
+            )
+            for a, b in minhash_affine_consts(k)
+        ]
+    )
+
+
+def minhash_signature(tokens: Column, k: int) -> Column:
+    """k seeded min-hashes over a token array as one array<long> column
+    (xxhash64 scale path; see :func:`minhash_signature_from_base` for the
+    oracle-portable family)."""
+    return F.array(
+        *[F.array_min(F.transform(tokens, _seeded_hash(i))) for i in range(k)]
     )
 
 
@@ -85,7 +126,7 @@ def minhash_candidates(
     tokens_col: Column,
     k: int = 16,
     bands: int = 4,
-    seeded_hash=None,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup candidate pairs via MinHash + LSH banding.
 
@@ -93,15 +134,26 @@ def minhash_candidates(
     The shuffle is keyed by (band_idx, band_hash); only same-bucket pairs
     join. Estimated similarity filters before any exact verify.
 
-    ``seeded_hash`` swaps the per-token hash (see
-    :func:`minhash_signature`); the band hash stays xxhash64 regardless --
-    it only defines join buckets and never reaches the output, so two
-    engines only need the TOKEN hashes to agree.
+    ``portable=True`` swaps the xxhash64 per-(token, seed) hashing for the
+    md5-base + affine-lane family a DuckDB oracle reproduces exactly (see
+    :func:`minhash_signature_from_base`); the band hash stays xxhash64
+    regardless -- it only defines join buckets and never reaches the
+    output, so two engines only need the TOKEN hashes to agree.
     """
-    sig = docs.select(
-        F.col(id_col).alias("doc_id"),
-        minhash_signature(tokens_col, k, seeded_hash=seeded_hash).alias("sig"),
-    )
+    if portable:
+        based = docs.select(
+            F.col(id_col).alias("doc_id"),
+            minhash_base_hashes(tokens_col).alias("_base"),
+        )
+        sig = based.select(
+            "doc_id",
+            minhash_signature_from_base(F.col("_base"), k).alias("sig"),
+        )
+    else:
+        sig = docs.select(
+            F.col(id_col).alias("doc_id"),
+            minhash_signature(tokens_col, k).alias("sig"),
+        )
     bandsdf = sig.select(
         "doc_id",
         "sig",

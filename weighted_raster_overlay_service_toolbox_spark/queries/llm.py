@@ -135,18 +135,32 @@ def q_jaccard_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_dedup_minhash",
-    oracle="""
+def _minhash_oracle() -> str:
+    """DuckDB oracle for q_dedup_minhash: the md5-60-bit base hash mod
+    2^31-1, then the 16 affine universal-hash lanes with the SAME
+    md5-derived (a, b) literals the Spark side uses
+    (operators/dedup.py minhash_affine_consts)."""
+    from ..operators.dedup import minhash_affine_consts
+
+    lanes = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_affine_consts(16))
+    )
+    return f"""
     WITH t AS (
         SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
         FROM documents WHERE doc_id < 200
     ),
+    bh AS (
+        SELECT doc_id,
+               CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT)
+                   % 2147483647 AS h
+        FROM t
+    ),
     hs AS (
-        SELECT doc_id, s.seed,
-               MIN(CAST('0x' || substring(md5(CONCAT(s.seed, ':', tok)), 1, 15)
-                        AS BIGINT)) AS mh
-        FROM t CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) s
+        SELECT doc_id, s.seed, MIN((s.a * bh.h + s.b) % 2147483647) AS mh
+        FROM bh CROSS JOIN (
+            SELECT * FROM (VALUES {lanes}) AS lanes(seed, a, b)
+        ) s
         GROUP BY doc_id, s.seed
     ),
     bandvals AS (
@@ -168,8 +182,10 @@ def q_jaccard_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN hs hb ON hb.doc_id = c.doc_b AND hb.seed = ha.seed
     GROUP BY c.doc_a, c.doc_b
     HAVING SUM(CASE WHEN ha.mh = hb.mh THEN 1 ELSE 0 END) / 16.0 >= 0.25
-    """,
-)
+    """
+
+
+@query("q_dedup_minhash", oracle=_minhash_oracle())
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidates via MinHash + LSH banding (fixed seeds).
 
@@ -177,29 +193,24 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs, est-filtered (exact verify is the
     minhash_verified_edges / q_dedup_clusters path).
 
-    Oracle-exact: the per-token seeded hash is the portable md5-60-bit
-    hash (operators/dedup.py portable_hash60) so DuckDB reproduces every
-    signature; the BAND hash stays xxhash64 -- it only defines join
-    buckets (the oracle joins on the slice values directly) and never
-    reaches the output. The xxhash64 token path stays the scale default
-    for non-oracle callers (minhash_verified_edges, curate_corpus).
+    Oracle-exact: ONE md5-60-bit base hash per token, then 16 affine
+    universal-hash lanes (a_i*h + b_i mod 2^31-1, the datasketch-style
+    construction; operators/dedup.py minhash_signature_from_base) -- the
+    oracle rebuilds every signature from the same literals. The BAND hash
+    stays xxhash64: it only defines join buckets (the oracle joins on the
+    slice values directly) and never reaches the output. The xxhash64
+    token path stays the scale default for non-oracle callers
+    (minhash_verified_edges, curate_corpus).
 
     Scale: never forms the quadratic pair space -- the shuffle is keyed by
     (band_idx, band_hash) and only same-bucket pairs are joined; estimated
     similarity then filters before the (expensive) exact verify."""
-    from ..operators.dedup import _portable_seeded_hash
-
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     # 8 bands of 2: LSH threshold ~(1/8)^(1/2) ~ 0.35, so truly-similar
     # pairs (j >= 0.8) are recalled with probability ~1 -- 4 bands of 4
     # misses a third of j=0.7 pairs (1-(1-0.7^4)^4 = 0.67).
     cand = minhash_candidates(
-        d,
-        "doc_id",
-        F.array_distinct(TOKS()),
-        k=16,
-        bands=8,
-        seeded_hash=_portable_seeded_hash,
+        d, "doc_id", F.array_distinct(TOKS()), k=16, bands=8, portable=True
     )
     return cand.filter(F.col("est_jaccard") >= 0.25)
 

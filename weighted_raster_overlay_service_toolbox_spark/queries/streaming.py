@@ -46,10 +46,17 @@ from .registry import query
 )
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour tumbling window counts/sums, run as a real stream (complete
-    mode -> memory sink), batch-equivalent to date_trunc grouping."""
+    mode -> memory sink), batch-equivalent to date_trunc grouping.
+
+    files_per_trigger=2: complete-mode output is batch-count-invariant,
+    so the availableNow backfill runs 2 micro-batches instead of 4 --
+    still a genuinely incremental execution (state carried across
+    batches), at half the per-batch state-store/commit overhead
+    (A/B at sf0.1: 2.31s -> 1.26s). Sequencing-sensitive queries
+    (watermark/dedup) keep 1."""
     staged = stage_event_files(spark, sf_dir, "tumbling")
     agg = (
-        read_event_stream(spark, staged)
+        read_event_stream(spark, staged, files_per_trigger=2)
         .groupBy(F.window("ts", "1 hour").alias("win"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -431,13 +438,16 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: join state is keyed by user_id and bounded by
     watermark + the 1 h range condition; at 100 TB/day the state store
     holds ~1 h of clicks per user, not the stream's history.
-    files_per_trigger=2: a watermarked INNER join's final output is
+    files_per_trigger=4: a watermarked INNER join's final output is
     batch-count-invariant (state is evicted only once no future match is
-    possible), so the backfill runs with larger micro-batches to
-    amortize per-batch state-store overhead -- the sequencing-sensitive
-    queries (watermark/dedup) keep 1."""
+    possible), so the availableNow backfill takes each staged side in one
+    trigger to amortize per-batch state-store overhead (A/B at sf0.1:
+    4.57s at 2 files -> 3.60s at 4; output identical). The incremental
+    multi-batch execution of the same join shape is exercised by
+    q_stream_stream_left_join at files_per_trigger=1; the
+    sequencing-sensitive queries (watermark/dedup) also keep 1."""
     staged = stage_event_files(spark, sf_dir, "ss_join")
-    ev = read_event_stream(spark, staged, files_per_trigger=2)
+    ev = read_event_stream(spark, staged, files_per_trigger=4)
     clicks = (
         ev.filter(F.col("event_type") == "click")
         .select(
@@ -449,7 +459,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     staged2 = stage_event_files(spark, sf_dir, "ss_join_b")
     purchases = (
-        read_event_stream(spark, staged2, files_per_trigger=2)
+        read_event_stream(spark, staged2, files_per_trigger=4)
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
