@@ -74,6 +74,10 @@ def main() -> None:
         "q_tfidf",
         "q_cosine_topk",
         "q_contamination",
+        # training-batch prep + LM quality scoring (round-5 additions)
+        "q_chunk_documents",
+        "q_pack_sequences",
+        "q_unigram_logprob",
         # time series
         "q_sessionize",
     ]

@@ -216,3 +216,23 @@ def test_retention_cohorts_has_no_forced_broadcast(spark):
     df = QUERIES["q_retention_cohorts"](spark, SF_SMOKE)
     logical = df._jdf.queryExecution().logical().toString()
     assert "UnresolvedHint" not in logical and "ResolvedHint" not in logical, logical
+
+
+def test_unigram_logprob_vocab_join_broadcasts(spark):
+    """q_unigram_logprob's vocab join must be a broadcast hash join (the
+    unigram table is vocabulary-sized), never a shuffled sort-merge join
+    of the full token stream against the vocab."""
+    plan = plan_of(spark, "q_unigram_logprob")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_single_shard_shuffle(spark):
+    """q_pack_sequences shuffles exactly once -- the shard-key exchange
+    feeding applyInPandas; the greedy walk itself adds no further
+    exchange."""
+    plan = plan_of(spark, "q_pack_sequences")
+    physical = plan.split("== Physical Plan ==")[-1].split("=====")[0]
+    # exactly one hash partitioning -- the shard-key exchange
+    assert physical.count("hashpartitioning") == 1, physical
+    assert "FlatMapGroupsInPandas" in plan

@@ -1923,3 +1923,64 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_greedy(
         d, shard_col="lang", order_col="doc_id", size_col="n_tokens", budget=512
     )
+
+
+@query(
+    "q_unigram_logprob",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    v AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok),
+    n AS (SELECT COUNT(*) AS total FROM t),
+    lp AS (
+        SELECT t.doc_id,
+               CAST(ROUND(ln(CAST(v.c AS DOUBLE) / n.total) * 1000000)
+                    AS BIGINT) AS lp6
+        FROM t JOIN v USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_tokens,
+           CAST(ROUND(SUM(lp6) / COUNT(*) / 1000000.0, 4) AS DOUBLE)
+               AS avg_logprob
+    FROM lp GROUP BY doc_id
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score: per-doc mean token
+    log-probability under the corpus's own unigram distribution -- the
+    classic perplexity-proxy filter (low avg_logprob = rare-token-heavy /
+    junk documents; threshold or bucket downstream).
+
+    Cross-engine determinism: the per-token logprob is quantized to a
+    1e-6-granular INTEGER before summing, so the doc aggregate is an
+    exact commutative integer sum -- immune to Spark-vs-DuckDB double
+    summation order (a raw AVG(ln) would hash-mismatch on last-ulp
+    reorderings).
+
+    Scale: the unigram table is vocabulary-sized -> broadcast; the corpus
+    total is a scalar cross join; one token-keyed shuffle builds the
+    vocab, one doc-keyed shuffle aggregates -- both map-side-combined. A
+    pretrained (static) LM table makes the first shuffle disappear
+    entirely: the score pass is then a broadcast join + single agg."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.explode(TOKS()).alias("tok"))
+    v = t.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n = t.agg(F.count(F.lit(1)).alias("total"))
+    lp = (
+        t.join(broadcast(v), "tok")
+        .crossJoin(broadcast(n))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(F.col("c").cast("double") / F.col("total")) * 1000000
+            )
+            .cast("long")
+            .alias("lp6"),
+        )
+    )
+    return lp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        F.round(F.sum("lp6") / F.count(F.lit(1)) / 1000000.0, 4)
+        .cast("double")
+        .alias("avg_logprob"),
+    )
