@@ -893,3 +893,164 @@ def q_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("last_purchase") >= F.col("first_click"), 1).otherwise(0)
         ).alias("n_converted"),
     )
+
+
+@query(
+    "q_dq_checks",
+    oracle="""
+    WITH base AS (
+        SELECT COUNT(*) AS n,
+               SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS v_price,
+               SUM(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01'
+                          OR o_orderdate > TIMESTAMP '1999-12-31'
+                        THEN 1 ELSE 0 END) AS v_date,
+               COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_dup,
+               SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                        THEN 1 ELSE 0 END) AS v_status
+        FROM orders
+    ),
+    fk AS (
+        SELECT COUNT(*) AS n,
+               SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS v
+        FROM orders o
+        LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+          ON o.o_custkey = c.c_custkey
+    ),
+    rules AS (
+        SELECT 'nonpositive_price' AS rule, n, v_price AS v FROM base
+        UNION ALL SELECT 'date_out_of_range', n, v_date FROM base
+        UNION ALL SELECT 'dup_orderkey', n, v_dup FROM base
+        UNION ALL SELECT 'bad_status_domain', n, v_status FROM base
+        UNION ALL SELECT 'fk_orphan_custkey', n, v FROM fk
+    )
+    SELECT rule, CAST(n AS BIGINT) AS n_checked,
+           CAST(v AS BIGINT) AS n_violations,
+           CAST(ROUND(CAST(v AS DOUBLE) / n, 6) AS DOUBLE) AS violation_rate
+    FROM rules
+    """,
+)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint sweep over ``orders``: range, domain,
+    uniqueness, and referential-integrity rules evaluated in bulk, one
+    output row per rule (the expectations/dq-suite operator shape).
+
+    Scale: the four scan rules fold into ONE aggregate pass (every rule
+    is a conditional sum; map-side combined to a single row); the FK rule
+    is one left join against the deduped key side, counted in the same
+    shape -- AQE broadcast-or-shuffle by size, no hint. No rule adds a
+    second scan of the fact table."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("v_price"),
+        F.sum(
+            (
+                (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") > F.lit("1999-12-31").cast("timestamp"))
+            ).cast("long")
+        ).alias("v_date"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v_dup"),
+        F.sum(
+            (~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")
+        ).alias("v_status"),
+    )
+    ckeys = (
+        load_table(spark, sf_dir, "customer").select("c_custkey").distinct()
+    )
+    fk = (
+        o.join(ckeys, o["o_custkey"] == ckeys["c_custkey"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("c_custkey").isNull().cast("long")).alias("v"),
+        )
+    )
+    rules = base.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("nonpositive_price").alias("rule"),
+                    F.col("n"),
+                    F.col("v_price").alias("v"),
+                ),
+                F.struct(
+                    F.lit("date_out_of_range").alias("rule"),
+                    F.col("n"),
+                    F.col("v_date").alias("v"),
+                ),
+                F.struct(
+                    F.lit("dup_orderkey").alias("rule"),
+                    F.col("n"),
+                    F.col("v_dup").alias("v"),
+                ),
+                F.struct(
+                    F.lit("bad_status_domain").alias("rule"),
+                    F.col("n"),
+                    F.col("v_status").alias("v"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*").unionAll(
+        fk.select(F.lit("fk_orphan_custkey").alias("rule"), "n", "v")
+    )
+    return rules.select(
+        "rule",
+        F.col("n").cast("long").alias("n_checked"),
+        F.col("v").cast("long").alias("n_violations"),
+        F.round(F.col("v").cast("double") / F.col("n"), 6)
+        .cast("double")
+        .alias("violation_rate"),
+    )
+
+
+@query(
+    "q_downsample_rollup",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               date_trunc('hour', ts) AS hour, value
+        FROM events
+    )
+    SELECT CASE GROUPING(day, hour) WHEN 0 THEN 'hour' ELSE 'day' END
+               AS grain,
+           COALESCE(hour, day) AS bucket_ts,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS sum_value
+    FROM b
+    GROUP BY ROLLUP(day, hour)
+    HAVING GROUPING(day, hour) IN (0, 1)
+    """,
+)
+def q_downsample_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity downsample: hourly AND daily
+    rollups of the event stream in ONE aggregation pass (ROLLUP grouping
+    sets share the shuffle; partial aggregation combines map-side), not
+    one scan per granularity. The grand-total grouping is filtered out.
+
+    Scale: the cost of N granularities collapses to one shuffle keyed by
+    the finest bucket; coarser grains aggregate from the same partials.
+    Decimal summation keeps the measure exact across engines."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        "value",
+    )
+    gid = F.grouping_id("day", "hour")
+    return (
+        b.rollup("day", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+            gid.alias("_gid"),
+        )
+        .filter(F.col("_gid").isin(0, 1))
+        .select(
+            F.when(F.col("_gid") == 0, "hour").otherwise("day").alias("grain"),
+            F.coalesce("hour", "day").alias("bucket_ts"),
+            "n_events",
+            "sum_value",
+        )
+    )
