@@ -81,14 +81,16 @@ def test_rows_only_queries_are_the_intended_set():
         "q_stream_stateful_custom",
         # iterative algorithm (not SQL-expressible)
         "q_kmeans",
-        # binary/struct canonical forms differ across engines
-        # (q_udtf_flatmap was PROMOTED to oracle-backed in r5: its row
-        # expansion is deterministic and unnest-expressible; likewise
-        # q_simhash/q_dedup_minhash via the portable md5-60-bit token
-        # hash and q_ann_ivf via literal-inlined hyperplanes -- the
-        # "approximate" algorithms are pure functions of their inputs)
+        # binary/struct/array OUTPUT columns by design (the driver cannot
+        # hash them; the schema-plumbing demo keeps them deliberately).
+        # Everything else in the multimodal family was promoted in r5:
+        # q_multimodal_decode/resize/framesample carry analytic oracles
+        # that reconstruct the expected parse output from the
+        # deterministic fixture encoder. (q_udtf_flatmap, q_simhash,
+        # q_dedup_minhash, q_ann_ivf were promoted earlier in r5 via
+        # unnest-expressibility / the portable md5 token hash /
+        # literal-inlined hyperplanes.)
         "q_multimodal_struct",
-        "q_multimodal_decode",
     }
     assert rows_only == expected, (
         f"unexpected rows-only: {sorted(rows_only - expected)}; "

@@ -803,7 +803,43 @@ def q_multimodal_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_multimodal_decode")  # rows-only: binary payloads, cross-engine forms differ
+@query(
+    "q_multimodal_decode",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id,
+               CAST((doc_id % 6) + 2 AS INTEGER) AS w,
+               CAST((doc_id % 4) + 2 AS INTEGER) AS h,
+               rpad(text,
+                    CAST(((doc_id % 6) + 2) * ((doc_id % 4) + 2) * 3 AS INTEGER),
+                    'pixel') AS raster
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, raster,
+               unnest(range(0, CAST(w * h * 3 AS INTEGER))) AS j
+        FROM r
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(ROUND(AVG(CASE WHEN j % 3 = 0
+                    THEN ord(substring(raster, j + 1, 1)) END), 6) AS DOUBLE)
+                   AS mean_r,
+               CAST(ROUND(AVG(CASE WHEN j % 3 = 1
+                    THEN ord(substring(raster, j + 1, 1)) END), 6) AS DOUBLE)
+                   AS mean_g,
+               CAST(ROUND(AVG(CASE WHEN j % 3 = 2
+                    THEN ord(substring(raster, j + 1, 1)) END), 6) AS DOUBLE)
+                   AS mean_b
+        FROM b GROUP BY doc_id
+    )
+    SELECT r.doc_id AS id, r.w AS width, r.h AS height,
+           CAST(255 AS INTEGER) AS maxval,
+           m.mean_r, m.mean_g, m.mean_b,
+           md5(r.raster) AS checksum
+    FROM r JOIN m ON m.doc_id = r.doc_id
+    """,
+)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode over mapInPandas: each document becomes a valid
     binary P6 PPM image (real header + text-derived raster bytes, built
@@ -811,6 +847,16 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure-Python PPM parser decodes width/height/maxval, per-channel
     means, and the raster checksum. Arrow-batched, one output row per
     input; a corrupt payload raises, it does not fake a row.
+
+    Oracle-exact (promoted r5): the fixture encoder is deterministic, so
+    the oracle ANALYTICALLY reconstructs what a correct parse must return
+    -- dimensions from the generator formulas, channel means by striding
+    the reconstructed raster, checksum as md5 of the same bytes. The
+    Spark side still runs the real binary parse; the oracle is an
+    independent reconstruction, which is exactly what makes the parse
+    falsifiable. (Channel means are integer-sum / count, and no fixture
+    raster length can place a mean on a 6-decimal rounding midpoint, so
+    the rounded doubles agree bit-for-bit.)
 
     The payload ENCODER is fixture plumbing (this container ships no
     image files); the DECODER is a real parser of a real format, and
@@ -825,6 +871,91 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     payloads = d.select("doc_id", ppm_payload("w", "h", "text").alias("payload"))
     return decode_ppm_features(payloads, "doc_id", "payload")
+
+
+@query(
+    "q_multimodal_resize",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               CAST((doc_id % 6) + 2 AS INTEGER) AS w,
+               CAST((doc_id % 4) + 2 AS INTEGER) AS h,
+               CASE WHEN GREATEST((doc_id % 6) + 2, (doc_id % 4) + 2) <= 4
+                    THEN 1.0
+                    ELSE 4.0 / GREATEST((doc_id % 6) + 2, (doc_id % 4) + 2)
+               END AS sc
+        FROM documents
+    )
+    SELECT doc_id AS id,
+           CAST(ROUND(w * sc) AS INTEGER) AS width,
+           CAST(ROUND(h * sc) AS INTEGER) AS height,
+           CAST(ROUND(sc, 6) AS DOUBLE) AS scale
+    FROM s
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize planning (longest side -> 4): dimensions
+    come from the REAL header parse of each binary payload
+    (operators/multimodal.py resize); the oracle reconstructs the
+    expected geometry analytically from the fixture encoder. One output
+    row per input, Arrow-batched, no shuffle. (No fixture dimension
+    lands a half-integer product, so Python and SQL rounding agree.)"""
+    from ..operators.multimodal import resize
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        ((F.col("doc_id") % 6) + 2).cast("int").alias("w"),
+        ((F.col("doc_id") % 4) + 2).cast("int").alias("h"),
+    )
+    payloads = d.select("doc_id", ppm_payload("w", "h", "text").alias("payload"))
+    return resize(payloads, "doc_id", "payload", max_side=4)
+
+
+@query(
+    "q_multimodal_framesample",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               'P6' || chr(10)
+               || CAST((doc_id % 6) + 2 AS VARCHAR) || ' '
+               || CAST((doc_id % 4) + 2 AS VARCHAR) || chr(10)
+               || '255' || chr(10)
+               || rpad(text,
+                       CAST(((doc_id % 6) + 2) * ((doc_id % 4) + 2) * 3
+                            AS INTEGER),
+                       'pixel') AS payload
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id, payload,
+               unnest(range(0, CAST(ceil(length(payload) / 64.0) AS INTEGER)))
+                   AS k
+        FROM p
+    )
+    SELECT doc_id AS id,
+           CAST(k AS INTEGER) AS frame_idx,
+           CAST(k * 64 AS BIGINT) AS byte_offset,
+           md5(substring(payload, k * 64 + 1, 64)) AS frame_checksum
+    FROM f
+    """,
+)
+def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads: one output row per 64-byte
+    "frame" (the video-frame-extraction row shape -- N rows per input via
+    mapInPandas, operators/multimodal.py frame_sample). The oracle
+    rebuilds the identical payload bytes in SQL (ASCII fixture corpus, so
+    character ops == byte ops) and hashes the same windows."""
+    from ..operators.multimodal import frame_sample
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        ((F.col("doc_id") % 6) + 2).cast("int").alias("w"),
+        ((F.col("doc_id") % 4) + 2).cast("int").alias("h"),
+    )
+    payloads = d.select("doc_id", ppm_payload("w", "h", "text").alias("payload"))
+    return frame_sample(payloads, "doc_id", "payload", every_n_bytes=64)
 
 
 @query("q_kmeans")  # rows-only: iterative algorithm, not SQL-expressible
