@@ -79,8 +79,9 @@ def test_rows_only_queries_are_the_intended_set():
         # deterministic file staging, update-mode's emission log is
         # itself SQL-expressible -- running count per (batch, key).)
         "q_stream_stateful_custom",
-        # iterative algorithm (not SQL-expressible)
-        "q_kmeans",
+        # (q_kmeans was promoted late in r5: with 1e-6 input quantization,
+        # exact long-sum centroid means, and a constant iteration count,
+        # three unrolled Lloyd's iterations are plain SQL.)
         # binary/struct/array OUTPUT columns by design (the driver cannot
         # hash them; the schema-plumbing demo keeps them deliberately).
         # Everything else in the multimodal family was promoted in r5:

@@ -958,12 +958,64 @@ def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(payloads, "doc_id", "payload", every_n_bytes=64)
 
 
-@query("q_kmeans")  # rows-only: iterative algorithm, not SQL-expressible
+def _kmeans_oracle(k: int = 8, iterations: int = 3, dim: int = 64) -> str:
+    """DuckDB oracle for q_kmeans: Lloyd's iterations UNROLLED as chained
+    CTEs. Every arithmetic step mirrors operators/kmeans.py exactly --
+    1e-6 input quantization, the expanded |v|^2 - 2 v.c + |c|^2 distance
+    with sequential-fold dot products, exact long-sum centroid means --
+    so the "iterative, not SQL-expressible" claim stops being true once
+    the iteration count is a constant."""
+    d2 = (
+        "(list_dot_product(v.e, v.e) - 2 * list_dot_product(v.e, c.ce)"
+        " + list_dot_product(c.ce, c.ce))"
+    )
+    ctes = [
+        "v AS (SELECT vec_id,"
+        " list_transform(CAST(embedding AS DOUBLE[]),"
+        " x -> ROUND(x * 1000000) / 1000000.0) AS e FROM embeddings)",
+        f"c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cluster,"
+        f" e AS ce FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {k}))",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"a{i} AS (SELECT vec_id, e, cluster FROM ("
+            f" SELECT v.vec_id, v.e, c.cluster,"
+            f" ROW_NUMBER() OVER (PARTITION BY v.vec_id"
+            f" ORDER BY {d2}, c.cluster) AS rk"
+            f" FROM v CROSS JOIN c{i - 1} c) WHERE rk = 1)"
+        )
+        if i < iterations:
+            ctes.append(
+                f"c{i} AS (SELECT cluster, list(mu ORDER BY dim) AS ce FROM ("
+                f" SELECT cluster, d.j AS dim,"
+                f" CAST(SUM(CAST(ROUND(e[d.j + 1] * 1000000) AS BIGINT))"
+                f" AS BIGINT) / COUNT(*) / 1000000.0 AS mu"
+                f" FROM a{i} CROSS JOIN"
+                f" (SELECT unnest(range(0, {dim})) AS j) d"
+                f" GROUP BY cluster, d.j) GROUP BY cluster)"
+            )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT vec_id, CAST(cluster AS INTEGER) AS cluster"
+        f" FROM a{iterations}"
+    )
+
+
+@query("q_kmeans", oracle=_kmeans_oracle())
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Lloyd's k-means assignments (k=8, 3 iterations) over
     the embeddings table -- the engine's iterative-algorithm pattern
     (broadcast centroids, keyed-shuffle update, localCheckpoint lineage
-    truncation; see operators/kmeans.py)."""
+    truncation; see operators/kmeans.py).
+
+    Oracle-exact (promoted r5): inputs quantize to the 1e-6 grid, the
+    centroid mean is an exact long sum / count (not a summation-order-
+    dependent double avg), and distances use the expanded dot-product
+    identity both engines fold in the same order -- so three unrolled
+    Lloyd's iterations in DuckDB reproduce the assignments bit-for-bit.
+    The quantization also fixes a latent operator nondeterminism: a raw
+    avg(double) centroid depends on Spark's partial-aggregation order,
+    which is not pinned across partitionings."""
     from ..operators.kmeans import kmeans
 
     v = load_table(spark, sf_dir, "embeddings").select(
