@@ -72,27 +72,17 @@ def test_rows_only_queries_are_the_intended_set():
     import __spark_entry__ as e
 
     rows_only = set(e.queries()) - set(e.oracle_sql())
-    expected = {
-        # custom applyInPandasWithState machine: its per-micro-batch
-        # emission log depends on Python state transitions, not a SQL
-        # statement. (q_stream_agg_update WAS promoted in r5: with the
-        # deterministic file staging, update-mode's emission log is
-        # itself SQL-expressible -- running count per (batch, key).)
-        "q_stream_stateful_custom",
-        # (q_kmeans was promoted late in r5: with 1e-6 input quantization,
-        # exact long-sum centroid means, and a constant iteration count,
-        # three unrolled Lloyd's iterations are plain SQL.)
-        # binary/struct/array OUTPUT columns by design (the driver cannot
-        # hash them; the schema-plumbing demo keeps them deliberately).
-        # Everything else in the multimodal family was promoted in r5:
-        # q_multimodal_decode/resize/framesample carry analytic oracles
-        # that reconstruct the expected parse output from the
-        # deterministic fixture encoder. (q_udtf_flatmap, q_simhash,
-        # q_dedup_minhash, q_ann_ivf were promoted earlier in r5 via
-        # unnest-expressibility / the portable md5 token hash /
-        # literal-inlined hyperplanes.)
-        "q_multimodal_struct",
-    }
+    # After the round-5 promotion sweep, exactly ONE query is rows-only,
+    # and it is rows-only by DESIGN: q_multimodal_struct's whole point is
+    # emitting binary/struct/array columns (the multimodal schema
+    # plumbing), which the driver's pandas canonicalizer cannot hash.
+    # Every algorithmic query -- including the "approximate" (simhash/
+    # minhash/ann via portable hashes and literal-inlined hyperplanes),
+    # the iterative (kmeans via 1e-6 quantization + exact long-sum
+    # centroids + unrolled CTEs), and the custom-stateful-streaming pair
+    # (agg_update/stateful_custom via deterministic staging + integer
+    # state) -- now carries an exact DuckDB oracle.
+    expected = {"q_multimodal_struct"}
     assert rows_only == expected, (
         f"unexpected rows-only: {sorted(rows_only - expected)}; "
         f"lost rows-only: {sorted(expected - rows_only)}"

@@ -5,11 +5,14 @@ memory/foreachBatch sinks, availableNow trigger).
 
 No reference anchor -- the reference is batch-only desktop tooling
 (``WROS/Weighted Raster Overlay Service.pyt:46, 350, 579``); these are
-the north-star stream operators. Window-aggregate queries carry DuckDB
-batch-equivalence oracles; watermark/dedup/update queries depend on
-micro-batch sequencing that SQL cannot express, so they are rows-only
-(the driver records the weaker check; tests/test_streaming.py pins the
-exact late-drop behavior).
+the north-star stream operators. Every query here carries a DuckDB
+oracle (as of r5): window aggregates via batch equivalence, watermark/
+dedup via the deterministic staged file sequence (the late-drop set is a
+pure function of the pinned batch order), and the update-mode /
+custom-stateful emission logs via the batch-assignment replay (running
+totals per (batch, key); integer state keeps money sums
+commutative-exact). tests/test_streaming.py additionally pins the exact
+late-drop behavior as unit goldens.
 
 Scale posture: every aggregation keys its shuffle by (window[, user]);
 watermarks bound state, so the same plan runs unbounded on Kafka at
@@ -364,7 +367,32 @@ def q_stream_agg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "batch_id int, event_type string, n long")
 
 
-@query("q_stream_stateful_custom")  # rows-only: custom state machine
+@query(
+    "q_stream_stateful_custom",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, value,
+               ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
+               COUNT(*) OVER () AS total
+        FROM events
+    ),
+    b AS (
+        SELECT user_id, value,
+               CAST((rn - 1) // (total // 4 + 1) AS INTEGER) AS batch_id
+        FROM ranked
+    ),
+    pb AS (
+        SELECT user_id, batch_id, COUNT(*) AS c,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+        FROM b GROUP BY user_id, batch_id
+    )
+    SELECT batch_id, user_id,
+           CAST(SUM(c) OVER w AS BIGINT) AS n_events,
+           CAST(SUM(cents) OVER w / 100.0 AS DOUBLE) AS sum_value
+    FROM pb
+    WINDOW w AS (PARTITION BY user_id ORDER BY batch_id)
+    """,
+)
 def q_stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     running (event count, value sum) state carried across micro-batches,
@@ -375,6 +403,12 @@ def q_stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches): keyed state + Arrow-batched Python transitions. State is
     bounded by the key domain; at 100 TB the shuffle is keyed by user and
     the state store partitions with it.
+
+    Oracle-exact (promoted r5): the money state is integer CENTS, so the
+    running sum is commutative-exact (a float accumulator would depend on
+    arrival order and could not hash-match SQL); with the deterministic
+    4-file staging, the per-batch emission log is a windowed running sum
+    over the batch assignment -- same argument as q_stream_agg_update.
     """
     import pandas as pd  # noqa: F401  (worker-side)
 
@@ -383,13 +417,19 @@ def q_stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
-        n, total = state.get if state.exists else (0, 0.0)
+        n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, float(total)))
+            cents += int(
+                pdf["value"].mul(100).round().astype("int64").sum()
+            )
+        state.update((n, int(cents)))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(total, 2)]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [cents / 100.0],
+            }
         )
 
     staged = stage_event_files(spark, sf_dir, "stateful")
@@ -399,7 +439,7 @@ def q_stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandasWithState(
             update,
             outputStructType="user_id long, n_events long, sum_value double",
-            stateStructType="n long, total double",
+            stateStructType="n long, cents long",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
