@@ -247,3 +247,47 @@ def test_span_dedup_handles_sub_window_docs(spark, tmp_path):
 
     hist = QUERIES["q_span_dedup_hashed"](spark, sf_dir).collect()
     assert {(r["n_docs"], r["n_spans"]) for r in hist} == {(2, 2)}
+
+
+def test_portable_hash60_matches_hashlib_and_duckdb(spark, duck):
+    """portable_hash60 (Spark conv/substring/md5) must equal BOTH the
+    pure-Python md5 reference AND DuckDB's hex-cast form for arbitrary
+    token text -- this hash is the keystone that lets simhash/minhash
+    carry exact cross-engine oracles."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from weighted_raster_overlay_service_toolbox_spark.operators.dedup import (
+        portable_hash60,
+    )
+
+    @given(
+        toks=st.lists(
+            st.text(
+                alphabet=st.characters(codec="utf-8",
+                                       blacklist_categories=("Cs",)),
+                min_size=0, max_size=24,
+            ),
+            min_size=1, max_size=8,
+        )
+    )
+    @settings(max_examples=10, deadline=None)
+    def check(toks):
+        df = spark.createDataFrame([(t,) for t in toks], "tok string")
+        got = {
+            r["tok"]: r["h"]
+            for r in df.select(
+                "tok", portable_hash60(F.col("tok")).alias("h")
+            ).collect()
+        }
+        for t in set(toks):
+            want = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+            assert got[t] == want, (t, got[t], want)
+            duck_val = duck.execute(
+                "SELECT CAST('0x' || substring(md5(?), 1, 15) AS BIGINT)", [t]
+            ).fetchone()[0]
+            assert duck_val == want, (t, duck_val, want)
+
+    check()

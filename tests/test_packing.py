@@ -127,3 +127,80 @@ def test_pack_shards_are_independent(spark):
     }
     # each shard packs from bin 0 as if the other didn't exist
     assert out == {1: 0, 2: 0, 3: 1, 4: 1}
+
+
+# ---------------------------------------------------------------------------
+# property tests: Spark operators vs pure-Python reimplementations
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _pack_reference(sizes: list[int], budget: int) -> list[tuple[int, int]]:
+    """Pure-Python greedy first-fit-in-order packer (the spec)."""
+    out, bin_id, fill = [], 0, 0
+    for size in sizes:
+        if fill and fill + size > budget:
+            bin_id += 1
+            fill = 0
+        fill += size
+        out.append((bin_id, fill))
+    return out
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=700), min_size=1,
+                   max_size=40),
+    budget=st.integers(min_value=50, max_value=600),
+)
+@settings(max_examples=10, deadline=None)
+def test_pack_greedy_matches_pure_python(spark, sizes, budget):
+    rows = [(i, "s", n) for i, n in enumerate(sizes)]
+    got = sorted(
+        (r["doc_id"], r["bin_id"], r["bin_fill"])
+        for r in pack_greedy(
+            _sized(spark, rows), "shard", "doc_id", "n", budget=budget
+        ).collect()
+    )
+    want = [
+        (i, b, f) for i, (b, f) in enumerate(_pack_reference(sizes, budget))
+    ]
+    assert got == want
+
+
+def _chunk_reference(
+    toks: list[str], chunk_size: int, stride: int
+) -> list[tuple[int, int, list[str]]]:
+    out = []
+    start, idx = 0, 0
+    while start < len(toks):
+        out.append((idx, start, toks[start : start + chunk_size]))
+        idx += 1
+        start += stride
+    return out
+
+
+@given(
+    n_tokens=st.integers(min_value=1, max_value=200),
+    chunk_size=st.integers(min_value=1, max_value=50),
+    stride=st.integers(min_value=1, max_value=50),
+)
+@settings(max_examples=10, deadline=None)
+def test_chunk_tokens_matches_pure_python(spark, n_tokens, chunk_size, stride):
+    toks = [f"t{i}" for i in range(n_tokens)]
+    got = sorted(
+        (r["chunk_idx"], r["chunk_start"], r["chunk_text"])
+        for r in chunk_tokens(
+            _docs(spark, [(1, " ".join(toks))]),
+            "doc_id",
+            F.split("text", " "),
+            chunk_size=chunk_size,
+            stride=stride,
+        ).collect()
+    )
+    want = [
+        (i, s, " ".join(c))
+        for i, s, c in _chunk_reference(toks, chunk_size, stride)
+    ]
+    assert got == want
