@@ -689,8 +689,11 @@ def q_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("cv") * F.col("cv")).alias("ss"),
     )
     dev = F.col("n") * F.col("cv") - F.col("sv")
+    # no broadcast hint: s is USER-cardinality (grows linearly with the
+    # data), so forcing a broadcast would OOM at 100 TB -- AQE broadcasts
+    # it when it is actually small, shuffle-joins otherwise
     return (
-        v.join(F.broadcast(s), "user_id")
+        v.join(s, "user_id")
         .filter(
             (F.col("n") > 1)
             & (

@@ -187,13 +187,16 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join: each micro-batch joins the event
-    stream against the static customer dimension (broadcast -- the dim
-    never shuffles the stream side), then a tumbling-window aggregate
-    keyed by (window, segment). The canonical streaming-ETL shape: at
-    100 TB/day the stream side stays partitioned by arrival, the
-    dimension rides along as a broadcast that refreshes per batch."""
-    from pyspark.sql.functions import broadcast
+    stream against the static customer dimension, then a tumbling-window
+    aggregate keyed by (window, segment). The canonical streaming-ETL
+    shape: at 100 TB/day the stream side stays partitioned by arrival
+    and the dimension rides along per batch.
 
+    No broadcast HINT on the dim: customer is keyed by user, i.e. its
+    cardinality grows with the data, so a forced broadcast is the
+    r4-advice OOM hazard. Size-based planning still broadcasts it at
+    every test scale (parquet stats < autoBroadcastJoinThreshold) and
+    falls back to a shuffled join when the dim outgrows the limit."""
     staged = stage_event_files(spark, sf_dir, "static_join")
     ev = read_event_stream(spark, staged)
     # the static side must resolve in the SAME session as the stream
@@ -202,7 +205,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("user_id"),
         F.col("c_mktsegment").alias("segment"),
     )
-    enriched = ev.join(broadcast(dim), "user_id")
+    enriched = ev.join(dim, "user_id")
     agg = enriched.groupBy(
         F.window("ts", "1 hour").alias("win"), "segment"
     ).agg(
