@@ -111,3 +111,63 @@ def test_stateful_custom_final_counts(spark):
     for uid, (n, s) in final.items():
         assert n == truth[uid][0], f"user {uid} count {n} != {truth[uid][0]}"
         assert abs(s - truth[uid][1]) < 0.02, f"user {uid} sum {s} != {truth[uid][1]}"
+
+
+def test_snapshot_history_and_time_travel(spark):
+    from weighted_raster_overlay_service_toolbox_spark.sources.catalog_store import (
+        catalog_versions,
+        purge_history,
+    )
+
+    store = _STORE + "_tt"
+    create_catalog(spark, store, overwrite=True)
+    append_rows(
+        spark,
+        store,
+        spark.createDataFrame([("a", "T0")], "Name string, Title string"),
+    )
+    assert catalog_versions(store) == []
+
+    def set_title(t):
+        cur = load_catalog(spark, store)
+        replace_catalog(
+            store,
+            cur.withColumn("Title", F.lit(t)),
+            keep_history=2,
+        )
+
+    for i, t in enumerate(["T1", "T2", "T3", "T4"]):
+        set_title(t)
+    # 4 replaces, keep_history=2 -> versions 3 and 4 retained (1, 2 pruned)
+    assert catalog_versions(store) == [3, 4]
+    # time travel: v3 = state after T2, v4 = after T3, live = T4
+    assert load_catalog(spark, store, version=3).collect()[0]["Title"] == "T2"
+    assert load_catalog(spark, store, version=4).collect()[0]["Title"] == "T3"
+    assert load_catalog(spark, store).collect()[0]["Title"] == "T4"
+    with pytest.raises(FileNotFoundError):
+        load_catalog(spark, store, version=1)  # pruned
+    # snapshot isolation: a reader holding v4 still works after another swap
+    held = load_catalog(spark, store, version=4)
+    set_title("T5")
+    assert held.collect()[0]["Title"] == "T3"
+    # rebuild starts with a clean history
+    create_catalog(spark, store, overwrite=True)
+    assert catalog_versions(store) == []
+    purge_history(store)
+
+
+def test_history_off_by_default_retains_nothing(spark):
+    from weighted_raster_overlay_service_toolbox_spark.sources.catalog_store import (
+        catalog_versions,
+    )
+
+    store = _STORE + "_nohist"
+    create_catalog(spark, store, overwrite=True)
+    append_rows(
+        spark,
+        store,
+        spark.createDataFrame([("a", "T0")], "Name string, Title string"),
+    )
+    replace_catalog(store, load_catalog(spark, store).withColumn("Title", F.lit("T1")))
+    assert catalog_versions(store) == []
+    assert load_catalog(spark, store).collect()[0]["Title"] == "T1"

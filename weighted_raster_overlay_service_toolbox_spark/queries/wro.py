@@ -590,3 +590,87 @@ def q_wro_overlay_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.wro import LAYER_WEIGHTS, wro_catalog, wro_cells
 
     return run_overlay(wro_cells(spark, sf_dir), wro_catalog(spark), LAYER_WEIGHTS)
+
+
+@query(
+    "q_catalog_time_travel",
+    oracle=f"""
+    WITH {wro_catalog_sql()},
+    v1 AS (
+        SELECT CAST(1 AS INTEGER) AS version, Name, Title FROM wro_catalog
+    ),
+    v2 AS (
+        SELECT CAST(2 AS INTEGER) AS version, Name,
+               CASE WHEN Name = 'discount' THEN 'Discount (rev A)'
+                    ELSE Title END AS Title
+        FROM wro_catalog
+    ),
+    v3 AS (
+        SELECT CAST(3 AS INTEGER) AS version, Name,
+               CASE WHEN Name = 'discount' THEN 'Discount (rev A)'
+                    WHEN Name = 'quantity' THEN 'Quantity (rev B)'
+                    ELSE Title END AS Title
+        FROM wro_catalog
+    )
+    SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3
+    """,
+)
+def q_catalog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot retention + time travel on the catalog store: two keyed
+    updates run through ``replace_catalog(keep_history=...)``, then ALL
+    THREE states (two retained snapshots + live) are read back and
+    unioned with a version column -- the minimal table-format surface
+    (snapshot isolation, time travel) over plain parquet dirs
+    (sources/catalog_store.py). The oracle replays the update sequence
+    analytically.
+
+    Scale: the store is layer-metadata-sized by design; at real scale
+    the same call pattern maps onto a format with a metadata log
+    (Delta/Iceberg) without changing callers."""
+    from ..sources.catalog_store import (
+        append_rows,
+        catalog_versions,
+        create_catalog,
+        load_catalog,
+        replace_catalog,
+    )
+    from .scans import _scratch
+
+    path = _scratch("cat_time_travel")
+    create_catalog(spark, path, overwrite=True)
+    append_rows(spark, path, wro_catalog(spark))
+
+    def retitle(name: str, new_title: str) -> None:
+        cur = load_catalog(spark, path)
+        replace_catalog(
+            path,
+            cur.withColumn(
+                "Title",
+                F.when(F.col("Name") == name, F.lit(new_title)).otherwise(
+                    F.col("Title")
+                ),
+            ),
+            keep_history=4,
+        )
+
+    retitle("discount", "Discount (rev A)")
+    retitle("quantity", "Quantity (rev B)")
+
+    versions = catalog_versions(path)  # [1, 2]
+    parts = [
+        load_catalog(spark, path, version=v).select(
+            F.lit(v).cast("int").alias("version"), "Name", "Title"
+        )
+        for v in versions
+    ]
+    parts.append(
+        load_catalog(spark, path).select(
+            F.lit(len(versions) + 1).cast("int").alias("version"),
+            "Name",
+            "Title",
+        )
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -64,12 +64,41 @@ def create_catalog(spark: SparkSession, path: str, overwrite: bool = False) -> N
         if not overwrite:
             raise FileExistsError(f"catalog already exists: {path}")
         shutil.rmtree(path)
+    if overwrite:
+        # a rebuilt store must start with a clean history even when the
+        # live dir itself was already removed by the caller
+        purge_history(path)
     spark.createDataFrame([], CATALOG_SCHEMA).write.parquet(path)
 
 
 def _swap_paths(path: str) -> tuple[str, str]:
     base = path.rstrip("/")
     return base + ".tmp", base + ".old"
+
+
+def _version_path(path: str, n: int) -> str:
+    return path.rstrip("/") + f".v{n:05d}"
+
+
+def catalog_versions(path: str) -> list[int]:
+    """Retained historical snapshot numbers, ascending (empty when the
+    store was never replaced with ``keep_history > 0``). The LIVE
+    snapshot is always one newer than the highest retained version."""
+    base = os.path.basename(path.rstrip("/")) + ".v"
+    parent = os.path.dirname(path.rstrip("/")) or "."
+    out = []
+    if os.path.isdir(parent):
+        for name in os.listdir(parent):
+            if name.startswith(base) and name[len(base):].isdigit():
+                out.append(int(name[len(base):]))
+    return sorted(out)
+
+
+def purge_history(path: str) -> None:
+    """Remove every retained snapshot (used by ``create_catalog`` on
+    overwrite so a rebuilt store starts with a clean history)."""
+    for n in catalog_versions(path):
+        shutil.rmtree(_version_path(path, n), ignore_errors=True)
 
 
 def recover_catalog(path: str) -> None:
@@ -95,8 +124,20 @@ def recover_catalog(path: str) -> None:
     shutil.rmtree(tmp, ignore_errors=True)
 
 
-def load_catalog(spark: SparkSession, path: str) -> DataFrame:
+def load_catalog(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read the live catalog, or -- time travel -- a retained historical
+    snapshot by number (see :func:`replace_catalog` ``keep_history``)."""
     recover_catalog(path)
+    if version is not None:
+        vpath = _version_path(path, version)
+        if not os.path.isdir(vpath):
+            raise FileNotFoundError(
+                f"no snapshot v{version} at {path} "
+                f"(retained: {catalog_versions(path)})"
+            )
+        return spark.read.parquet(vpath)
     if not catalog_exists(path):
         raise FileNotFoundError(f"no catalog at {path}")
     return spark.read.parquet(path)
@@ -123,17 +164,28 @@ def append_rows(spark: SparkSession, path: str, rows: DataFrame) -> None:
     aligned.write.mode("append").parquet(path)
 
 
-def replace_catalog(path: str, updated: DataFrame) -> None:
+def replace_catalog(
+    path: str, updated: DataFrame, keep_history: int = 0
+) -> None:
     """Atomic-ish snapshot replace for keyed updates (R4): write the new
     snapshot beside the old, then swap. The reference's UpdateCursor
     mutates in place; snapshot-replace is the parquet-world equivalent
     with the same observable result.
 
+    ``keep_history``: when > 0, the displaced snapshot is RETAINED as
+    ``{path}.v{N}`` (N = one past the highest retained version) instead
+    of deleted, and only the newest ``keep_history`` snapshots are kept
+    -- the minimal table-format surface: snapshot isolation (readers of
+    a version dir never see the swap) and time travel
+    (``load_catalog(..., version=N)``; ``catalog_versions``). At real
+    scale the same API maps to a format with a metadata log (Delta/
+    Iceberg); the store keeps the layout a plain parquet dir per
+    snapshot.
+
     Crash safety: a crash inside the two-rename window leaves ``path``
     missing but ``.old`` (and a complete ``.tmp``) present;
     :func:`recover_catalog` -- run here and on every load -- rolls the
-    swap forward or back, so no state is silently lost. (A table format
-    with atomic metadata commit replaces this dance at real scale.)"""
+    swap forward or back, so no state is silently lost."""
     recover_catalog(path)
     tmp, old = _swap_paths(path)
     shutil.rmtree(tmp, ignore_errors=True)
@@ -141,4 +193,10 @@ def replace_catalog(path: str, updated: DataFrame) -> None:
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
     os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
+    if keep_history > 0:
+        versions = catalog_versions(path)
+        os.rename(old, _version_path(path, (versions[-1] if versions else 0) + 1))
+        for stale in catalog_versions(path)[:-keep_history]:
+            shutil.rmtree(_version_path(path, stale), ignore_errors=True)
+    else:
+        shutil.rmtree(old, ignore_errors=True)
