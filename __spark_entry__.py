@@ -30,6 +30,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle SQL for each SQL-expressible query; rows-only ops
-    (streaming/stateful/approx) are intentionally absent."""
+    """DuckDB oracle SQL for each query. As of round 5 every query is
+    oracle-backed except q_multimodal_struct, which emits binary/struct
+    columns by design (the driver's canonicalizer cannot hash them)."""
     return dict(ORACLES)

@@ -171,3 +171,44 @@ def test_history_off_by_default_retains_nothing(spark):
     replace_catalog(store, load_catalog(spark, store).withColumn("Title", F.lit("T1")))
     assert catalog_versions(store) == []
     assert load_catalog(spark, store).collect()[0]["Title"] == "T1"
+
+
+def test_versioned_replace_crash_recovery_keeps_live_catalog(spark):
+    """A crash between the two renames of a keep_history replace must
+    still recover a complete LIVE catalog (rolled forward via the
+    completed .tmp); the displaced snapshot of the interrupted replace
+    is dropped from history (documented caveat), older versions stay."""
+    import os
+    import shutil
+
+    from weighted_raster_overlay_service_toolbox_spark.sources.catalog_store import (
+        _swap_paths,
+        catalog_versions,
+        purge_history,
+        recover_catalog,
+    )
+
+    store = _STORE + "_crash"
+    create_catalog(spark, store, overwrite=True)
+    append_rows(
+        spark,
+        store,
+        spark.createDataFrame([("a", "T0")], "Name string, Title string"),
+    )
+    replace_catalog(
+        store,
+        load_catalog(spark, store).withColumn("Title", F.lit("T1")),
+        keep_history=4,
+    )
+    assert catalog_versions(store) == [1]
+    # simulate the crash window of a second replace: new snapshot fully
+    # written to .tmp, live dir renamed away, process dies
+    tmp, old = _swap_paths(store)
+    load_catalog(spark, store).withColumn("Title", F.lit("T2")).write.parquet(tmp)
+    os.rename(store, old)
+    recover_catalog(store)  # what the next load/replace runs first
+    assert load_catalog(spark, store).collect()[0]["Title"] == "T2"
+    assert catalog_versions(store) == [1]  # older history intact
+    assert not os.path.isdir(old) and not os.path.isdir(tmp)
+    shutil.rmtree(store, ignore_errors=True)
+    purge_history(store)

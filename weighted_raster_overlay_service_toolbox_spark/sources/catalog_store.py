@@ -185,7 +185,12 @@ def replace_catalog(
     Crash safety: a crash inside the two-rename window leaves ``path``
     missing but ``.old`` (and a complete ``.tmp``) present;
     :func:`recover_catalog` -- run here and on every load -- rolls the
-    swap forward or back, so no state is silently lost."""
+    swap forward or back, so the LIVE catalog is never lost. One honest
+    caveat: recovery clears ``.old`` without archiving it, so the
+    displaced snapshot of the interrupted replace is dropped from
+    HISTORY (older retained versions are untouched) -- durability of the
+    live table wins over completeness of the version log, the same
+    priority a metadata-log format makes."""
     recover_catalog(path)
     tmp, old = _swap_paths(path)
     shutil.rmtree(tmp, ignore_errors=True)
