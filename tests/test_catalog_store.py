@@ -212,3 +212,34 @@ def test_versioned_replace_crash_recovery_keeps_live_catalog(spark):
     assert not os.path.isdir(old) and not os.path.isdir(tmp)
     shutil.rmtree(store, ignore_errors=True)
     purge_history(store)
+
+
+def test_merge_rows_upsert_semantics(spark):
+    from weighted_raster_overlay_service_toolbox_spark.sources.catalog_store import (
+        merge_rows,
+    )
+
+    store = _STORE + "_merge"
+    create_catalog(spark, store, overwrite=True)
+    append_rows(
+        spark,
+        store,
+        spark.createDataFrame(
+            [("a", "TA", "DA"), ("b", "TB", "DB")],
+            "Name string, Title string, Description string",
+        ),
+    )
+    merge_rows(
+        spark,
+        store,
+        spark.createDataFrame(
+            [("a", "TA2", None), ("c", "TC", "DC")],
+            "Name string, Title string, Description string",
+        ),
+    )
+    got = {
+        r["Name"]: (r["Title"], r["Description"])
+        for r in load_catalog(spark, store).collect()
+    }
+    # matched: non-null update wins, null keeps current; unmatched inserts
+    assert got == {"a": ("TA2", "DA"), "b": ("TB", "DB"), "c": ("TC", "DC")}

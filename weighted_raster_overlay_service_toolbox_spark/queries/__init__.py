@@ -46,13 +46,14 @@ from . import extended  # noqa: F401,E402
 # assurance.
 #
 # ROUND-6 ROTATION PLAN: after r5 the never-driver-graded oracle-backed
-# tail is 16 names -- q_containment_sim, q_except_distinct,
+# tail is 17 names -- q_containment_sim, q_except_distinct,
 # q_funnel_ordered, q_histogram_numeric, q_intersect_all, q_json_typed,
-# q_seasonality_matrix, q_str_funcs2, plus the eight queries ADDED late
+# q_seasonality_matrix, q_str_funcs2, plus the nine queries ADDED late
 # in r5 (q_chunk_documents, q_pack_sequences, q_unigram_logprob,
 # q_dq_checks, q_downsample_rollup, q_multimodal_resize,
-# q_multimodal_framesample, q_catalog_time_travel).
-# Round 6 = 16 flagships + those 16 + the 12 queries promoted from
+# q_multimodal_framesample, q_catalog_time_travel,
+# q_catalog_merge).
+# Round 6 = 16 flagships + those 17 + the 12 queries promoted from
 # rows-only to oracle-backed in r5 (their old driver rows were the
 # weaker rows-only check: q_stream_watermark, q_stream_dedup,
 # q_stream_upsert, q_stream_stream_left_join, q_udtf_flatmap, and --

@@ -674,3 +674,48 @@ def q_catalog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "q_catalog_merge",
+    oracle=f"""
+    WITH {wro_catalog_sql()},
+    merged AS (
+        SELECT Name,
+               CASE WHEN Name = 'discount' THEN 'Discount v2'
+                    ELSE Title END AS Title,
+               Description, Url
+        FROM wro_catalog
+        UNION ALL
+        SELECT 'elevation', 'Elevation', NULL, 'https://example.com/e'
+    )
+    SELECT Name, Title, Description, Url FROM merged
+    """,
+)
+def q_catalog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE (upsert) into the catalog store: one matched row updates
+    (non-null update columns win; its NULL Description keeps the current
+    value) and one unmatched row inserts -- the WHEN MATCHED / WHEN NOT
+    MATCHED surface (sources/catalog_store.py merge_rows), executed as a
+    full-outer join + snapshot replace. The oracle replays the merge
+    analytically."""
+    from ..sources.catalog_store import (
+        append_rows,
+        create_catalog,
+        load_catalog,
+        merge_rows,
+    )
+    from .scans import _scratch
+
+    path = _scratch("cat_merge")
+    create_catalog(spark, path, overwrite=True)
+    append_rows(spark, path, wro_catalog(spark))
+    upd = spark.createDataFrame(
+        [
+            ("discount", "Discount v2", None, None),
+            ("elevation", "Elevation", None, "https://example.com/e"),
+        ],
+        "Name string, Title string, Description string, Url string",
+    )
+    merge_rows(spark, path, upd)
+    return load_catalog(spark, path).select("Name", "Title", "Description", "Url")

@@ -164,6 +164,47 @@ def append_rows(spark: SparkSession, path: str, rows: DataFrame) -> None:
     aligned.write.mode("append").parquet(path)
 
 
+def merge_rows(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key: str = "Name",
+    keep_history: int = 0,
+) -> None:
+    """MERGE (upsert) into the catalog: rows whose ``key`` matches an
+    existing row replace it column-by-column (non-null update values
+    win, nulls keep the current value); unmatched rows insert. Runs as
+    one full-outer join + snapshot replace -- the WHEN MATCHED THEN
+    UPDATE / WHEN NOT MATCHED THEN INSERT shape of a table format's
+    MERGE, observable-equivalent over the plain-parquet store.
+
+    Scale: the catalog is metadata-sized so snapshot-replace is fine; at
+    real scale the identical call maps onto a format MERGE (copy-on-write
+    or MoR) without changing callers."""
+    cat = load_catalog(spark, path)
+    aligned = updates.select(
+        *[
+            F.col(c).cast("string").alias(c)
+            if c in updates.columns
+            else F.lit(None).cast("string").alias(c)
+            for c in cat.columns
+        ]
+    )
+    u = aligned.select(
+        F.col(key).alias("_uk"),
+        *[F.col(c).alias(f"_u_{c}") for c in cat.columns if c != key],
+    )
+    merged = cat.join(u, cat[key] == u["_uk"], "full_outer").select(
+        F.coalesce(cat[key], F.col("_uk")).alias(key),
+        *[
+            F.coalesce(F.col(f"_u_{c}"), cat[c]).alias(c)
+            for c in cat.columns
+            if c != key
+        ],
+    )
+    replace_catalog(path, merged, keep_history=keep_history)
+
+
 def replace_catalog(
     path: str, updated: DataFrame, keep_history: int = 0
 ) -> None:
