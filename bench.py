@@ -56,6 +56,9 @@ def main() -> None:
         # scale-pattern flagships (round-2 additions)
         "q_scd2",
         "q_hll_rollup",
+        # literal TPC-H (round-5 additions)
+        "q_tpch_q3",
+        "q_tpch_q5",
         # scalar/array pipeline
         "q_project_expr",
         "q_array_funcs",

@@ -243,3 +243,37 @@ def test_merge_rows_upsert_semantics(spark):
     }
     # matched: non-null update wins, null keeps current; unmatched inserts
     assert got == {"a": ("TA2", "DA"), "b": ("TB", "DB"), "c": ("TC", "DC")}
+
+
+def test_catalog_diff_emits_only_changed_keys(spark):
+    from weighted_raster_overlay_service_toolbox_spark.sources.catalog_store import (
+        catalog_diff,
+    )
+
+    store = _STORE + "_diff"
+    create_catalog(spark, store, overwrite=True)
+    append_rows(
+        spark,
+        store,
+        spark.createDataFrame(
+            [("a", "TA"), ("b", "TB"), ("c", "TC")],
+            "Name string, Title string",
+        ),
+    )
+    cur = load_catalog(spark, store)
+    replace_catalog(
+        store,
+        cur.filter(F.col("Name") != "c").withColumn(
+            "Title",
+            F.when(F.col("Name") == "a", F.lit("TA2")).otherwise(F.col("Title")),
+        ),
+        keep_history=2,
+    )
+    diff = {
+        r["Name"]: (r["change_type"], r["Title"])
+        for r in catalog_diff(spark, store, v_from=1, v_to=None).collect()
+    }
+    # b unchanged -> absent; a updated (post-image); c deleted (null post)
+    assert diff == {"a": ("update", "TA2"), "c": ("delete", None)}
+    # identical snapshots diff to empty
+    assert catalog_diff(spark, store, v_from=None, v_to=None).count() == 0

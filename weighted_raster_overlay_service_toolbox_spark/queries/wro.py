@@ -719,3 +719,58 @@ def q_catalog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merge_rows(spark, path, upd)
     return load_catalog(spark, path).select("Name", "Title", "Description", "Url")
+
+
+@query(
+    "q_catalog_diff",
+    oracle="""
+    SELECT 'discount' AS Name, 'update' AS change_type,
+           'Discount (rev A)' AS Title, CAST(NULL AS VARCHAR) AS Url
+    UNION ALL
+    SELECT 'price_k', 'delete', NULL, NULL
+    UNION ALL
+    SELECT 'elevation', 'insert', 'Elevation', 'https://example.com/e'
+    """,
+)
+def q_catalog_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed between catalog snapshots: v1 (pre-update
+    archive) vs live after a retitle, a delete, and an insert -- one row
+    per changed key with insert/update/delete and the post-image values
+    (sources/catalog_store.py catalog_diff; full-outer join on the key,
+    null-safe column compare). The incremental-consumer surface that
+    completes time travel + MERGE: downstream replays the row diff
+    instead of re-reading the table."""
+    from ..sources.catalog_store import (
+        append_rows,
+        catalog_diff,
+        create_catalog,
+        load_catalog,
+        replace_catalog,
+    )
+    from .scans import _scratch
+
+    path = _scratch("cat_diff")
+    create_catalog(spark, path, overwrite=True)
+    append_rows(spark, path, wro_catalog(spark))
+    cur = load_catalog(spark, path)
+    replace_catalog(
+        path,
+        cur.withColumn(
+            "Title",
+            F.when(F.col("Name") == "discount", F.lit("Discount (rev A)"))
+            .otherwise(F.col("Title")),
+        ),
+        keep_history=4,
+    )  # archives v1 = the ORIGINAL state
+    cur = load_catalog(spark, path)
+    nxt = cur.filter(F.col("Name") != "price_k").unionByName(
+        cur.sparkSession.createDataFrame(
+            [("elevation", "Elevation", "https://example.com/e")],
+            "Name string, Title string, Url string",
+        ),
+        allowMissingColumns=True,
+    )
+    replace_catalog(path, nxt.select(*cur.columns), keep_history=4)
+    return catalog_diff(spark, path, v_from=1, v_to=None).select(
+        "Name", "change_type", "Title", "Url"
+    )

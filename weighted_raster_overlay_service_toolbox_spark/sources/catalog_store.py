@@ -205,6 +205,45 @@ def merge_rows(
     replace_catalog(path, merged, keep_history=keep_history)
 
 
+def catalog_diff(
+    spark: SparkSession,
+    path: str,
+    v_from: int | None,
+    v_to: int | None,
+    key: str = "Name",
+) -> DataFrame:
+    """Change data feed between two snapshots (``None`` = live): one row
+    per changed key with ``change_type`` insert/update/delete. A
+    full-outer join on the key; an update is any key present in both
+    whose non-key columns differ (null-safe compare). The row-level diff
+    a downstream incremental consumer replays instead of re-reading the
+    whole table."""
+    a = load_catalog(spark, path, version=v_from)
+    b = load_catalog(spark, path, version=v_to)
+    cols = a.columns
+    bb = b.select(
+        F.col(key).alias("_bk"),
+        *[F.col(c).alias(f"_b_{c}") for c in cols if c != key],
+    )
+    j = a.join(bb, a[key] == bb["_bk"], "full_outer")
+    changed = None
+    for c in cols:
+        if c == key:
+            continue
+        ne = ~a[c].eqNullSafe(F.col(f"_b_{c}"))
+        changed = ne if changed is None else (changed | ne)
+    change = (
+        F.when(a[key].isNull(), "insert")
+        .when(F.col("_bk").isNull(), "delete")
+        .when(changed, "update")
+    )
+    return j.select(
+        F.coalesce(a[key], F.col("_bk")).alias(key),
+        change.alias("change_type"),
+        *[F.col(f"_b_{c}").alias(c) for c in cols if c != key],
+    ).filter(F.col("change_type").isNotNull())
+
+
 def replace_catalog(
     path: str, updated: DataFrame, keep_history: int = 0
 ) -> None:
