@@ -1261,3 +1261,110 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
     )
+
+
+@query(
+    "q_tpch_q7",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+           {_DISC_PRICE_SQL}
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    WHERE (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_7')
+       OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_2')
+    GROUP BY sn.n_name, cn.n_name, EXTRACT(year FROM l_shipdate)
+    """,
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade revenue between two
+    nations by ship year -- the double-role dimension join (nation joins
+    twice under different aliases) plus a disjunctive cross-pair filter.
+
+    Scale: both nation sides broadcast; the pair filter prunes before the
+    aggregate; one shuffle on the 3-key group."""
+    s = load_table(spark, sf_dir, "supplier").alias("s")
+    li = load_table(spark, sf_dir, "lineitem").alias("l")
+    o = load_table(spark, sf_dir, "orders").alias("o")
+    c = load_table(spark, sf_dir, "customer").alias("c")
+    n = load_table(spark, sf_dir, "nation")
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_7")
+    ) | (
+        (F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_2")
+    )
+    return (
+        s.join(li, F.col("s.s_suppkey") == F.col("l.l_suppkey"))
+        .join(o, F.col("o.o_orderkey") == F.col("l.l_orderkey"))
+        .join(c, F.col("c.c_custkey") == F.col("o.o_custkey"))
+        .join(F.broadcast(sn), F.col("s.s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c.c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(dsum(_disc_price(), "revenue", cast=False))
+    )
+
+
+@query(
+    "q_tpch_q14",
+    oracle="""
+    SELECT CAST(ROUND(
+               100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                        AS DECIMAL(18,4)) ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                        AS DECIMAL(18,4))) AS DOUBLE), 4) AS DOUBLE)
+               AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-02-01'
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): promo share of one month's revenue.
+    Both the numerator and denominator are EXACT decimal sums; only the
+    final ratio is a double (the same two exact operands in both
+    engines, so the division and 4-dp round agree bit-for-bit).
+
+    Scale: date filter pushed to the lineitem scan; part joins on
+    partkey (broadcast at test scale, size-adaptive beyond); the result
+    is a single map-side-combined scalar."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    dp = _disc_price()
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", dp).otherwise(
+                        F.lit(0).cast("decimal(18,4)")
+                    )
+                ).cast("double")
+                / F.sum(dp).cast("double"),
+                4,
+            )
+            .cast("double")
+            .alias("promo_revenue_pct")
+        )
+    )
