@@ -2167,3 +2167,51 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("avg_logprob"),
     )
+
+
+@query(
+    "q_split_train_val_test",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, lang,
+               CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) % 100
+                   AS bucket
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, lang,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b
+    )
+    SELECT split, lang, COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM s GROUP BY split, lang
+    """,
+)
+def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split keyed on a CONTENT
+    hash (portable md5-60-bit mod 100) -- the dedup-safe convention:
+    identical documents land in the same split regardless of row order,
+    partitioning, or re-ingestion, so train/test leakage cannot be
+    introduced by a shuffle. Output is the per-(split, lang) census.
+
+    Scale: the split label is a pure per-row expression (no shuffle to
+    ASSIGN); the census aggregates on a 15-value key. Writing the actual
+    splits is a partitioned sink on the label column -- one pass."""
+    from ..operators.dedup import portable_hash60
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = portable_hash60(F.col("text")) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select("doc_id", "lang", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+        )
+    )
