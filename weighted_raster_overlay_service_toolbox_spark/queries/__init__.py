@@ -46,22 +46,22 @@ from . import extended  # noqa: F401,E402
 # assurance.
 #
 # ROUND-6 ROTATION PLAN: after r5 the never-driver-graded oracle-backed
-# tail is 28 names -- q_containment_sim, q_except_distinct,
+# tail is 31 names -- q_containment_sim, q_except_distinct,
 # q_funnel_ordered, q_histogram_numeric, q_intersect_all, q_json_typed,
 # q_seasonality_matrix, q_str_funcs2, plus the twelve queries ADDED late
 # in r5 (q_chunk_documents, q_pack_sequences, q_unigram_logprob,
 # q_dq_checks, q_downsample_rollup, q_multimodal_resize,
 # q_multimodal_framesample, q_catalog_time_travel,
 # q_catalog_merge, q_catalog_diff, q_tpch_q3/q5/q6/q7/q10/q13/q14/
-# q18/q19, q_split_train_val_test).
-# Round 6 = 16 flagships + those 28 + the 12 queries promoted from
+# q18/q19, q_tpch_q8/q15/q17, q_split_train_val_test).
+# Round 6 = 16 flagships + those 31 + the 12 queries promoted from
 # rows-only to oracle-backed in r5 (their old driver rows were the
 # weaker rows-only check: q_stream_watermark, q_stream_dedup,
 # q_stream_upsert, q_stream_stream_left_join, q_udtf_flatmap, and --
 # promoted late in r5 via portable hashes / deterministic staging /
 # analytic reconstruction / quantized exact sums -- q_simhash,
 # q_dedup_minhash, q_stream_agg_update, q_ann_ivf, q_multimodal_decode,
-# q_kmeans, q_stream_stateful_custom) -- 16 + 28 + 12 = 56, so six
+# q_kmeans, q_stream_stateful_custom) -- 16 + 31 + 12 = 59, so nine
 # lowest-risk flagship slots rotate out for r6 to fit the 50. The
 # r1/r2-only re-grades (q_join_left/right/full/semi/anti/cross/theta,
 # q_win_* frames, q_sort_*, set-ops, q_agg_rollup/cube/grouping_sets)

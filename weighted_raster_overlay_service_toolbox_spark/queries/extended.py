@@ -1478,3 +1478,168 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.filter(branch).agg(dsum(_disc_price(), "revenue", cast=False))
+
+
+@query(
+    "q_tpch_q8",
+    oracle="""
+    WITH allnations AS (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+               CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                    AS DECIMAL(18,4)) AS volume,
+               sn.n_name AS supp_nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region ON cn.n_regionkey = r_regionkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    )
+    SELECT o_year,
+           CAST(ROUND(
+               CAST(SUM(CASE WHEN supp_nation = 'NATION_7'
+                    THEN volume ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(volume) AS DOUBLE), 4) AS DOUBLE) AS mkt_share
+    FROM allnations GROUP BY o_year
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): one nation's share of promo-part
+    volume sold into a region, by order year. Seven-table join with
+    nation in BOTH roles; numerator and denominator are exact decimals,
+    only the final per-year ratio is a double.
+
+    Scale: region/nation broadcast; part's type filter prunes before the
+    fact joins; one shuffle on the year group."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_rkey")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = _disc_price()
+    base = (
+        p.join(li, p["p_partkey"] == li["l_partkey"])
+        .join(s, s["s_suppkey"] == li["l_suppkey"])
+        .join(o, o["o_orderkey"] == li["l_orderkey"])
+        .join(c, c["c_custkey"] == o["o_custkey"])
+        .join(F.broadcast(cn), c["c_nationkey"] == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_rkey") == r["r_regionkey"])
+        .join(F.broadcast(sn), s["s_nationkey"] == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    return base.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_7", F.col("volume"))
+                .otherwise(F.lit(0).cast("decimal(18,4)"))
+            ).cast("double")
+            / F.sum("volume").cast("double"),
+            4,
+        )
+        .cast("double")
+        .alias("mkt_share")
+    )
+
+
+@query(
+    "q_tpch_q15",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                    AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the revenue "view" (per-supplier quarter
+    revenue), then the supplier(s) achieving its MAX -- the
+    aggregate-of-aggregate shape with a scalar subquery.
+
+    Scale: one supplier-keyed shuffle builds the view; the max is a
+    scalar; the equality filter re-reads the VIEW (tiny), never the
+    fact."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(_disc_price(), "total_revenue", cast=False)
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        s.join(revenue, s["s_suppkey"] == revenue["supplier_no"])
+        .join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q_tpch_q17",
+    oracle="""
+    WITH thresholds AS (
+        SELECT l_partkey AS t_partkey,
+               0.2 * AVG(l_quantity) AS qty_threshold
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+               AS DOUBLE) / 7.0, 2) AS DOUBLE) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN thresholds ON t_partkey = l_partkey
+    WHERE p_brand = 'Brand#1' AND l_quantity < qty_threshold
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): lines below 20% of
+    their part's average quantity -- the correlated per-group threshold,
+    decorrelated into an aggregate + self-join (what Catalyst and every
+    modern optimizer do with the subquery form).
+
+    Float care: the threshold compare uses avg(quantity) -- quantities
+    are small integers stored as doubles, so the average is an exact
+    integer sum / count in both engines and the 0.2* scaling is the
+    same double; the strict < cannot straddle engines. The money SUM is
+    decimal-exact; /7.0 happens once on the final scalar."""
+    li = load_table(spark, sf_dir, "lineitem")
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    return (
+        li.join(p, p["p_partkey"] == li["l_partkey"])
+        .join(thresholds, F.col("t_partkey") == li["l_partkey"])
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(
+                F.sum(money("l_extendedprice")).cast("double") / 7.0, 2
+            )
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
