@@ -129,7 +129,13 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch("sink_partitioned")
     df = load_table(spark, sf_dir, "orders")
     df.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
-    back = spark.read.parquet(path).filter(F.col("o_orderpriority") == "1-URGENT")
+    # explicit schema on readback: a partitioned sink of ZERO rows writes
+    # no files, and schema inference then fails -- readers of
+    # possibly-empty partitioned datasets must supply the schema (the
+    # production convention; partition values still come from dir names)
+    back = spark.read.schema(df.schema).parquet(path).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     # partitionBy moves the partition column last on readback; restore the
     # declared order (driver compare is order-insensitive, readers are not)
     return back.select(*df.columns)
@@ -204,7 +210,9 @@ def q_scan_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("A", "returned"), ("R", "returned"), ("N", "live")],
         "l_returnflag string, flag_label string",
     ).write.mode("overwrite").parquet(dim_path)
-    fact = spark.read.parquet(fact_path)
+    # explicit schema: same empty-partitioned-sink readback rule as
+    # q_sink_partitioned (zero rows -> zero files -> inference fails)
+    fact = spark.read.schema(li.schema).parquet(fact_path)
     dim = spark.read.parquet(dim_path).filter(F.col("flag_label") == "returned")
     return fact.join(dim, "l_returnflag").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "flag_label"
