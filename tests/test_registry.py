@@ -87,3 +87,35 @@ def test_rows_only_queries_are_the_intended_set():
         f"unexpected rows-only: {sorted(rows_only - expected)}; "
         f"lost rows-only: {sorted(expected - rows_only)}"
     )
+
+
+def test_concurrent_queries_share_one_session_safely(spark):
+    """Run a conf-sensitive mix CONCURRENTLY on one session -- the
+    streaming micro-batch query (pins shuffle partitions on a private
+    session clone), the iterative graph query (repartitions loop state
+    instead of touching session conf), and two relational queries --
+    and require results identical to their solo runs. This is the
+    executable form of the no-session-conf-writes claim: a global
+    conf write in any of them would corrupt a neighbor's plan."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from weighted_raster_overlay_service_toolbox_spark.queries import QUERIES
+
+    from .conftest import SF_ORACLE
+
+    names = [
+        "q_stream_tumbling",
+        "q_dedup_clusters",
+        "q_agg_group",
+        "q_tpch_q5",
+    ]
+
+    def run(name):
+        rows = QUERIES[name](spark, SF_ORACLE).collect()
+        return sorted(map(tuple, rows))
+
+    solo = {n: run(n) for n in names}
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        concurrent = dict(zip(names, ex.map(run, names)))
+    for n in names:
+        assert concurrent[n] == solo[n], f"{n} diverged under concurrency"
