@@ -34,10 +34,13 @@ from . import extended  # noqa: F401,E402
 #                 serializing outputs, guarded registry-wide by
 #                 tests/test_registry.py)
 #   r5 window (this one): the 16 flagships + the 4 repaired queries
-#                 (kept in so their fix is driver-witnessed) + 30 slots
-#                 of never-graded names, including every query whose
-#                 Spark side CHANGED this round (span dedup guards,
-#                 retention broadcast removal, hof/embed serialization).
+#                 (kept in so their fix is driver-witnessed) + every
+#                 query whose Spark side CHANGED in r5 (span dedup
+#                 guards, retention/zscore/static-join de-hinting,
+#                 stream trigger sizing, the empty-sink schema fix, and
+#                 ALL seven late-r5 promotions -- their old driver rows
+#                 were the weaker rows-only check) + a sample of the
+#                 queries ADDED in r5 + never-graded names to fill 50.
 # Every entry is oracle-backed so all 50 driver rows can go green.
 # Queries outside the window stay registered and are hash-verified against
 # DuckDB every test run by tests/test_oracle_parity.py; the FULL-registry
@@ -45,28 +48,27 @@ from . import extended  # noqa: F401,E402
 # so the curated 50-row driver file cannot be over-read as whole-registry
 # assurance.
 #
-# ROUND-6 ROTATION PLAN: after r5 the never-driver-graded oracle-backed
-# tail is 31 names -- q_containment_sim, q_except_distinct,
-# q_funnel_ordered, q_histogram_numeric, q_intersect_all, q_json_typed,
-# q_seasonality_matrix, q_str_funcs2, plus the twelve queries ADDED late
-# in r5 (q_chunk_documents, q_pack_sequences, q_unigram_logprob,
-# q_dq_checks, q_downsample_rollup, q_multimodal_resize,
-# q_multimodal_framesample, q_catalog_time_travel,
-# q_catalog_merge, q_catalog_diff, q_tpch_q3/q5/q6/q7/q10/q13/q14/
-# q18/q19, q_tpch_q8/q15/q17, q_split_train_val_test).
-# Round 6 = 16 flagships + those 31 + the 12 queries promoted from
-# rows-only to oracle-backed in r5 (their old driver rows were the
-# weaker rows-only check: q_stream_watermark, q_stream_dedup,
-# q_stream_upsert, q_stream_stream_left_join, q_udtf_flatmap, and --
-# promoted late in r5 via portable hashes / deterministic staging /
-# analytic reconstruction / quantized exact sums -- q_simhash,
-# q_dedup_minhash, q_stream_agg_update, q_ann_ivf, q_multimodal_decode,
-# q_kmeans, q_stream_stateful_custom) -- 16 + 31 + 12 = 59, so nine
-# lowest-risk flagship slots rotate out for r6 to fit the 50. The
-# r1/r2-only re-grades (q_join_left/right/full/semi/anti/cross/theta,
-# q_win_* frames, q_sort_*, set-ops, q_agg_rollup/cube/grouping_sets)
-# roll to round 7, giving every oracle-backed query a driver-green HASH
-# row by end of r7.
+# ROUND-6 ROTATION PLAN: after this r5 window, the never-driver-graded
+# oracle-backed tail is ~38 names: the 8 pre-r5 stragglers
+# (q_containment_sim, q_except_distinct, q_funnel_ordered,
+# q_histogram_numeric, q_intersect_all, q_json_typed,
+# q_seasonality_matrix, q_str_funcs2), the r5-added queries not sampled
+# into this window (q_downsample_rollup, q_multimodal_resize,
+# q_multimodal_framesample, q_catalog_merge, q_catalog_diff,
+# q_split_train_val_test, q_tpch_q3/q6/q7/q8/q10/q13/q14/q15/q17/q18/
+# q19), the earlier-r5 promotions not in this window
+# (q_stream_watermark, q_stream_dedup, q_stream_upsert,
+# q_stream_stream_left_join, q_udtf_flatmap), and the names this
+# window displaced to make room for the late-r5 changes
+# (q_join_asof_forward, q_join_null_safe, q_rollup_two_level,
+# q_win_time_range, q_dedup_rate, q_dedup_incremental, q_block_dedup,
+# q_collocations, q_rare_token_ratio, q_ann_filtered, q_zorder_layout,
+# q_scd2, q_sample_stratified, q_impute_group_mean, q_subquery_scalar,
+# q_udtf_lateral). Round 6 = 16 flagships + 34 of that tail; the
+# remainder plus the r1/r2-only re-grades
+# (q_join_left/right/full/semi/anti/cross/theta, q_win_* frames,
+# q_sort_*, set-ops, q_agg_rollup/cube/grouping_sets) roll to round 7,
+# giving every oracle-backed query a driver-green HASH row by end of r7.
 _DRIVER_WINDOW = [
     # -- permanent flagships (driver-green in r3 and r4) --
     "q_wro_equal_interval", "q_wro_overlay", "q_wro_catalog_update",
@@ -80,20 +82,19 @@ _DRIVER_WINDOW = [
     # -- changed this round: driver-witness the fixes --
     "q_span_dedup", "q_span_dedup_hashed", "q_retention_cohorts",
     "q_hof_funcs", "q_embed_quantize",
-    # -- never-driver-graded: joins --
-    "q_join_salted", "q_join_asof_forward", "q_join_null_safe",
-    # -- never-driver-graded: aggregates/windows --
-    "q_agg_salted", "q_hll_rollup", "q_approx_topk", "q_rollup_two_level",
-    "q_win_time_range",
-    # -- never-driver-graded: dedup/curation family --
-    "q_dedup_keep_one", "q_dedup_rate", "q_dedup_incremental",
-    "q_block_dedup", "q_decontaminate", "q_collocations",
-    "q_rare_token_ratio", "q_ann_filtered",
-    # -- never-driver-graded: scans/layout/sinks (family coverage) --
-    "q_scan_bucket_pruned", "q_zorder_layout", "q_sink_partitioned",
-    # -- never-driver-graded: extended SQL --
-    "q_scd2", "q_sample_stratified", "q_outliers_zscore",
-    "q_impute_group_mean", "q_subquery_scalar", "q_udtf_lateral",
+    # -- changed late in r5: de-hinted / retriggered / schema-fixed --
+    "q_outliers_zscore", "q_stream_static_join", "q_stream_stream_join",
+    "q_scan_dpp", "q_sink_partitioned",
+    # -- promoted late in r5 (old rows were the weak rows-only check) --
+    "q_simhash", "q_dedup_minhash", "q_ann_ivf", "q_kmeans",
+    "q_multimodal_decode", "q_stream_agg_update",
+    "q_stream_stateful_custom",
+    # -- added in r5 (one per new family) --
+    "q_pack_sequences", "q_chunk_documents", "q_unigram_logprob",
+    "q_dq_checks", "q_catalog_time_travel", "q_tpch_q5",
+    # -- never-driver-graded fill --
+    "q_join_salted", "q_agg_salted", "q_hll_rollup", "q_approx_topk",
+    "q_dedup_keep_one", "q_decontaminate", "q_scan_bucket_pruned",
 ]
 
 
