@@ -57,8 +57,10 @@ def main() -> None:
         "q_scd2",
         "q_hll_rollup",
         # literal TPC-H (round-5 additions)
+        "q_tpch_q1",
         "q_tpch_q3",
         "q_tpch_q5",
+        "q_tpch_q21",
         # scalar/array pipeline
         "q_project_expr",
         "q_array_funcs",
