@@ -30,7 +30,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle SQL for each query. As of round 5 every query is
-    oracle-backed except q_multimodal_struct, which emits binary/struct
-    columns by design (the driver's canonicalizer cannot hash them)."""
+    """DuckDB oracle SQL for each query. As of late round 5 EVERY
+    registered query is oracle-backed -- the last rows-only holdout
+    (q_multimodal_struct) now serializes its binary/struct columns at
+    the query boundary so the driver can hash them."""
     return dict(ORACLES)

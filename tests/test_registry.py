@@ -72,17 +72,15 @@ def test_rows_only_queries_are_the_intended_set():
     import __spark_entry__ as e
 
     rows_only = set(e.queries()) - set(e.oracle_sql())
-    # After the round-5 promotion sweep, exactly ONE query is rows-only,
-    # and it is rows-only by DESIGN: q_multimodal_struct's whole point is
-    # emitting binary/struct/array columns (the multimodal schema
-    # plumbing), which the driver's pandas canonicalizer cannot hash.
-    # Every algorithmic query -- including the "approximate" (simhash/
-    # minhash/ann via portable hashes and literal-inlined hyperplanes),
-    # the iterative (kmeans via 1e-6 quantization + exact long-sum
-    # centroids + unrolled CTEs), and the custom-stateful-streaming pair
-    # (agg_update/stateful_custom via deterministic staging + integer
-    # state) -- now carries an exact DuckDB oracle.
-    expected = {"q_multimodal_struct"}
+    # After the round-5 promotion sweep the set is EMPTY: every query --
+    # including the "approximate" (simhash/minhash/ann via portable
+    # hashes and literal-inlined hyperplanes), the iterative (kmeans via
+    # 1e-6 quantization + exact long-sum centroids + unrolled CTEs), the
+    # custom-stateful-streaming pair (agg_update/stateful_custom via
+    # deterministic staging + integer state), and the multimodal schema
+    # plumbing (q_multimodal_struct, typed columns serialized at the
+    # boundary) -- carries an exact DuckDB oracle.
+    expected = set()
     assert rows_only == expected, (
         f"unexpected rows-only: {sorted(rows_only - expected)}; "
         f"lost rows-only: {sorted(expected - rows_only)}"

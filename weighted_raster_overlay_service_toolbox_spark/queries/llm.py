@@ -777,29 +777,62 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query("q_multimodal_struct")  # rows-only: binary/struct canonical forms differ
+@query(
+    "q_multimodal_struct",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS payload_md5,
+           '{"mime":"text/plain","n_bytes":' || n_chars
+               || ',"checksum":"' || md5(text)
+               || '","lang":"' || lang || '"}' AS meta_json,
+           array_to_string(
+               list_transform(
+                   range(0, least(len(string_split(text, ' ')), 3)),
+                   j -> j || ':' || string_split(text, ' ')[j + 1]),
+               '|') AS frames_str
+    FROM documents
+    """,
+)
 def q_multimodal_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal column model: opaque binary payload + typed metadata
     struct + per-"frame" array -- the schema/plumbing for image/audio
     pipelines. The payload here is the doc text as bytes; see
-    q_multimodal_decode for the real PPM decoder."""
+    q_multimodal_decode for the real PPM decoder.
+
+    The typed columns (binary payload, metadata struct, frame array)
+    are built natively, then serialized at the query boundary
+    (md5 / to_json / joined string) so the driver can hash the output
+    -- the same convention as every array-emitting query (the r4
+    canonicalizer lesson). to_json renders struct fields in declaration
+    order with no whitespace, which the oracle reproduces by concat;
+    the fixture has no nulls so no field is ever omitted."""
     d = load_table(spark, sf_dir, "documents")
     payload = F.col("text").cast("binary")
+    meta = F.struct(
+        F.lit("text/plain").alias("mime"),
+        F.col("n_chars").alias("n_bytes"),
+        F.md5(payload).alias("checksum"),
+        F.col("lang").alias("lang"),
+    )
+    frames = F.transform(
+        F.sequence(F.lit(0), F.least(F.size(TOKS()) - 1, F.lit(2))),
+        lambda i: F.struct(
+            i.alias("frame_idx"), F.element_at(TOKS(), i + 1).alias("frame_tok")
+        ),
+    )
     return d.select(
         "doc_id",
-        payload.alias("payload"),
-        F.struct(
-            F.lit("text/plain").alias("mime"),
-            F.col("n_chars").alias("n_bytes"),
-            F.md5(payload).alias("checksum"),
-            F.col("lang").alias("lang"),
-        ).alias("meta"),
-        F.transform(
-            F.sequence(F.lit(0), F.least(F.size(TOKS()) - 1, F.lit(2))),
-            lambda i: F.struct(
-                i.alias("frame_idx"), F.element_at(TOKS(), i + 1).alias("frame_tok")
+        F.md5(payload).alias("payload_md5"),
+        F.to_json(meta).alias("meta_json"),
+        F.array_join(
+            F.transform(
+                frames,
+                lambda fr: F.concat(
+                    fr["frame_idx"].cast("string"), F.lit(":"), fr["frame_tok"]
+                ),
             ),
-        ).alias("frames"),
+            "|",
+        ).alias("frames_str"),
     )
 
 
