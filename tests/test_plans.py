@@ -236,3 +236,39 @@ def test_pack_sequences_single_shard_shuffle(spark):
     # exactly one hash partitioning -- the shard-key exchange
     assert physical.count("hashpartitioning") == 1, physical
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_tpch_q1_partial_agg_single_exchange(spark):
+    """q_tpch_q1: the shipdate predicate must reach PushedFilters and the
+    plan must map-side combine -- exactly one exchange, fed by a partial
+    HashAggregate (each task reduces its split to <= 6 rows before the
+    shuffle)."""
+    plan = plan_of(spark, "q_tpch_q1")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and any("l_shipdate" in l for l in pushed), plan
+    import re
+
+    # formatted explain prints each node in the tree AND a detail section;
+    # count the "(n) Exchange" detail headers for an exact node count.
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(exchanges) == 1, plan
+
+
+def test_tpch_derived_partsupp_scans_fact_once(spark):
+    """q_tpch_q2/q15/q20: the per-group (min/total/max) comparison must be
+    a window over the DERIVED relation, not an aggregate + self-join that
+    plans the fact-scan subtree twice. Pinned structurally: exactly one
+    lineitem scan in the optimized plan (no reliance on AQE exchange
+    reuse, which column pruning defeats -- observed on the executed plan
+    of the two-branch Q15 form)."""
+    for name in ("q_tpch_q2", "q_tpch_q15", "q_tpch_q20"):
+        plan = plan_of(spark, name)
+        assert plan.count("lineitem.parquet") == 1, f"{name}: {plan}"
+
+
+def test_tpch_q21_semi_and_anti_joins(spark):
+    """q_tpch_q21: EXISTS must plan as a LeftSemi and NOT EXISTS as a
+    LeftAnti -- never an inner join + distinct (duplicate inflation) or
+    a correlated re-execution."""
+    plan = plan_of(spark, "q_tpch_q21")
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan

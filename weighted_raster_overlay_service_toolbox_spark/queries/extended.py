@@ -1577,12 +1577,18 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 (top supplier): the revenue "view" (per-supplier quarter
-    revenue), then the supplier(s) achieving its MAX -- the
-    aggregate-of-aggregate shape with a scalar subquery.
+    revenue), then the supplier(s) achieving its MAX (ties kept).
 
-    Scale: one supplier-keyed shuffle builds the view; the max is a
-    scalar; the equality filter re-reads the VIEW (tiny), never the
-    fact."""
+    Scale: one supplier-keyed shuffle builds the view; the max filter is
+    a rank() window over the VIEW (supplier-cardinality, never the
+    fact). The two-branch scalar-subquery form (revenue.agg(max) joined
+    back) plans the fact-scan subtree twice, and AQE exchange reuse
+    does NOT rescue it -- column pruning drops supplier_no from the
+    max branch's aggregate, so the two exchanges differ (verified on
+    the executed plan). The window form references the view once by
+    construction; rank()==1 keeps ties exactly like the max equality."""
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -1590,11 +1596,12 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         dsum(_disc_price(), "total_revenue", cast=False)
     )
-    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    top = revenue.withColumn(
+        "rk", F.rank().over(Window.orderBy(F.desc("total_revenue")))
+    ).filter(F.col("rk") == 1)
     s = load_table(spark, sf_dir, "supplier")
     return (
-        s.join(revenue, s["s_suppkey"] == revenue["supplier_no"])
-        .join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        s.join(top, s["s_suppkey"] == top["supplier_no"])
         .select("s_suppkey", "s_name", "total_revenue")
     )
 

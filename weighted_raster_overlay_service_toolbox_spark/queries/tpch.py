@@ -23,7 +23,7 @@ both engines so comparisons can never straddle a float boundary.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import load_table
@@ -123,13 +123,15 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 (minimum cost supplier), adapted: the part-supplier
     relation is derived from lineitem (min extended price per
     (part, supplier) stands in for ps_supplycost). The correlated
-    min-cost subquery is decorrelated into aggregate + equality join --
-    the same plan Catalyst produces for the subquery form.
+    min-cost subquery becomes a partkey-partitioned window MIN over the
+    derived relation -- referencing the derived table once, instead of
+    the aggregate + self-join decorrelation that plans the fact-scan
+    subtree twice and leans on AQE exchange reuse to deduplicate it.
 
     Scale: the only fact-sized work is the first (part,supplier)
-    aggregation (one lineitem shuffle, map-side combined); everything
-    downstream is catalog-sized. supplier/nation/region broadcast; the
-    min-cost equality join keys on partkey. Cost equality is exact
+    aggregation (one lineitem shuffle, map-side combined); the window
+    re-shuffles only the part-supplier-sized derived relation on
+    partkey. supplier/nation/region broadcast. Cost equality is exact
     decimal, never a float compare."""
     li = load_table(spark, sf_dir, "lineitem")
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
@@ -144,16 +146,11 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .select("l_partkey", "l_suppkey", "cost", "s_acctbal", "s_name", "n_name")
     )
-    mins = costs.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
-        F.min("cost").alias("min_cost")
-    )
     p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    min_cost = F.min("cost").over(Window.partitionBy("l_partkey"))
     return (
-        costs.join(
-            mins,
-            (F.col("m_partkey") == costs["l_partkey"])
-            & (costs["cost"] == F.col("min_cost")),
-        )
+        costs.withColumn("min_cost", min_cost)
+        .filter(F.col("cost") == F.col("min_cost"))
         .join(F.broadcast(p), p["p_partkey"] == costs["l_partkey"])
         .orderBy(
             F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey")
@@ -434,10 +431,11 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     by name prefix, suppliers by nation. The nested-IN over two
     aggregation levels is the shape.
 
-    Scale: one year-filtered lineitem shuffle builds `shipped`; `tot`
-    re-aggregates the already part-supplier-sized result (not the
-    fact); the IN is a semi-join against a catalog-sized list. The
-    30% threshold is exact decimal."""
+    Scale: one year-filtered lineitem shuffle builds `shipped`; the
+    per-part total is a partkey-partitioned window SUM over the
+    part-supplier-sized derived relation (one reference, no second
+    fact-scan subtree); the IN is a semi-join against a catalog-sized
+    list. The 30% threshold is exact decimal."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
@@ -445,12 +443,10 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipped = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty")
     )
-    tot = shipped.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        F.sum("qty").alias("total_qty")
-    )
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    total_qty = F.sum("qty").over(Window.partitionBy("l_partkey"))
     dominant = (
-        shipped.join(tot, F.col("t_partkey") == shipped["l_partkey"])
+        shipped.withColumn("total_qty", total_qty)
         .join(F.broadcast(p), p["p_partkey"] == shipped["l_partkey"])
         .filter(
             F.col("qty") > F.col("total_qty") * F.lit("0.3").cast("decimal(3,1)")
