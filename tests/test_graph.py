@@ -96,3 +96,44 @@ def test_matches_union_find_on_fixture_edges(spark):
         for r in connected_components(edges).collect()
     }
     assert got == truth
+
+
+def _pagerank_reference(edge_list, iterations=4):
+    """Pure-Python replica of pagerank_quantized's integer arithmetic."""
+    BASE = 1_000_000_000
+    RESET = (BASE * 15) // 100
+    outdeg: dict = {}
+    for s, _ in edge_list:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    nodes = sorted({n for e in edge_list for n in e})
+    score = {n: BASE for n in nodes}
+    for _ in range(iterations):
+        contrib = {n: 0 for n in nodes}
+        for s, d in edge_list:
+            contrib[d] += score[s] // outdeg[s]
+        score = {n: RESET + (contrib[n] * 85) // 100 for n in nodes}
+    return score
+
+
+def test_pagerank_matches_pure_python_reference(spark):
+    """pagerank_quantized on an asymmetric multi-component graph must
+    equal the sequential integer reference exactly -- the quantized
+    arithmetic is partition-order independent by construction."""
+    from weighted_raster_overlay_service_toolbox_spark.operators.pagerank import (
+        pagerank_quantized,
+    )
+
+    edge_list = [
+        ("a", "b"), ("a", "c"), ("b", "a"), ("c", "a"),  # hub component
+        ("d", "e"), ("e", "d"),                            # 2-cycle
+        ("f", "a"),                                        # dangling-in f
+    ]
+    edges = spark.createDataFrame(edge_list, "src string, dst string")
+    got = {r["node"]: r["score"] for r in pagerank_quantized(edges).collect()}
+    assert got == _pagerank_reference(edge_list)
+    # partition-order independence: same result from a different layout
+    got8 = {
+        r["node"]: r["score"]
+        for r in pagerank_quantized(edges.repartition(8)).collect()
+    }
+    assert got8 == got

@@ -1,0 +1,77 @@
+"""Quantized PageRank: an exact-arithmetic iterative graph operator.
+
+Scores are fixed-point BIGINTs (BASE = 1e9 "rank units") and every step
+is integer arithmetic -- ``score DIV outdeg`` per edge, then
+``RESET + (sum * damping_num) DIV damping_den`` per node -- so the
+result is bit-identical regardless of partitioning, join order, or
+engine (floating-point PageRank is not: double summation order changes
+low bits, and 0.85 * x differs in the last ulp across engines). This is
+the same integer-quantization recipe that made k-means and the custom
+stateful streaming operator oracle-checkable (SURVEY.md round-5 notes).
+
+100 TB design: per iteration, one hash join of the rank vector against
+the (src-keyed) edge list and one groupBy(dst) aggregation -- the
+textbook distributed PageRank step, all map-side combinable. The edge
+list with out-degrees is computed once and reused across iterations;
+``localCheckpoint`` (non-eager) truncates lineage each round so the plan
+does not grow with the iteration count (the same treatment as
+``graph.connected_components``). Dangling-node mass is handled by the
+reset term only (nodes with no in-edges coalesce to RESET), matching
+the unrolled-CTE oracle exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: fixed-point scale: 1.0 of rank == 1e9 units.
+BASE = 1_000_000_000
+
+
+def pagerank_quantized(
+    edges: DataFrame,
+    iterations: int = 4,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """Integer-exact PageRank over a directed edge list.
+
+    ``edges`` must have string columns ``src`` and ``dst`` (pre-deduped;
+    parallel edges count double by design). Returns ``(node, score)``
+    with ``score`` in BASE-scaled fixed point. ``iterations`` is a
+    constant, so the computation unrolls to a fixed dataflow -- which is
+    exactly what makes it expressible as a chained-CTE SQL oracle.
+    """
+    reset = (BASE * (damping_den - damping_num)) // damping_den
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    fan = edges.join(deg, "src").localCheckpoint(eager=False)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ranks = nodes.select("node", F.lit(BASE).cast("long").alias("score"))
+    for _ in range(iterations):
+        contrib = (
+            fan.join(ranks, fan["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("score DIV outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"CAST({reset} + (coalesce(contrib, 0) * {damping_num}) "
+                    f"DIV {damping_den} AS BIGINT)"
+                ).alias("score"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

@@ -62,7 +62,9 @@ from . import tpch  # noqa: F401,E402
 # (q_stream_watermark, q_stream_dedup, q_stream_upsert,
 # q_stream_stream_left_join, q_udtf_flatmap), and the names this
 # window displaced to make room for the late-r5 changes
-# (q_join_asof_forward, q_join_null_safe, q_rollup_two_level,
+# (q_scan_bucket_pruned -- displaced again by the late
+# q_multimodal_struct promotion, still plan-pinned + parity-green --
+# q_join_asof_forward, q_join_null_safe, q_rollup_two_level,
 # q_win_time_range, q_dedup_rate, q_dedup_incremental, q_block_dedup,
 # q_collocations, q_rare_token_ratio, q_ann_filtered, q_zorder_layout,
 # q_scd2, q_sample_stratified, q_impute_group_mean, q_subquery_scalar,
@@ -90,13 +92,13 @@ _DRIVER_WINDOW = [
     # -- promoted late in r5 (old rows were the weak rows-only check) --
     "q_simhash", "q_dedup_minhash", "q_ann_ivf", "q_kmeans",
     "q_multimodal_decode", "q_stream_agg_update",
-    "q_stream_stateful_custom",
+    "q_stream_stateful_custom", "q_multimodal_struct",
     # -- added in r5 (one per new family) --
     "q_pack_sequences", "q_chunk_documents", "q_unigram_logprob",
     "q_dq_checks", "q_catalog_time_travel", "q_tpch_q5",
     # -- never-driver-graded fill --
     "q_join_salted", "q_agg_salted", "q_hll_rollup", "q_approx_topk",
-    "q_dedup_keep_one", "q_decontaminate", "q_scan_bucket_pruned",
+    "q_dedup_keep_one", "q_decontaminate",
 ]
 
 

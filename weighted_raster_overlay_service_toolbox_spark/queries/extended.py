@@ -1650,3 +1650,77 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_yearly")
         )
     )
+
+
+def _pagerank_oracle(iterations: int = 4) -> str:
+    """Unrolled chained-CTE replica of operators/pagerank.py
+    pagerank_quantized over the bipartite purchase graph: constant
+    iteration count => fixed dataflow => plain SQL (the same unrolling
+    recipe as the k-means oracle). All arithmetic is integer, so the
+    scores are bit-identical across engines."""
+    its = []
+    for i in range(1, iterations + 1):
+        its.append(f"""
+    it{i} AS (
+        SELECT n.node,
+               CAST(150000000 + (COALESCE(s.contrib, 0) * 85) // 100
+                    AS BIGINT) AS score
+        FROM pr_nodes n
+        LEFT JOIN (
+            SELECT e.dst AS node, SUM(r.score // e.outdeg) AS contrib
+            FROM pr_fan e JOIN it{i - 1} r ON r.node = e.src
+            GROUP BY e.dst
+        ) s ON s.node = n.node
+    )""")
+    return f"""
+    WITH pr_base AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                        'p' || CAST(l_partkey AS VARCHAR) AS dst
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    ),
+    pr_edges AS (
+        SELECT src, dst FROM pr_base
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM pr_base
+    ),
+    pr_deg AS (SELECT src, COUNT(*) AS outdeg FROM pr_edges GROUP BY src),
+    pr_fan AS (
+        SELECT e.src, e.dst, d.outdeg
+        FROM pr_edges e JOIN pr_deg d ON d.src = e.src
+    ),
+    pr_nodes AS (SELECT src AS node FROM pr_edges UNION SELECT dst FROM pr_edges),
+    it0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS score FROM pr_nodes),
+    {",".join(its)}
+    SELECT node, score FROM it{iterations}
+    """
+
+
+@query("q_pagerank", oracle=_pagerank_oracle())
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized PageRank over the bipartite customer<->part purchase
+    graph (who-buys-what importance): edges are the distinct
+    (customer, part) purchase pairs in both directions, 4 damped
+    iterations, fixed-point BIGINT scores.
+
+    Scale: the edge list is fact-derived once (one distinct shuffle);
+    each iteration is one src-keyed join of the rank vector + one
+    map-side-combined groupBy(dst) -- textbook distributed PageRank
+    with localCheckpoint lineage truncation (operators/pagerank.py).
+    Integer arithmetic makes the result partition-order independent,
+    which floating-point PageRank is not."""
+    from ..operators.pagerank import pagerank_quantized
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    base = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = base.union(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank_quantized(edges, iterations=4)
