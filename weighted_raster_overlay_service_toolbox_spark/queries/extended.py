@@ -1724,3 +1724,71 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     return pagerank_quantized(edges, iterations=4)
+
+
+@query(
+    "q_timeseries_gapfill",
+    oracle="""
+    WITH b AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS cnt
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    bounds AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM b),
+    grid AS (
+        SELECT t.event_type, g.h
+        FROM (SELECT DISTINCT event_type FROM b) t
+        CROSS JOIN (
+            SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+            FROM bounds
+        ) g
+    )
+    SELECT g.event_type, g.h AS hour_ts,
+           CAST(COALESCE(b.cnt, 0) AS BIGINT) AS cnt
+    FROM grid g
+    LEFT JOIN b ON b.event_type = g.event_type AND b.h = g.h
+    """,
+)
+def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: hourly event counts per type on a DENSE
+    hour grid -- missing (type, hour) cells appear with cnt=0 instead of
+    being silently absent (the classic downsample-then-fill shape that
+    naive GROUP BY gets wrong for alerting/seasonality consumers).
+
+    Scale: the fact is scanned ONCE (the per-cell count aggregation);
+    the grid bounds and the type list both derive from the already
+    grid-cardinality counts, not from the fact. The dense grid is
+    |types| x |hours| (time-bounded metadata, exploded from one
+    sequence()), and the fill is a left join keyed on the grid -- at
+    100 TB the only fact-sized work remains the first map-side-combined
+    aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    b = (
+        e.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    bounds = b.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    hours = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias("h")
+    )
+    types = b.select("event_type").distinct()
+    grid = types.crossJoin(hours)
+    # disambiguate the self-referencing join (grid's type list derives
+    # from b) by renaming b's key columns
+    filled = b.select(
+        F.col("event_type").alias("b_type"),
+        F.col("h").alias("b_h"),
+        "cnt",
+    )
+    return (
+        grid.join(
+            filled,
+            (grid["event_type"] == F.col("b_type")) & (grid["h"] == F.col("b_h")),
+            "left",
+        )
+        .select(
+            "event_type",
+            F.col("h").alias("hour_ts"),
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
+        )
+    )
