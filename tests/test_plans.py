@@ -272,3 +272,12 @@ def test_tpch_q21_semi_and_anti_joins(spark):
     a correlated re-execution."""
     plan = plan_of(spark, "q_tpch_q21")
     assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+
+
+def test_interval_join_is_binned_equi_join(spark):
+    """q_interval_join_binned: the +-60s temporal join must plan as an
+    EQUI-join on the bin key (hash-partitionable), never a
+    CartesianProduct / BroadcastNestedLoopJoin quadratic theta-join."""
+    plan = plan_of(spark, "q_interval_join_binned")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -1792,3 +1792,58 @@ def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
         )
     )
+
+
+@query(
+    "q_interval_join_binned",
+    oracle="""
+    SELECT e1.event_id, CAST(COUNT(e2.event_id) AS BIGINT) AS concurrent_cnt
+    FROM events e1
+    LEFT JOIN events e2
+      ON e2.event_id <> e1.event_id
+     AND ABS(epoch_us(e2.ts) - epoch_us(e1.ts)) <= 60000000
+    GROUP BY e1.event_id
+    """,
+)
+def q_interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned interval join: per-event count of OTHER events (any user)
+    within +-60 seconds -- a large-to-large temporal join with NO
+    shared equi-key, the shape a naive engine plans as a quadratic
+    theta-join.
+
+    Scale: both sides bucket into 60-second bins (bin width == window
+    width, so candidates always live in bins {b-1, b, b+1}); the probe
+    side explodes into its 3 candidate bins and the join becomes an
+    EQUI-join on the bin key with an exact |dt| post-filter -- linear
+    in events x per-bin occupancy, shuffling on bins. Integer
+    microsecond arithmetic keeps the predicate exact cross-engine.
+    Zero-concurrency events are kept via a left join back to the event
+    list (the oracle's LEFT JOIN ... COUNT(col) semantics)."""
+    e = load_table(spark, sf_dir, "events")
+    WIN_US = 60_000_000
+    base = e.select(
+        "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    ).withColumn("bin", F.expr(f"us DIV {WIN_US}"))
+    probes = base.withColumn(
+        "pb", F.explode(F.array(F.col("bin") - 1, F.col("bin"), F.col("bin") + 1))
+    )
+    build = base.select(
+        F.col("event_id").alias("eid2"),
+        F.col("us").alias("us2"),
+        F.col("bin").alias("bin2"),
+    )
+    counts = (
+        probes.join(build, F.col("pb") == F.col("bin2"))
+        .filter(
+            (F.col("eid2") != F.col("event_id"))
+            & (F.abs(F.col("us2") - F.col("us")) <= WIN_US)
+        )
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("event_id").alias("c_eid"), "cnt")
+    )
+    return base.join(
+        counts, base["event_id"] == F.col("c_eid"), "left"
+    ).select(
+        "event_id", F.coalesce(F.col("cnt"), F.lit(0)).alias("concurrent_cnt")
+    )
