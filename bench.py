@@ -50,6 +50,7 @@ def main() -> None:
         "q_join_multikey",
         "q_join_range",
         "q_join_asof",
+        "q_interval_join_binned",
         "q_win_rank",
         "q_win_frame_rows",
         "q_topk_per_group",
