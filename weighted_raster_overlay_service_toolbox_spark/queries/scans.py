@@ -267,3 +267,37 @@ def q_scan_bucket_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_qty"),
         )
     )
+
+
+@query(
+    "q_schema_evolution",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice,
+           CASE WHEN p_partkey < 1000 THEN NULL ELSE p_brand END AS p_brand,
+           CASE WHEN p_partkey < 1000 THEN NULL ELSE p_size END AS p_size
+    FROM part
+    """,
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across writer generations: generation 1 wrote
+    3 columns, generation 2 added two more; ``mergeSchema`` unifies the
+    dataset on read with NULLs for the columns a generation never had --
+    the long-lived-dataset reality at 100 TB, where rewriting history
+    to the newest schema is not an option.
+
+    Scale: mergeSchema reconciles parquet FOOTERS (per-file metadata,
+    not data) at planning time and is enabled per-read here, not
+    globally -- footer merging across millions of files is a planning
+    cost you opt into only where generations actually diverge."""
+    path = _scratch("schema_evolution")
+    p = load_table(spark, sf_dir, "part")
+    gen1 = p.filter(F.col("p_partkey") < 1000).select(
+        "p_partkey", "p_name", "p_retailprice"
+    )
+    gen2 = p.filter(F.col("p_partkey") >= 1000).select(
+        "p_partkey", "p_name", "p_retailprice", "p_brand", "p_size"
+    )
+    gen1.write.mode("overwrite").parquet(path)
+    gen2.write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return back.select("p_partkey", "p_name", "p_retailprice", "p_brand", "p_size")
