@@ -281,3 +281,20 @@ def test_interval_join_is_binned_equi_join(spark):
     plan = plan_of(spark, "q_interval_join_binned")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_gapfill_scans_fact_once_at_runtime(spark):
+    """q_timeseries_gapfill references its per-cell count table three
+    times (counts, bounds, type list); the non-eager localCheckpoint
+    must collapse that to ONE events scan at runtime -- the final
+    adaptive plan reads the checkpointed grid-cardinality RDD, not the
+    fact, for the derived references."""
+    df = QUERIES["q_timeseries_gapfill"](spark, SF_SMOKE)
+    df.collect()
+    final = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert final.count("events.parquet") <= 1, final
