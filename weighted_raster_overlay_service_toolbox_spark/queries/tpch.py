@@ -131,8 +131,10 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the only fact-sized work is the first (part,supplier)
     aggregation (one lineitem shuffle, map-side combined); the window
     re-shuffles only the part-supplier-sized derived relation on
-    partkey. supplier/nation/region broadcast. Cost equality is exact
-    decimal, never a float compare."""
+    partkey. Only fixed-cardinality nation/region carry broadcast
+    hints; supplier and part are SF-scaled, so they stay size-adaptive
+    (AQE broadcasts at test scale, shuffles at 100 TB). Cost equality
+    is exact decimal, never a float compare."""
     li = load_table(spark, sf_dir, "lineitem")
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(money("l_extendedprice")).alias("cost")
@@ -141,7 +143,7 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     costs = (
-        ps.join(F.broadcast(s), ps["l_suppkey"] == s["s_suppkey"])
+        ps.join(s, ps["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .select("l_partkey", "l_suppkey", "cost", "s_acctbal", "s_name", "n_name")
@@ -151,7 +153,7 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         costs.withColumn("min_cost", min_cost)
         .filter(F.col("cost") == F.col("min_cost"))
-        .join(F.broadcast(p), p["p_partkey"] == costs["l_partkey"])
+        .join(p, p["p_partkey"] == costs["l_partkey"])
         .orderBy(
             F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey")
         )
@@ -233,10 +235,11 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     minus a per-unit cost -- the same five-table join + two-level
     grouping. The part-name LIKE prunes the fact early.
 
-    Scale: part is filtered then broadcast; nation broadcast; the
-    orders join shuffles on the already-keyed orderkey; one grouped
-    shuffle on the tiny (nation, year) domain. All money exact
-    decimal."""
+    Scale: the part-name filter prunes before the joins; only
+    fixed-cardinality nation is hinted broadcast -- part and supplier
+    are SF-scaled and stay size-adaptive; the orders join shuffles on
+    the already-keyed orderkey; one grouped shuffle on the tiny
+    (nation, year) domain. All money exact decimal."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
     s = load_table(spark, sf_dir, "supplier")
@@ -249,8 +252,8 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("decimal(18,4)")
     amount = (_disc_price() - cost).alias("amount")
     return (
-        li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
-        .join(F.broadcast(s), s["s_suppkey"] == li["l_suppkey"])
+        li.join(p, p["p_partkey"] == li["l_partkey"])
+        .join(s, s["s_suppkey"] == li["l_suppkey"])
         .join(o, o["o_orderkey"] == li["l_orderkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .select(
@@ -295,7 +298,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     v = (
-        li.join(F.broadcast(s), s["s_suppkey"] == li["l_suppkey"])
+        li.join(s, s["s_suppkey"] == li["l_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .groupBy(F.col("l_partkey").alias("ps_partkey"))
         .agg(F.sum(money("l_extendedprice")).alias("val"))
@@ -374,9 +377,9 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     exclusion -- the anti-join + distinct-aggregate shape.
 
     Scale: the distinct pair extraction is the only fact-sized shuffle
-    (map-side combined); part is filtered then broadcast; the excluded
-    suppliers are a broadcast anti-join (s_suppkey is non-null, so
-    NOT IN == anti-join)."""
+    (map-side combined); part and the excluded-supplier list are
+    SF-scaled, so neither carries a broadcast hint (AQE decides from
+    size stats; s_suppkey is non-null, so NOT IN == anti-join)."""
     li = load_table(spark, sf_dir, "lineitem")
     ps = li.select("l_partkey", "l_suppkey").distinct()
     p = load_table(spark, sf_dir, "part").filter(
@@ -388,8 +391,8 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_name").like("%77")
     ).select("s_suppkey")
     return (
-        ps.join(F.broadcast(p), p["p_partkey"] == ps["l_partkey"])
-        .join(F.broadcast(bad), ps["l_suppkey"] == bad["s_suppkey"], "leftanti")
+        ps.join(p, p["p_partkey"] == ps["l_partkey"])
+        .join(bad, ps["l_suppkey"] == bad["s_suppkey"], "leftanti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -447,7 +450,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     total_qty = F.sum("qty").over(Window.partitionBy("l_partkey"))
     dominant = (
         shipped.withColumn("total_qty", total_qty)
-        .join(F.broadcast(p), p["p_partkey"] == shipped["l_partkey"])
+        .join(p, p["p_partkey"] == shipped["l_partkey"])
         .filter(
             F.col("qty") > F.col("total_qty") * F.lit("0.3").cast("decimal(3,1)")
         )
@@ -530,7 +533,7 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
     return (
-        l1.join(F.broadcast(s), l1["l_suppkey"] == s["s_suppkey"])
+        l1.join(s, l1["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
