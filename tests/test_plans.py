@@ -298,3 +298,34 @@ def test_gapfill_scans_fact_once_at_runtime(spark):
         .split("== Initial Plan ==")[0]
     )
     assert final.count("events.parquet") <= 1, final
+
+
+def test_pagerank_scans_fact_once_at_runtime(spark):
+    """q_pagerank derives its edge list from the fact once: the
+    checkpoint on `edges` must prevent fan/nodes from independently
+    re-running the lineitem-join-orders subtree (exchange reuse cannot
+    span separate RDD materializations)."""
+    df = QUERIES["q_pagerank"](spark, SF_SMOKE)
+    df.collect()
+    final = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert final.count("lineitem.parquet") <= 1, final
+
+
+def test_interval_join_scans_fact_once_at_runtime(spark):
+    """q_interval_join_binned: both join sides read the ONE
+    checkpointed (event_id, us, bin) projection; the count-self-minus-
+    one form needs no third scan for zero-concurrency events."""
+    df = QUERIES["q_interval_join_binned"](spark, SF_SMOKE)
+    df.collect()
+    final = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert final.count("events.parquet") <= 1, final

@@ -44,6 +44,11 @@ def pagerank_quantized(
     exactly what makes it expressible as a chained-CTE SQL oracle.
     """
     reset = (BASE * (damping_den - damping_num)) // damping_den
+    # checkpoint the EDGE LIST itself first: fan and nodes are separate
+    # materializations, and without this each would independently re-run
+    # the (possibly fact-sized) edge-derivation subtree -- exchange reuse
+    # does not span separate RDD materializations.
+    edges = edges.localCheckpoint(eager=False)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     fan = edges.join(deg, "src").localCheckpoint(eager=False)
     nodes = (

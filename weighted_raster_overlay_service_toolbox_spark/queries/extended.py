@@ -1059,19 +1059,10 @@ def q_downsample_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .registry import DISC_SQL, disc_price as _disc_price  # noqa: E402
 from .registry import dsum, money, osum  # noqa: E402
 
-_DISC_PRICE_SQL = (
-    "CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))"
-    " * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))), 2)"
-    " AS DOUBLE) AS revenue"
-)
-
-
-def _disc_price():
-    return (money("l_extendedprice") * (F.lit(1) - money("l_discount"))).cast(
-        "decimal(18,4)"
-    )
+_DISC_PRICE_SQL = f"CAST(ROUND(SUM({DISC_SQL}), 2) AS DOUBLE) AS revenue"
 
 
 @query(
@@ -1817,13 +1808,20 @@ def q_interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     EQUI-join on the bin key with an exact |dt| post-filter -- linear
     in events x per-bin occupancy, shuffling on bins. Integer
     microsecond arithmetic keeps the predicate exact cross-engine.
-    Zero-concurrency events are kept via a left join back to the event
-    list (the oracle's LEFT JOIN ... COUNT(col) semantics)."""
+    Zero-concurrency events need no join-back: every event matches
+    ITSELF in its own bin (|dt| = 0), so counting all matches and
+    emitting count-1 keeps them with an exact zero -- one fewer fact
+    scan than count-others + left-join-back, and the checkpointed base
+    is derived from the fact once and reused by both join sides."""
     e = load_table(spark, sf_dir, "events")
     WIN_US = 60_000_000
-    base = e.select(
-        "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
-    ).withColumn("bin", F.expr(f"us DIV {WIN_US}"))
+    base = (
+        e.select(
+            "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+        )
+        .withColumn("bin", F.expr(f"us DIV {WIN_US}"))
+        .localCheckpoint(eager=False)
+    )
     probes = base.withColumn(
         "pb", F.explode(F.array(F.col("bin") - 1, F.col("bin"), F.col("bin") + 1))
     )
@@ -1832,18 +1830,9 @@ def q_interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("us").alias("us2"),
         F.col("bin").alias("bin2"),
     )
-    counts = (
+    return (
         probes.join(build, F.col("pb") == F.col("bin2"))
-        .filter(
-            (F.col("eid2") != F.col("event_id"))
-            & (F.abs(F.col("us2") - F.col("us")) <= WIN_US)
-        )
+        .filter(F.abs(F.col("us2") - F.col("us")) <= WIN_US)
         .groupBy("event_id")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(F.col("event_id").alias("c_eid"), "cnt")
-    )
-    return base.join(
-        counts, base["event_id"] == F.col("c_eid"), "left"
-    ).select(
-        "event_id", F.coalesce(F.col("cnt"), F.lit(0)).alias("concurrent_cnt")
+        .agg((F.count(F.lit(1)) - F.lit(1)).alias("concurrent_cnt"))
     )

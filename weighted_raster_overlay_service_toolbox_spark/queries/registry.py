@@ -58,6 +58,23 @@ def money(col: str | Column) -> Column:
     return c.cast("decimal(12,2)")
 
 
+#: TPC-H discounted price as exact decimal, the SQL-side twin of
+#: ``disc_price()`` -- ONE definition so a precision change cannot
+#: silently diverge between query modules.
+DISC_SQL = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))"
+)
+
+
+def disc_price() -> Column:
+    """``l_extendedprice * (1 - l_discount)`` as exact decimal(18,4);
+    matches ``DISC_SQL`` bit-for-bit on DuckDB."""
+    return (money("l_extendedprice") * (F.lit(1) - money("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+
+
 def dsum(col: str | Column, alias: str, scale: int = 2, cast: bool = True) -> Column:
     """Exact decimal sum -> round -> double. Matches oracle ``osum``.
 

@@ -272,10 +272,13 @@ def q_scan_bucket_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_schema_evolution",
     oracle="""
+    WITH split AS (
+        SELECT CAST(MAX(p_partkey) // 2 AS BIGINT) AS k FROM part
+    )
     SELECT p_partkey, p_name, p_retailprice,
-           CASE WHEN p_partkey < 1000 THEN NULL ELSE p_brand END AS p_brand,
-           CASE WHEN p_partkey < 1000 THEN NULL ELSE p_size END AS p_size
-    FROM part
+           CASE WHEN p_partkey < k THEN NULL ELSE p_brand END AS p_brand,
+           CASE WHEN p_partkey < k THEN NULL ELSE p_size END AS p_size
+    FROM part, split
     """,
 )
 def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -285,19 +288,36 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     the long-lived-dataset reality at 100 TB, where rewriting history
     to the newest schema is not an option.
 
+    The generation split is half the max partkey, so BOTH generations
+    are non-empty at every SF (a fixed constant left generation 2
+    empty at sf0.001, which would only exercise empty-file footers).
+    The staged dataset is written once per (sf_dir) into a keyed
+    scratch dir and marked done -- re-invocations reuse it, so a
+    still-lazy DataFrame from an earlier invocation never has its
+    files deleted out from under it, and schema-only registry sweeps
+    pay the write once.
+
     Scale: mergeSchema reconciles parquet FOOTERS (per-file metadata,
     not data) at planning time and is enabled per-read here, not
     globally -- footer merging across millions of files is a planning
     cost you opt into only where generations actually diverge."""
-    path = _scratch("schema_evolution")
     p = load_table(spark, sf_dir, "part")
-    gen1 = p.filter(F.col("p_partkey") < 1000).select(
-        "p_partkey", "p_name", "p_retailprice"
+    path = os.path.join(
+        SCRATCH, f"schema_evolution_{os.path.basename(os.path.normpath(sf_dir))}"
     )
-    gen2 = p.filter(F.col("p_partkey") >= 1000).select(
-        "p_partkey", "p_name", "p_retailprice", "p_brand", "p_size"
-    )
-    gen1.write.mode("overwrite").parquet(path)
-    gen2.write.mode("append").parquet(path)
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.isfile(marker):
+        # exact integer division, matching the oracle's MAX(...) // 2
+        k = p.agg(F.expr("CAST(MAX(p_partkey) DIV 2 AS BIGINT)")).first()[0]
+        gen1 = p.filter(F.col("p_partkey") < k).select(
+            "p_partkey", "p_name", "p_retailprice"
+        )
+        gen2 = p.filter(F.col("p_partkey") >= k).select(
+            "p_partkey", "p_name", "p_retailprice", "p_brand", "p_size"
+        )
+        gen1.write.mode("overwrite").parquet(path)
+        gen2.write.mode("append").parquet(path)
+        with open(marker, "w") as f:
+            f.write("ok")
     back = spark.read.option("mergeSchema", "true").parquet(path)
     return back.select("p_partkey", "p_name", "p_retailprice", "p_brand", "p_size")

@@ -27,20 +27,16 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import load_table
-from .registry import davg, dsum, money, oavg, osum, query
-
-# Exact discounted price: decimal(12,2) * decimal -> cast once to a fixed
-# intermediate so Spark and DuckDB sum identical exact values.
-_DISC = (
-    "CAST(CAST(l_extendedprice AS DECIMAL(12,2))"
-    " * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))"
+from .registry import (
+    DISC_SQL as _DISC,
+    davg,
+    disc_price as _disc_price,
+    dsum,
+    money,
+    oavg,
+    osum,
+    query,
 )
-
-
-def _disc_price():
-    return (money("l_extendedprice") * (F.lit(1) - money("l_discount"))).cast(
-        "decimal(18,4)"
-    )
 
 
 @query(
