@@ -129,7 +129,11 @@ def q_jaccard_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     here so the exact probe matches its oracle) or switch to the MinHash
     path."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    toks = d.select("doc_id", F.explode(F.array_distinct(TOKS())).alias("tok"))
+    # one corpus scan: the exploded token projection feeds both sides of
+    # the self-join (and the size table) through a non-eager checkpoint
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(TOKS())).alias("tok")
+    ).localCheckpoint(eager=False)
     return jaccard_pairs(toks).select(
         "doc_a", "doc_b", F.round("jaccard", 4).cast("double").alias("jaccard")
     )
@@ -319,6 +323,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.expr("substring(text, i, 3)").alias("sh"))
         .distinct()
+        .localCheckpoint(eager=False)  # one scan feeds both self-join sides
     )
     return (
         jaccard_pairs(g, tok_col="sh")
@@ -1957,7 +1962,10 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar cross joins. One corpus scan feeds both counts. The ln is
     rounded to 4dp (the tfidf cross-engine convention)."""
     d = load_table(spark, sf_dir, "documents")
-    tk = d.select(F.split("text", " ").alias("t"))
+    # checkpointed so unigram/bigram counts + both totals really do share
+    # ONE corpus scan (the docstring claim; the un-checkpointed plan
+    # re-scanned documents per consumer)
+    tk = d.select(F.split("text", " ").alias("t")).localCheckpoint(eager=False)
     uni = tk.select(F.explode("t").alias("w"))
     ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     nu = uni.agg(F.count(F.lit(1)).cast("double").alias("nu"))
@@ -2029,7 +2037,9 @@ def q_containment_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground-truth probe; the banded MinHash path is the bulk variant,
     and hot-token capping applies identically)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    toks = d.select("doc_id", F.explode(F.array_distinct(TOKS())).alias("tok"))
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(TOKS())).alias("tok")
+    ).localCheckpoint(eager=False)  # one scan: self-join sides + sizes
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = toks.alias("a"), toks.alias("b")
     inter = (
