@@ -137,7 +137,10 @@ def main() -> None:
     # the estimator least contaminated by external scheduler noise while
     # still measuring real end-to-end execution. Override with
     # SPARK_GRAFT_BENCH_REPEATS=1 for the old single-shot behavior.
-    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
+    try:
+        repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
+    except ValueError:
+        repeats = 2
     timings: dict[str, float] = {}
     for name in headline:
         best = float("inf")

@@ -1,23 +1,31 @@
 """Registry-wide plan-shape allowlists (plan_audit.py's checkable half).
 
-Two operator classes need a conscious decision at 100 TB -- a Python
-boundary (Arrow batch transfer, out of whole-stage codegen) and a
-non-equi join (CartesianProduct / BroadcastNestedLoopJoin). Every
-in-repo occurrence is deliberate and documented (PLANS.md / the query
-docstring); this test pins the EXACT sets so a new query cannot
-introduce either silently -- extending the allowlist is the audit
-trail.
+Three operator classes need a conscious decision at 100 TB -- a Python
+boundary (Arrow batch transfer, out of whole-stage codegen), a
+non-equi join (CartesianProduct / BroadcastNestedLoopJoin), and a
+checkpointed subtree (plan-invisible upstream; its single-scan claim
+must be pinned at runtime instead). Every in-repo occurrence is
+deliberate and documented (PLANS.md / the query docstring); this test
+pins the EXACT sets so a new query cannot introduce any of the three
+silently -- extending an allowlist is the audit trail.
+
+Coverage caveat (inherited from plan_audit.py): streaming queries and
+eager iterative operators execute during DataFrame construction, so
+their registered plan is the post-execution result -- their plan
+properties are pinned by the streaming/golden/runtime tests, not here.
 """
 
 from __future__ import annotations
 
-from plan_audit import audit_plan
+from plan_audit import audit_plan, formatted_plan
 from weighted_raster_overlay_service_toolbox_spark.queries import QUERIES
 
 from .conftest import SF_SMOKE
 
 #: declared UDF surface + Arrow-vectorized similarity/multimodal ops --
-#: each documented as Pandas-UDF-by-necessity in its docstring.
+#: each documented as Python-by-necessity in its docstring. Includes
+#: the UDTF (BatchEvalPythonUDTF) and Arrow UDAF (ArrowAggregatePython)
+#: nodes the first detector version missed.
 PYTHON_EVAL_ALLOWED = {
     "q_cosine_topk",
     "q_embed_near_dup",
@@ -25,9 +33,11 @@ PYTHON_EVAL_ALLOWED = {
     "q_multimodal_framesample",
     "q_multimodal_resize",
     "q_pack_sequences",
+    "q_udaf_grouped",
     "q_udf_grouped_map",
     "q_udf_scalar",
     "q_udtf_flatmap",
+    "q_udtf_lateral",
 }
 
 #: non-equi joins whose build side is BOUNDED by design: one-row scalar
@@ -55,21 +65,45 @@ NON_EQUI_ALLOWED = {
     "q_wro_equal_interval",
 }
 
+#: queries whose plan contains a Scan ExistingRDD (localCheckpoint):
+#: the upstream subtree is plan-invisible, so each entry either carries
+#: a runtime executed-plan scan pin (tests/test_plans.py: pagerank,
+#: gapfill, interval_join) or is a documented shared-projection /
+#: iterative / catalog-staging design. A NEW checkpoint must be added
+#: here consciously -- it is the audit blind spot.
+CHECKPOINTED_ALLOWED = {
+    "q_collocations",
+    "q_containment_sim",
+    "q_dedup_clusters",
+    "q_dedup_keep_one",
+    "q_interval_join_binned",
+    "q_jaccard_sim",
+    "q_join_range",
+    "q_kmeans",
+    "q_ngram_jaccard",
+    "q_pagerank",
+    "q_stream_agg_update",
+    "q_stream_stateful_custom",
+    "q_timeseries_gapfill",
+    "q_tpch_q21",
+    "q_wro_catalog_update",
+    "q_wro_decode_ranges",
+    "q_wro_dup_names",
+    "q_wro_minmax_validate",
+    "q_wro_schema_check",
+}
 
-def test_python_and_non_equi_plan_shapes_are_allowlisted(spark):
-    python_eval, non_equi = set(), set()
+
+def test_python_non_equi_and_checkpoint_shapes_are_allowlisted(spark):
+    python_eval, non_equi, checkpointed = set(), set(), set()
     for name, fn in QUERIES.items():
-        df = fn(spark, SF_SMOKE)
-        plan = df._jdf.queryExecution().explainString(
-            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                "formatted"
-            )
-        )
-        a = audit_plan(plan)
+        a = audit_plan(formatted_plan(fn(spark, SF_SMOKE)))
         if a["python_eval"]:
             python_eval.add(name)
         if a["non_equi_join"]:
             non_equi.add(name)
+        if a["existing_rdd_scans"]:
+            checkpointed.add(name)
     assert python_eval == PYTHON_EVAL_ALLOWED, (
         f"new python-boundary queries: {sorted(python_eval - PYTHON_EVAL_ALLOWED)}; "
         f"stale allowlist: {sorted(PYTHON_EVAL_ALLOWED - python_eval)}"
@@ -77,4 +111,8 @@ def test_python_and_non_equi_plan_shapes_are_allowlisted(spark):
     assert non_equi == NON_EQUI_ALLOWED, (
         f"new non-equi-join queries: {sorted(non_equi - NON_EQUI_ALLOWED)}; "
         f"stale allowlist: {sorted(NON_EQUI_ALLOWED - non_equi)}"
+    )
+    assert checkpointed == CHECKPOINTED_ALLOWED, (
+        f"new checkpointed queries: {sorted(checkpointed - CHECKPOINTED_ALLOWED)}; "
+        f"stale allowlist: {sorted(CHECKPOINTED_ALLOWED - checkpointed)}"
     )

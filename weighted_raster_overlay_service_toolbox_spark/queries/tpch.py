@@ -506,6 +506,10 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .filter(li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 75 DAYS"))
         .select("l_orderkey", "l_suppkey")
+        # checkpointed: the late-line set feeds BOTH the probe (l1) and
+        # the anti side (late2); without this the fact join computing it
+        # is planned -- and scanned -- twice (plan-audit finding)
+        .localCheckpoint(eager=False)
     )
     others = li.select(
         F.col("l_orderkey").alias("o2_orderkey"),
