@@ -58,8 +58,9 @@ from . import tpch  # noqa: F401,E402
 # q_multimodal_framesample, q_catalog_merge, q_catalog_diff,
 # q_split_train_val_test, q_tpch_q3/q6/q7/q8/q10/q13/q14/q15/q17/q18/
 # q19 plus the suite-completing q_tpch_q1/q2/q4/q9/q11/q12/q16/q20/q21/
-# q22, q_pagerank, q_timeseries_gapfill, q_interval_join_binned, and
-# q_schema_evolution), the earlier-r5 promotions not in this window
+# q22, q_pagerank, q_timeseries_gapfill, q_interval_join_binned,
+# q_schema_evolution, and q_histogram_equidepth), the earlier-r5
+# promotions not in this window
 # (q_stream_watermark, q_stream_dedup, q_stream_upsert,
 # q_stream_stream_left_join, q_udtf_flatmap), and the names this
 # window displaced to make room for the late-r5 changes

@@ -476,3 +476,58 @@ def q_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").cast("double").alias("lo"),
         F.max("o_totalprice").cast("double").alias("hi"),
     )
+
+
+@query(
+    "q_histogram_equidepth",
+    oracle="""
+    WITH r AS (
+        SELECT o_orderpriority, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey)      AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(((rn - 1) * 4) // n + 1 AS INTEGER) AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM r
+    GROUP BY o_orderpriority, CAST(((rn - 1) * 4) // n + 1 AS INTEGER)
+    """,
+)
+def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quartile) histogram per order priority: each bucket
+    holds ~n/4 rows and the observed [lo, hi] spans are the varying-
+    width boundaries -- the histogram shape optimizers use for
+    selectivity on skewed columns, where equi-width buckets collapse.
+
+    The bucket id is pure integer arithmetic on the unique rank
+    (((rn-1)*4) DIV n + 1), identical in both engines -- NOT ntile
+    (remainder placement is implementation-defined) and NOT
+    interpolated percentile boundaries (cross-engine float trap, see
+    q_agg_percentile).
+
+    Scale: one window shuffle on the group key + one grouped
+    aggregation -- this is the exact anchor; at 100 TB the scale path
+    computes approximate boundaries (approx_percentile, mergeable
+    sketches) and assigns buckets in a single scan without the global
+    per-group sort."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    r = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    bucket = F.expr("CAST(((rn - 1) * 4) DIV n + 1 AS INT)").alias("bucket")
+    return r.groupBy("o_orderpriority", bucket).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").cast("double").alias("lo"),
+        F.max("o_totalprice").cast("double").alias("hi"),
+    )
