@@ -57,11 +57,18 @@ def main() -> None:
         # scale-pattern flagships (round-2 additions)
         "q_scd2",
         "q_hll_rollup",
-        # literal TPC-H (round-5 additions)
+        # literal TPC-H (round-5 additions; r6 adds the heaviest joins:
+        # Q8's 7-table chain, Q9's part-filtered 5-way, Q18's large IN)
         "q_tpch_q1",
         "q_tpch_q3",
         "q_tpch_q5",
+        "q_tpch_q8",
+        "q_tpch_q9",
+        "q_tpch_q18",
         "q_tpch_q21",
+        # catalog lifecycle + iterative graph (round-6 additions)
+        "q_catalog_merge",
+        "q_pagerank",
         # scalar/array pipeline
         "q_project_expr",
         "q_array_funcs",
@@ -157,6 +164,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(m.group(1)) if m else None,
+        # methodology self-description: per-query min over this many
+        # repetitions (r1-r4 artifacts were single-shot; without this
+        # field cross-round comparisons conflate code speedups with the
+        # estimator change)
+        "repeats": repeats,
     }
     print(json.dumps(result))
 

@@ -137,3 +137,28 @@ def test_pagerank_matches_pure_python_reference(spark):
         for r in pagerank_quantized(edges.repartition(8)).collect()
     }
     assert got8 == got
+
+
+def test_pagerank_damping_survives_large_rank_mass(spark, monkeypatch):
+    """Overflow headroom (round-6 ADVICE fix): the damping step is a
+    quotient/remainder split -- (c DIV den)*num + ((c%den)*num) DIV den
+    -- whose largest intermediate is ~c itself. The naive (c*num) DIV
+    den form wraps int64 silently in non-ANSI Spark once c*num > 2^63
+    (a hub's summed contrib can approach N*BASE ~ 2^63 beyond ~1e8
+    nodes). Simulated by inflating BASE so one iteration's contrib hits
+    the wrap zone; the exact Python big-int value is the yardstick."""
+    from weighted_raster_overlay_service_toolbox_spark.operators import (
+        pagerank as pr,
+    )
+
+    big = 2**61  # contrib*85 = 1.96e20 >> 2^63: naive form wraps
+    monkeypatch.setattr(pr, "BASE", big)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    got = {
+        r["node"]: r["score"]
+        for r in pr.pagerank_quantized(edges, iterations=1).collect()
+    }
+    expect = (big * 15) // 100 + (big * 85) // 100
+    assert got == {"a": expect, "b": expect}

@@ -206,6 +206,52 @@ def test_compact_parquet_reduces_file_count_preserving_rows(spark):
         shutil.rmtree(path + ".compact.old", ignore_errors=True)
 
 
+def test_compact_parquet_sorted_multifile_honors_target_bytes(spark):
+    """sort_col + target_file_bytes TOGETHER: a sub-total byte target
+    must yield multiple range-partitioned files whose sort-key ranges
+    are disjoint (round-5 nit: the unsorted repartition was built first
+    and dead-assigned when sort_col was set; the branch is exclusive
+    now, so the sorted path must still honor the file-count math)."""
+    from weighted_raster_overlay_service_toolbox_spark.operators.layout import (
+        compact_parquet,
+    )
+    import math
+
+    src = _bucketed_events(spark)
+    path = os.path.join(_SCRATCH, "layout_compact_sorted")
+    try:
+        src.repartition(16).write.mode("overwrite").parquet(path)
+        before = sorted(map(tuple, spark.read.parquet(path).collect()))
+        files = glob.glob(os.path.join(path, "*.parquet"))
+        total = sum(os.path.getsize(f) for f in files)
+        target = math.ceil(total / 4)  # expect ceil(total/target) == 4
+        n_after = compact_parquet(
+            spark, path, target_file_bytes=target, sort_col="bx"
+        )
+        out_files = glob.glob(os.path.join(path, "*.parquet"))
+        # range partitions can be empty (skewed sampling) so the writer
+        # may emit fewer than 4 files, but compaction must both shrink
+        # 16 -> n and split the sorted output across >1 file
+        assert 1 < n_after <= 4, n_after
+        assert len(out_files) == n_after
+        assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+        # files tile DISJOINT bx ranges (the point of sorted compaction)
+        spans = sorted(
+            tuple(
+                spark.read.parquet(f)
+                .agg(F.min("bx"), F.max("bx"))
+                .first()
+            )
+            for f in out_files
+        )
+        for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+            assert hi1 <= lo2, spans
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(path + ".compact.tmp", ignore_errors=True)
+        shutil.rmtree(path + ".compact.old", ignore_errors=True)
+
+
 def test_zorder_write_shrinks_file_bounding_boxes(spark):
     src = _bucketed_events(spark)
     z_path = os.path.join(_SCRATCH, "layout_zorder")

@@ -72,8 +72,10 @@ NON_EQUI_ALLOWED = {
 #: iterative / catalog-staging design. A NEW checkpoint must be added
 #: here consciously -- it is the audit blind spot.
 CHECKPOINTED_ALLOWED = {
+    "q_approx_topk",
     "q_collocations",
     "q_containment_sim",
+    "q_decontaminate",
     "q_dedup_clusters",
     "q_dedup_keep_one",
     "q_interval_join_binned",
@@ -84,8 +86,10 @@ CHECKPOINTED_ALLOWED = {
     "q_pagerank",
     "q_stream_agg_update",
     "q_stream_stateful_custom",
+    "q_tfidf",
     "q_timeseries_gapfill",
     "q_tpch_q21",
+    "q_unigram_logprob",
     "q_wro_catalog_update",
     "q_wro_decode_ranges",
     "q_wro_dup_names",

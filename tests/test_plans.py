@@ -266,6 +266,16 @@ def test_tpch_derived_partsupp_scans_fact_once(spark):
         assert plan.count("lineitem.parquet") == 1, f"{name}: {plan}"
 
 
+def test_join_multikey_scans_fact_once(spark):
+    """q_join_multikey (round-6 rewrite): "last line per order" must be a
+    window max over l_orderkey, not a groupBy + self-join that plans the
+    lineitem scan twice -- the same derived-relation lesson as
+    test_tpch_derived_partsupp_scans_fact_once. Pinned structurally:
+    exactly one lineitem scan in the optimized plan."""
+    plan = plan_of(spark, "q_join_multikey")
+    assert plan.count("lineitem.parquet") == 1, plan
+
+
 def test_tpch_q21_semi_and_anti_joins(spark):
     """q_tpch_q21: EXISTS must plan as a LeftSemi and NOT EXISTS as a
     LeftAnti -- never an inner join + distinct (duplicate inflation) or
@@ -318,8 +328,9 @@ def test_pagerank_scans_fact_once_at_runtime(spark):
 
 def test_interval_join_scans_fact_once_at_runtime(spark):
     """q_interval_join_binned: both join sides read the ONE
-    checkpointed (event_id, us, bin) projection; the count-self-minus-
-    one form needs no third scan for zero-concurrency events."""
+    checkpointed (event_id, us, bin) projection; the self-anchored
+    conditional-sum form needs no third scan for zero-concurrency
+    events."""
     df = QUERIES["q_interval_join_binned"](spark, SF_SMOKE)
     df.collect()
     final = (
@@ -329,3 +340,31 @@ def test_interval_join_scans_fact_once_at_runtime(spark):
         .split("== Initial Plan ==")[0]
     )
     assert final.count("events.parquet") <= 1, final
+
+
+def _runtime_scan_count(spark, name: str, table: str) -> int:
+    df = QUERIES[name](spark, SF_SMOKE)
+    df.collect()
+    final = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    return final.count(f"{table}.parquet")
+
+
+def test_text_corpus_queries_scan_documents_once_at_runtime(spark):
+    """Round-6 shared-projection fix: q_tfidf (tf/df/N), q_approx_topk
+    (sketch + exact yardstick), q_decontaminate (ev/tr/anti) and
+    q_unigram_logprob (vocab/total/score) each referenced `documents`
+    2-3x; the non-eager localCheckpoint on the shared narrow projection
+    must collapse that to ONE corpus scan at runtime -- at 100 TB a 3x
+    scan is 3x the I/O bill."""
+    for name in (
+        "q_tfidf",
+        "q_approx_topk",
+        "q_decontaminate",
+        "q_unigram_logprob",
+    ):
+        assert _runtime_scan_count(spark, name, "documents") <= 1, name

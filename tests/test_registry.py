@@ -35,9 +35,11 @@ def test_driver_window_spans_all_families_and_is_oracle_backed():
     for family_prefix in ("q_wro_", "q_stream_", "q_agg_", "q_join_",
                           "q_win_", "q_scan_", "q_sink_"):
         assert any(n.startswith(family_prefix) for n in window), family_prefix
+    # the rotation-stable flagship core: these stay in EVERY window
+    # (other names rotate per round to accrue first-time driver grades)
     for flagship in ("q_dedup_exact", "q_tfidf", "q_cosine_topk",
-                     "q_corpus_pipeline", "q_filter_layers",
-                     "q_wro_label_match", "q_sql_api"):
+                     "q_corpus_pipeline", "q_wro_overlay",
+                     "q_agg_group", "q_sql_api"):
         assert flagship in window, flagship
 
 

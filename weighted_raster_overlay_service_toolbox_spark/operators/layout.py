@@ -100,9 +100,10 @@ def compact_parquet(
     total = sum(os.path.getsize(f) for f in files)
     n_out = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
-    out = df.repartition(n_out)
     if sort_col is not None:
         out = df.repartitionByRange(n_out, sort_col).sortWithinPartitions(sort_col)
+    else:
+        out = df.repartition(n_out)
     out.write.mode("overwrite").parquet(tmp)
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)

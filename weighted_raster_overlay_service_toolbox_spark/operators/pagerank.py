@@ -69,6 +69,14 @@ def pagerank_quantized(
         # land on RESET + 0, and the iteration costs one shuffle less
         # (join + groupBy, no third exchange; A/B'd ~25% faster at
         # sf0.1 and strictly fewer stages at any scale).
+        # Damping is applied as quotient/remainder split:
+        #   floor(c*num/den) == (c DIV den)*num + ((c % den)*num) DIV den
+        # exactly, for c >= 0. The naive (contrib * num) DIV den form
+        # overflows int64 once contrib*num > 2^63 -- a hub node's summed
+        # contrib can approach N*BASE, so the naive form silently wraps
+        # beyond ~1e8 nodes. The split form's largest intermediate is
+        # ~contrib itself, extending headroom to ~9e9 nodes (2^63/BASE);
+        # beyond that, raise BASE granularity instead.
         ranks = (
             contrib.unionByName(zeros)
             .groupBy("node")
@@ -76,8 +84,9 @@ def pagerank_quantized(
             .select(
                 "node",
                 F.expr(
-                    f"CAST({reset} + (contrib * {damping_num}) "
-                    f"DIV {damping_den} AS BIGINT)"
+                    f"CAST({reset} + (contrib DIV {damping_den}) * {damping_num}"
+                    f" + ((contrib % {damping_den}) * {damping_num})"
+                    f" DIV {damping_den} AS BIGINT)"
                 ).alias("score"),
             )
             .localCheckpoint(eager=False)

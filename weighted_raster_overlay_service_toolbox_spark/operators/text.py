@@ -43,13 +43,20 @@ def term_frequencies(tok: DataFrame) -> DataFrame:
 def tfidf(docs: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """(doc_id, term, tf, tfidf) with idf = ln(N/df) over the FULL corpus.
 
-    df (vocabulary-sized) broadcasts; N is a scalar cross join."""
-    tok = tokenize(docs, id_col, text_col)
+    df (vocabulary-sized) broadcasts; N is a scalar cross join.
+
+    The three consumers (tf, df, N) share ONE corpus scan: the narrow
+    (id, text) projection is pinned with a non-eager localCheckpoint so
+    column pruning cannot specialize each branch into its own parquet
+    read (the same single-scan treatment the similarity queries got;
+    at 100 TB a 3x corpus scan is 3x the I/O bill)."""
+    base = docs.select(id_col, text_col).localCheckpoint(eager=False)
+    tok = tokenize(base, id_col, text_col)
     tf = term_frequencies(tok)
     dfreq = tok.groupBy(F.col("token").alias("term")).agg(
         F.countDistinct("doc_id").alias("df")
     )
-    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    n = base.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
         tf.join(broadcast(dfreq), "term")
         .crossJoin(broadcast(n))

@@ -48,59 +48,71 @@ from . import tpch  # noqa: F401,E402
 # parity result is surfaced per-round in PARITY_FULL.json (parity_all.py)
 # so the curated 50-row driver file cannot be over-read as whole-registry
 # assurance.
+#   r6 window (this one): 12 flagships (trimmed from 16 -- the dropped
+#                 names q_wro_label_match/q_filter_layers/
+#                 q_contamination/q_join_inner/q_wro_catalog_update are
+#                 multi-round green and unchanged; q_sink_partitioned
+#                 takes the sink-family slot) + the 4 queries whose Spark side
+#                 CHANGED in r6 and are neither flagships nor in the
+#                 never-graded tail (q_join_multikey single-scan window
+#                 rewrite, q_approx_topk / q_decontaminate /
+#                 q_unigram_logprob single-scan checkpoints -- changed
+#                 code must be driver-witnessed) + 34 FIRST-TIME names
+#                 from the 62-query never-graded tail, prioritized per
+#                 the round-5 verdict: q_scan_bucket_pruned (displaced
+#                 twice) first, the full remaining TPC-H suite (21 of
+#                 22; q5 was graded r5), pagerank, the catalog
+#                 merge/diff pair, the four streaming promotions,
+#                 q_interval_join_binned + q_schema_evolution +
+#                 q_pagerank (also r6-changed: ADVICE fixes),
+#                 q_rare_token_ratio (r6-changed: broadcast hint
+#                 dropped), q_udtf_flatmap, q_zorder_layout.
 #
-# ROUND-6 ROTATION PLAN: after this r5 window, the never-driver-graded
-# oracle-backed tail is ~38 names: the 8 pre-r5 stragglers
+# ROUND-7 ROTATION PLAN: after this r6 window the never-driver-graded
+# oracle-backed tail is 28 names -- the 8 pre-r5 stragglers
 # (q_containment_sim, q_except_distinct, q_funnel_ordered,
 # q_histogram_numeric, q_intersect_all, q_json_typed,
-# q_seasonality_matrix, q_str_funcs2), the r5-added queries not sampled
-# into this window (q_downsample_rollup, q_multimodal_resize,
-# q_multimodal_framesample, q_catalog_merge, q_catalog_diff,
-# q_split_train_val_test, q_tpch_q3/q6/q7/q8/q10/q13/q14/q15/q17/q18/
-# q19 plus the suite-completing q_tpch_q1/q2/q4/q9/q11/q12/q16/q20/q21/
-# q22, q_pagerank, q_timeseries_gapfill, q_interval_join_binned,
-# q_schema_evolution, and q_histogram_equidepth), the earlier-r5
-# promotions not in this window
-# (q_stream_watermark, q_stream_dedup, q_stream_upsert,
-# q_stream_stream_left_join, q_udtf_flatmap), and the names this
-# window displaced to make room for the late-r5 changes
-# (q_scan_bucket_pruned -- displaced again by the late
-# q_multimodal_struct promotion, still plan-pinned + parity-green --
-# q_join_asof_forward, q_join_null_safe, q_rollup_two_level,
-# q_win_time_range, q_dedup_rate, q_dedup_incremental, q_block_dedup,
-# q_collocations, q_rare_token_ratio, q_ann_filtered, q_zorder_layout,
+# q_seasonality_matrix, q_str_funcs2), the r5 additions still unsampled
+# (q_downsample_rollup, q_multimodal_resize, q_multimodal_framesample,
+# q_split_train_val_test, q_timeseries_gapfill, q_histogram_equidepth),
+# and the long-displaced names (q_join_asof_forward, q_join_null_safe,
+# q_rollup_two_level, q_win_time_range, q_dedup_rate,
+# q_dedup_incremental, q_block_dedup, q_collocations, q_ann_filtered,
 # q_scd2, q_sample_stratified, q_impute_group_mean, q_subquery_scalar,
-# q_udtf_lateral). Round 6 = 16 flagships + 34 of that tail; the
-# remainder plus the r1/r2-only re-grades
-# (q_join_left/right/full/semi/anti/cross/theta, q_win_* frames,
-# q_sort_*, set-ops, q_agg_rollup/cube/grouping_sets) roll to round 7,
-# giving every oracle-backed query a driver-green HASH row by end of r7.
+# q_udtf_lateral). Round 7 = a handful of flagships + those 28 + the
+# oldest r1/r2-only re-grades (q_join_left/right/full/semi/anti/cross/
+# theta, q_win_* frames, q_sort_*, set-ops,
+# q_agg_rollup/cube/grouping_sets) to fill 50 -- giving every
+# oracle-backed query a driver-green HASH row by end of r7.
 _DRIVER_WINDOW = [
-    # -- permanent flagships (driver-green in r3 and r4) --
-    "q_wro_equal_interval", "q_wro_overlay", "q_wro_catalog_update",
-    "q_wro_label_match", "q_filter_layers",
-    "q_stream_tumbling",
-    "q_dedup_exact", "q_dedup_clusters", "q_contamination",
+    # -- permanent flagships (driver-green r3/r4/r5; q_sink_partitioned
+    #    keeps the every-window-exercises-a-sink invariant of
+    #    tests/test_registry.py) --
+    "q_wro_equal_interval", "q_wro_overlay", "q_sink_partitioned",
+    "q_stream_tumbling", "q_dedup_exact", "q_dedup_clusters",
     "q_cosine_topk", "q_tfidf", "q_corpus_pipeline",
-    "q_sql_api", "q_agg_group", "q_join_inner", "q_win_rank",
-    # -- repaired in r5 (red in r4: unserialized array/map outputs) --
-    "q_array_funcs", "q_array_agg", "q_map_funcs", "q_text_normalize",
-    # -- changed this round: driver-witness the fixes --
-    "q_span_dedup", "q_span_dedup_hashed", "q_retention_cohorts",
-    "q_hof_funcs", "q_embed_quantize",
-    # -- changed late in r5: de-hinted / retriggered / schema-fixed --
-    "q_outliers_zscore", "q_stream_static_join", "q_stream_stream_join",
-    "q_scan_dpp", "q_sink_partitioned",
-    # -- promoted late in r5 (old rows were the weak rows-only check) --
-    "q_simhash", "q_dedup_minhash", "q_ann_ivf", "q_kmeans",
-    "q_multimodal_decode", "q_stream_agg_update",
-    "q_stream_stateful_custom", "q_multimodal_struct",
-    # -- added in r5 (one per new family) --
-    "q_pack_sequences", "q_chunk_documents", "q_unigram_logprob",
-    "q_dq_checks", "q_catalog_time_travel", "q_tpch_q5",
-    # -- never-driver-graded fill --
-    "q_join_salted", "q_agg_salted", "q_hll_rollup", "q_approx_topk",
-    "q_dedup_keep_one", "q_decontaminate",
+    "q_sql_api", "q_agg_group", "q_win_rank",
+    # -- changed in r6: driver-witness the fixes --
+    "q_join_multikey",      # single-scan window rewrite (r5 weak #1)
+    "q_approx_topk",        # shared-scan checkpoint
+    "q_decontaminate",      # shared-scan checkpoint
+    "q_unigram_logprob",    # shared-scan checkpoint
+    # -- never-graded tail: 34 first-time names --
+    "q_scan_bucket_pruned",  # displaced twice; FIRST this time
+    "q_tpch_q1", "q_tpch_q2", "q_tpch_q3", "q_tpch_q4",
+    "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9",
+    "q_tpch_q10", "q_tpch_q11", "q_tpch_q12", "q_tpch_q13",
+    "q_tpch_q14", "q_tpch_q15", "q_tpch_q16", "q_tpch_q17",
+    "q_tpch_q18", "q_tpch_q19", "q_tpch_q20", "q_tpch_q21",
+    "q_tpch_q22",
+    "q_pagerank",            # r6-changed: overflow-safe damping split
+    "q_catalog_merge", "q_catalog_diff",
+    "q_stream_watermark", "q_stream_dedup", "q_stream_upsert",
+    "q_stream_stream_left_join",
+    "q_interval_join_binned",  # r6-changed: explicit self-exclusion
+    "q_schema_evolution",      # r6-changed: atomic staging
+    "q_rare_token_ratio",      # r6-changed: broadcast hint dropped
+    "q_udtf_flatmap", "q_zorder_layout",
 ]
 
 

@@ -1809,10 +1809,14 @@ def q_interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     in events x per-bin occupancy, shuffling on bins. Integer
     microsecond arithmetic keeps the predicate exact cross-engine.
     Zero-concurrency events need no join-back: every event matches
-    ITSELF in its own bin (|dt| = 0), so counting all matches and
-    emitting count-1 keeps them with an exact zero -- one fewer fact
-    scan than count-others + left-join-back, and the checkpointed base
-    is derived from the fact once and reused by both join sides."""
+    ITSELF in its own bin (|dt| = 0), so it always survives the join to
+    anchor its group, and a conditional sum over ``eid2 <> event_id``
+    counts only the others -- mirroring the oracle's ``e2.event_id <>
+    e1.event_id`` literally (robust to duplicate event_ids, unlike a
+    count-minus-one, which assumes exactly one self-match), with one
+    fewer fact scan than count-others + left-join-back; the
+    checkpointed base is derived from the fact once and reused by both
+    join sides."""
     e = load_table(spark, sf_dir, "events")
     WIN_US = 60_000_000
     base = (
@@ -1834,5 +1838,9 @@ def q_interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         probes.join(build, F.col("pb") == F.col("bin2"))
         .filter(F.abs(F.col("us2") - F.col("us")) <= WIN_US)
         .groupBy("event_id")
-        .agg((F.count(F.lit(1)) - F.lit(1)).alias("concurrent_cnt"))
+        .agg(
+            F.sum(
+                F.when(F.col("eid2") != F.col("event_id"), 1).otherwise(0)
+            ).alias("concurrent_cnt")
+        )
     )

@@ -13,7 +13,7 @@ shapes asserted in ``tests/test_plans.py``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -58,16 +58,22 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_join_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite-key join (orderkey, linenumber) + 3-table chain.
 
-    The (l_orderkey, max(l_linenumber)) aggregate and the join both key on
-    l_orderkey, so Catalyst reuses one shuffle for agg + join."""
+    The "last line per order" relation is computed as a window max over
+    l_orderkey rather than a groupBy + self-join: a derived aggregate
+    joined back to its own fact table re-reads the fact (column pruning
+    gives the two branches different schemas, defeating AQE exchange
+    reuse -- same lesson as the TPC-H Q2/Q15/Q20 partsupp rewrites,
+    pinned by test_tpch_derived_partsupp_scans_fact_once). The window
+    form scans lineitem ONCE and shuffles it once on l_orderkey."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    last_line = li.groupBy("l_orderkey").agg(
-        F.max("l_linenumber").alias("l_linenumber")
-    )
+    w = Window.partitionBy("l_orderkey")
     return (
-        li.join(last_line, ["l_orderkey", "l_linenumber"])
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .withColumn("_max_ln", F.max("l_linenumber").over(w))
+        .filter(F.col("l_linenumber") == F.col("_max_ln"))
+        .drop("_max_ln")
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .select(

@@ -1441,13 +1441,17 @@ def q_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability perplexity is NOT: libm transcendentals differ in the
     last ulp).
 
-    Scale: token frequencies are vocabulary-sized and BROADCAST back;
-    the per-doc pass is one explode + one doc-keyed aggregation."""
+    Scale: the token-frequency side is NOT hinted -- token-type count
+    grows ~O(n^0.7) with corpus size (Heaps' law), so at 100 TB a
+    hapax-heavy web corpus has billions of types and a forced broadcast
+    OOMs the executors. Un-hinted, AQE broadcasts it when runtime stats
+    say it fits and falls back to a shuffled hash join when they don't.
+    The per-doc pass is one explode + one doc-keyed aggregation."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(TOKS()).alias("t"))
     freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
     return (
-        tok.join(broadcast(freq), "t")
+        tok.join(freq, "t")
         .groupBy("doc_id")
         .agg(
             F.round(
@@ -1738,8 +1742,15 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: both joins key by shingle/doc_id -- no doc x doc space; the
     dirty-doc set is small and broadcast-eligible for the anti join. At
     100 TB hash the shingles (xxhash64) so the semi join ships 8-byte
-    keys."""
-    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 16)
+    keys. The ev/tr/anti branches share ONE corpus scan (non-eager
+    localCheckpoint on the filtered narrow projection -- the same
+    single-scan treatment the similarity queries got)."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 16)
+        .select("doc_id", "source", "text")
+        .localCheckpoint(eager=False)
+    )
 
     def shingles(df: DataFrame) -> DataFrame:
         return df.select(
@@ -1788,9 +1799,14 @@ def q_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The exact side is the verification yardstick; only the sketch runs
     at scale. At fixture vocabulary sizes (< the sketch's 10k tracked
     items) the sketch is exact, so the booleans are deterministically
-    TRUE."""
+    TRUE.
+
+    The sketch pass and the exact verification pass share ONE corpus
+    scan (non-eager localCheckpoint on the token stream); in production
+    only the sketch side runs, so the checkpoint is a test-harness cost,
+    not a deployment one."""
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select(F.explode(TOKS()).alias("t"))
+    tok = d.select(F.explode(TOKS()).alias("t")).localCheckpoint(eager=False)
     approx = tok.agg(F.expr("approx_top_k(t, 10)").alias("tk")).select(
         F.posexplode("tk").alias("pos", "entry")
     ).select(
@@ -2187,9 +2203,13 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     total is a scalar cross join; one token-keyed shuffle builds the
     vocab, one doc-keyed shuffle aggregates -- both map-side-combined. A
     pretrained (static) LM table makes the first shuffle disappear
-    entirely: the score pass is then a broadcast join + single agg."""
+    entirely: the score pass is then a broadcast join + single agg. The
+    vocab/total/score branches share ONE corpus scan (non-eager
+    localCheckpoint on the token stream)."""
     d = load_table(spark, sf_dir, "documents")
-    t = d.select("doc_id", F.explode(TOKS()).alias("tok"))
+    t = d.select("doc_id", F.explode(TOKS()).alias("tok")).localCheckpoint(
+        eager=False
+    )
     v = t.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     n = t.agg(F.count(F.lit(1)).alias("total"))
     lp = (

@@ -307,6 +307,17 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     marker = os.path.join(path, "_STAGED")
     if not os.path.isfile(marker):
+        # Concurrency-safe staging: build the two generations in a
+        # per-process temp dir, mark it complete, then publish with ONE
+        # atomic rename. Two processes that both miss the marker each
+        # stage privately -- they can never interleave writes into the
+        # published path (which would duplicate generation-2 rows and
+        # pin the corruption under the marker forever); the rename loser
+        # just discards its stage.
+        if os.path.isdir(path):  # partial legacy write, no marker
+            shutil.rmtree(path, ignore_errors=True)
+        stage = f"{path}.stage.{os.getpid()}"
+        shutil.rmtree(stage, ignore_errors=True)
         # exact integer division, matching the oracle's MAX(...) // 2
         k = p.agg(F.expr("CAST(MAX(p_partkey) DIV 2 AS BIGINT)")).first()[0]
         gen1 = p.filter(F.col("p_partkey") < k).select(
@@ -315,9 +326,13 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen2 = p.filter(F.col("p_partkey") >= k).select(
             "p_partkey", "p_name", "p_retailprice", "p_brand", "p_size"
         )
-        gen1.write.mode("overwrite").parquet(path)
-        gen2.write.mode("append").parquet(path)
-        with open(marker, "w") as f:
+        gen1.write.mode("overwrite").parquet(stage)
+        gen2.write.mode("append").parquet(stage)
+        with open(os.path.join(stage, "_STAGED"), "w") as f:
             f.write("ok")
+        try:
+            os.rename(stage, path)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)
     back = spark.read.option("mergeSchema", "true").parquet(path)
     return back.select("p_partkey", "p_name", "p_retailprice", "p_brand", "p_size")
