@@ -78,12 +78,14 @@ CHECKPOINTED_ALLOWED = {
     "q_decontaminate",
     "q_dedup_clusters",
     "q_dedup_keep_one",
+    "q_dedup_minhash",
     "q_interval_join_binned",
     "q_jaccard_sim",
     "q_join_range",
     "q_kmeans",
     "q_ngram_jaccard",
     "q_pagerank",
+    "q_simhash",
     "q_stream_agg_update",
     "q_stream_stateful_custom",
     "q_tfidf",

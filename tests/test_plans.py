@@ -368,3 +368,13 @@ def test_text_corpus_queries_scan_documents_once_at_runtime(spark):
         "q_unigram_logprob",
     ):
         assert _runtime_scan_count(spark, name, "documents") <= 1, name
+
+
+def test_banded_self_joins_scan_corpus_once_at_runtime(spark):
+    """q_dedup_minhash / q_simhash: the banded-signature self-join must
+    read ONE checkpointed signature relation, not replan the
+    docs -> tokens -> signature subtree (and its corpus scan) per join
+    side. The cached relation is signature-sized -- a few longs per
+    banded row, never the text."""
+    for name in ("q_dedup_minhash", "q_simhash"):
+        assert _runtime_scan_count(spark, name, "documents") <= 1, name

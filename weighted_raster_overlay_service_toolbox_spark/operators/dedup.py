@@ -154,13 +154,18 @@ def minhash_candidates(
             F.col(id_col).alias("doc_id"),
             minhash_signature(tokens_col, k).alias("sig"),
         )
+    # Pin the banded signatures before the self-join: the two aliases
+    # otherwise replan the docs -> tokens -> signature subtree twice,
+    # i.e. a second full corpus scan. The checkpointed relation is
+    # signature-sized ((k+2) longs per banded row, no text), so caching
+    # it and scanning the corpus ONCE is the right trade at any scale.
     bandsdf = sig.select(
         "doc_id",
         "sig",
         F.posexplode(lsh_band_hashes(F.col("sig"), k, bands)).alias(
             "band_idx", "band_hash"
         ),
-    )
+    ).localCheckpoint(eager=False)
     a = bandsdf.alias("a")
     b = bandsdf.alias("b")
     # est is computed per collision ROW (identical for every band a pair
@@ -381,13 +386,17 @@ def simhash_near_pairs(
         raise ValueError(
             f"bands={bands} must divide {nbits=} and exceed {max_hamming=}"
         )
+    # Pin the banded signatures before the self-join (same rationale as
+    # minhash_candidates): without it the two aliases replan the
+    # signature-derivation subtree -- including its corpus scan -- twice.
+    # The cached relation is 3 longs per banded row.
     banded = signatures.select(
         "doc_id",
         "simhash",
         F.posexplode(simhash_band_values(F.col("simhash"), bands, nbits)).alias(
             "band_idx", "band_val"
         ),
-    )
+    ).localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
