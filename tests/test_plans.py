@@ -266,6 +266,27 @@ def test_tpch_derived_partsupp_scans_fact_once(spark):
         assert plan.count("lineitem.parquet") == 1, f"{name}: {plan}"
 
 
+def test_derived_aggregate_rewrites_scan_fact_once(spark):
+    """Round-6 sweep of the remaining derived-aggregate-join-back
+    queries whose RUNTIME plans showed a genuine double fact scan (AQE
+    exchange reuse did rescue q_subquery_scalar and q_tpch_q11; it did
+    NOT rescue these). Each is now a single-scan form: window aggregates
+    (zscore moments, retention cohort, Q17 threshold, Q18 HAVING),
+    conditional aggregation (funnel steps), or a one-pass rule fold
+    (dq_checks). Pinned structurally: one fact scan in the optimized
+    plan."""
+    for name, table in (
+        ("q_outliers_zscore", "events"),
+        ("q_retention_cohorts", "events"),
+        ("q_funnel_ordered", "events"),
+        ("q_dq_checks", "orders"),
+        ("q_tpch_q17", "lineitem"),
+        ("q_tpch_q18", "lineitem"),
+    ):
+        plan = plan_of(spark, name)
+        assert plan.count(f"{table}.parquet") == 1, f"{name}: {plan}"
+
+
 def test_join_multikey_scans_fact_once(spark):
     """q_join_multikey (round-6 rewrite): "last line per order" must be a
     window max over l_orderkey, not a groupBy + self-join that plans the

@@ -48,34 +48,43 @@ from . import tpch  # noqa: F401,E402
 # parity result is surfaced per-round in PARITY_FULL.json (parity_all.py)
 # so the curated 50-row driver file cannot be over-read as whole-registry
 # assurance.
-#   r6 window (this one): 12 flagships (trimmed from 16 -- the dropped
+#   r6 window (this one): 9 flagships (trimmed from 16 -- the dropped
 #                 names q_wro_label_match/q_filter_layers/
-#                 q_contamination/q_join_inner/q_wro_catalog_update are
-#                 multi-round green and unchanged; q_sink_partitioned
-#                 takes the sink-family slot) + the 4 queries whose Spark side
-#                 CHANGED in r6 and are neither flagships nor in the
-#                 never-graded tail (q_join_multikey single-scan window
-#                 rewrite, q_approx_topk / q_decontaminate /
-#                 q_unigram_logprob single-scan checkpoints -- changed
-#                 code must be driver-witnessed) + 34 FIRST-TIME names
-#                 from the 62-query never-graded tail, prioritized per
-#                 the round-5 verdict: q_scan_bucket_pruned (displaced
+#                 q_contamination/q_join_inner/q_wro_catalog_update/
+#                 q_wro_equal_interval/q_stream_tumbling/
+#                 q_dedup_clusters are multi-round green and unchanged;
+#                 q_sink_partitioned takes the sink-family slot) + the
+#                 7 queries whose Spark side CHANGED in r6 and are
+#                 neither flagships nor in the never-graded tail
+#                 (q_join_multikey/q_outliers_zscore/
+#                 q_retention_cohorts/q_tpch_q17/q_tpch_q18 single-scan
+#                 window rewrites; q_approx_topk/q_decontaminate/
+#                 q_unigram_logprob single-scan checkpoints; q_dq_checks
+#                 one-pass rule fold -- changed code must be
+#                 driver-witnessed) + 34 FIRST-TIME names from the
+#                 62-query never-graded tail, prioritized per the
+#                 round-5 verdict: q_scan_bucket_pruned (displaced
 #                 twice) first, the full remaining TPC-H suite (21 of
 #                 22; q5 was graded r5), pagerank, the catalog
 #                 merge/diff pair, the four streaming promotions,
 #                 q_interval_join_binned + q_schema_evolution +
 #                 q_pagerank (also r6-changed: ADVICE fixes),
 #                 q_rare_token_ratio (r6-changed: broadcast hint
-#                 dropped), q_udtf_flatmap, q_zorder_layout.
+#                 dropped), q_udtf_flatmap, q_funnel_ordered
+#                 (r6-changed: one-scan conditional agg; takes the
+#                 q_zorder_layout slot -- zorder is unchanged,
+#                 plan-pinned, parity-green, judge-spot-checked, and
+#                 rolls to r7).
 #
 # ROUND-7 ROTATION PLAN: after this r6 window the never-driver-graded
-# oracle-backed tail is 28 names -- the 8 pre-r5 stragglers
-# (q_containment_sim, q_except_distinct, q_funnel_ordered,
-# q_histogram_numeric, q_intersect_all, q_json_typed,
-# q_seasonality_matrix, q_str_funcs2), the r5 additions still unsampled
-# (q_downsample_rollup, q_multimodal_resize, q_multimodal_framesample,
-# q_split_train_val_test, q_timeseries_gapfill, q_histogram_equidepth),
-# and the long-displaced names (q_join_asof_forward, q_join_null_safe,
+# oracle-backed tail is 28 names -- the 7 remaining pre-r5 stragglers
+# (q_containment_sim, q_except_distinct, q_histogram_numeric,
+# q_intersect_all, q_json_typed, q_seasonality_matrix, q_str_funcs2;
+# q_funnel_ordered moved into the r6 window), the r5 additions still
+# unsampled (q_downsample_rollup, q_multimodal_resize,
+# q_multimodal_framesample, q_split_train_val_test,
+# q_timeseries_gapfill, q_histogram_equidepth), and the long-displaced
+# names (q_zorder_layout, q_join_asof_forward, q_join_null_safe,
 # q_rollup_two_level, q_win_time_range, q_dedup_rate,
 # q_dedup_incremental, q_block_dedup, q_collocations, q_ann_filtered,
 # q_scd2, q_sample_stratified, q_impute_group_mean, q_subquery_scalar,
@@ -87,16 +96,21 @@ from . import tpch  # noqa: F401,E402
 _DRIVER_WINDOW = [
     # -- permanent flagships (driver-green r3/r4/r5; q_sink_partitioned
     #    keeps the every-window-exercises-a-sink invariant of
-    #    tests/test_registry.py) --
-    "q_wro_equal_interval", "q_wro_overlay", "q_sink_partitioned",
-    "q_stream_tumbling", "q_dedup_exact", "q_dedup_clusters",
-    "q_cosine_topk", "q_tfidf", "q_corpus_pipeline",
+    #    tests/test_registry.py; q_wro_equal_interval /
+    #    q_stream_tumbling / q_dedup_clusters rotated out this round --
+    #    multi-round green, unchanged, and their family prefixes stay
+    #    covered by q_wro_overlay and the four tail stream queries) --
+    "q_wro_overlay", "q_sink_partitioned",
+    "q_dedup_exact", "q_cosine_topk", "q_tfidf", "q_corpus_pipeline",
     "q_sql_api", "q_agg_group", "q_win_rank",
     # -- changed in r6: driver-witness the fixes --
     "q_join_multikey",      # single-scan window rewrite (r5 weak #1)
     "q_approx_topk",        # shared-scan checkpoint
     "q_decontaminate",      # shared-scan checkpoint
     "q_unigram_logprob",    # shared-scan checkpoint
+    "q_outliers_zscore",    # single-scan window rewrite
+    "q_retention_cohorts",  # single-scan window rewrite
+    "q_dq_checks",          # five rules in ONE orders pass
     # -- never-graded tail: 34 first-time names --
     "q_scan_bucket_pruned",  # displaced twice; FIRST this time
     "q_tpch_q1", "q_tpch_q2", "q_tpch_q3", "q_tpch_q4",
@@ -112,7 +126,8 @@ _DRIVER_WINDOW = [
     "q_interval_join_binned",  # r6-changed: explicit self-exclusion
     "q_schema_evolution",      # r6-changed: atomic staging
     "q_rare_token_ratio",      # r6-changed: broadcast hint dropped
-    "q_udtf_flatmap", "q_zorder_layout",
+    "q_udtf_flatmap",
+    "q_funnel_ordered",        # r6-changed: one-scan conditional agg
 ]
 
 

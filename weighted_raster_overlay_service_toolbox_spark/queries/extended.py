@@ -10,7 +10,7 @@ every tool invocation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.wro import wro_catalog, wro_catalog_sql
@@ -674,26 +674,26 @@ def q_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     path diverges between engines in the last ulp exactly at the
     decision boundary; integer arithmetic cannot.
 
-    Scale: one shuffle for the per-user moments (map-side partials), a
-    broadcast-back join for the test. Magnitudes: |group| * max_cents^2
-    * |group| must stay under 2^63 -- per-user groups hold to ~sf1;
-    beyond that, promote to DECIMAL(38,0) on both sides."""
+    Scale: the per-user moments are WINDOW aggregates over the user
+    partition -- one events scan, ONE user-keyed shuffle, no join at
+    all. (The round-5 form computed the moments as a groupBy + join
+    back; the derived-aggregate branch replanned the fact scan -- the
+    same lesson as the TPC-H Q2/Q15/Q20 rewrites -- and the un-hinted
+    join still had to co-shuffle both user-cardinality sides.)
+    Magnitudes: |group| * max_cents^2 * |group| must stay under 2^63 --
+    per-user groups hold to ~sf1; beyond that, promote to
+    DECIMAL(38,0) on both sides."""
     v = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
         F.round(F.col("value") * 100).cast("long").alias("cv"),
     )
-    s = v.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("cv").alias("sv"),
-        F.sum(F.col("cv") * F.col("cv")).alias("ss"),
-    )
+    w = Window.partitionBy("user_id")
     dev = F.col("n") * F.col("cv") - F.col("sv")
-    # no broadcast hint: s is USER-cardinality (grows linearly with the
-    # data), so forcing a broadcast would OOM at 100 TB -- AQE broadcasts
-    # it when it is actually small, shuffle-joins otherwise
     return (
-        v.join(s, "user_id")
+        v.withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("sv", F.sum("cv").over(w))
+        .withColumn("ss", F.sum(F.col("cv") * F.col("cv")).over(w))
         .filter(
             (F.col("n") > 1)
             & (
@@ -822,25 +822,24 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation joined back onto the distinct (user, week) activity;
     the final rollup keys on (cohort, offset).
 
-    Scale: no self-join of the event table -- the only event-table pass
-    is the distinct (user, week) projection; everything after operates
-    on user- or cohort-cardinality data. The first-seen side is
-    USER-cardinality, so it carries no broadcast hint: a forced
-    broadcast would OOM at 100 TB (hundreds of millions of users),
-    while AQE still converts the join to broadcast whenever the built
-    side is actually small. Both sides are keyed by user_id, so the
-    shuffle is the minimal co-partitioning. date_trunc('week') is
-    engine-aligned (both truncate to Monday)."""
+    Scale: ONE events scan, no join -- the cohort is a window MIN over
+    the user partition (min commutes with the monotone week-trunc, so
+    MIN(trunc(ts)) == trunc(MIN(ts)) exactly), and everything after the
+    user-keyed window shuffle operates on user- or cohort-cardinality
+    data. (The round-5 form computed first-seen as a groupBy + join
+    back onto the distinct activity; the derived branch replanned the
+    events scan, and the un-hinted join still co-shuffled two
+    user-cardinality sides.) date_trunc('week') is engine-aligned
+    (both truncate to Monday)."""
     e = load_table(spark, sf_dir, "events")
-    firstseen = e.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort")
+    w = Window.partitionBy("user_id")
+    activity = (
+        e.select("user_id", F.date_trunc("week", "ts").alias("wk"))
+        .withColumn("cohort", F.min("wk").over(w))
+        .distinct()
     )
-    activity = e.select(
-        "user_id", F.date_trunc("week", "ts").alias("wk")
-    ).distinct()
     return (
-        activity.join(firstseen, "user_id")
-        .groupBy(
+        activity.groupBy(
             "cohort",
             (F.datediff(F.col("wk"), F.col("cohort")) / 7)
             .cast("int")
@@ -876,21 +875,31 @@ def q_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     user-cardinality data; no event-level self-join, no window over the
     full stream.
 
-    Scale: two filtered user-keyed aggregations + one user-keyed join;
-    at 100 TB both aggregations push partials map-side and the join is
-    user-cardinality, orders of magnitude under event-cardinality."""
-    e = load_table(spark, sf_dir, "events")
-    c = (
-        e.filter(F.col("event_type") == "click")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("first_click"))
+    Scale: ONE events scan -- both step boundaries are conditional
+    aggregates of a single user-keyed pass (min-if-click /
+    max-if-purchase), so there is no join at all; the pushed
+    two-value isin filter prunes the scan to funnel steps. Clickerless
+    purchasers drop via the first_click NOT NULL filter, exactly the
+    old c LEFT JOIN p semantics. (The round-5 form aggregated the two
+    filtered subsets separately and joined -- two scans, two shuffles,
+    one join.) At 100 TB the aggregation pushes partials map-side and
+    everything after is user-cardinality."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
     )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(F.max("ts").alias("last_purchase"))
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "click", F.col("ts"))
+            ).alias("first_click"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("last_purchase"),
+        )
+        .filter(F.col("first_click").isNotNull())
     )
-    return c.join(p, "user_id", "left").agg(
+    return per_user.agg(
         F.count(F.lit(1)).alias("n_clickers"),
         F.sum(
             F.when(F.col("last_purchase") >= F.col("first_click"), 1).otherwise(0)
@@ -937,13 +946,18 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniqueness, and referential-integrity rules evaluated in bulk, one
     output row per rule (the expectations/dq-suite operator shape).
 
-    Scale: the four scan rules fold into ONE aggregate pass (every rule
-    is a conditional sum; map-side combined to a single row); the FK rule
-    is one left join against the deduped key side, counted in the same
-    shape -- AQE broadcast-or-shuffle by size, no hint. No rule adds a
-    second scan of the fact table."""
+    Scale: ALL FIVE rules fold into ONE pass over orders -- the left
+    join against the deduped customer-key side preserves every orders
+    row exactly once (the key side is distinct), so the four scan rules
+    and the FK-orphan count are conditional sums of the SAME joined
+    relation: one orders scan, one join (AQE broadcast-or-shuffle by
+    size, no hint), one aggregate. (The round-5 form ran the scan rules
+    and the FK rule as separate aggregations -- two orders scans.)"""
     o = load_table(spark, sf_dir, "orders")
-    base = o.agg(
+    ckeys = (
+        load_table(spark, sf_dir, "customer").select("c_custkey").distinct()
+    )
+    base = o.join(ckeys, o["o_custkey"] == ckeys["c_custkey"], "left").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("v_price"),
         F.sum(
@@ -956,16 +970,7 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             (~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")
         ).alias("v_status"),
-    )
-    ckeys = (
-        load_table(spark, sf_dir, "customer").select("c_custkey").distinct()
-    )
-    fk = (
-        o.join(ckeys, o["o_custkey"] == ckeys["c_custkey"], "left")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("c_custkey").isNull().cast("long")).alias("v"),
-        )
+        F.sum(F.col("c_custkey").isNull().cast("long")).alias("v_fk"),
     )
     rules = base.select(
         F.explode(
@@ -990,11 +995,14 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n"),
                     F.col("v_status").alias("v"),
                 ),
+                F.struct(
+                    F.lit("fk_orphan_custkey").alias("rule"),
+                    F.col("n"),
+                    F.col("v_fk").alias("v"),
+                ),
             )
         ).alias("r")
-    ).select("r.*").unionAll(
-        fk.select(F.lit("fk_orphan_custkey").alias("rule"), "n", "v")
-    )
+    ).select("r.*")
     return rules.select(
         "rule",
         F.col("n").cast("long").alias("n_checked"),
@@ -1226,26 +1234,26 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 (large-volume customers): orders whose total quantity
     exceeds 250, re-joined to customer/lineitem, top-100 by price.
 
-    Scale: the HAVING pre-aggregation over lineitem produces an
-    orderkey-sized semi-join side; the main pass then shuffles only the
-    qualifying orders -- the classic aggregate-then-semi-join shape that
-    avoids carrying the full fact through the top-k."""
+    Scale: the HAVING pre-aggregation is a WINDOW sum over the orderkey
+    partition -- one lineitem scan, one orderkey shuffle; everything
+    past the >250 filter is the tiny qualifying set. (The round-5
+    aggregate + left-semi shape scanned lineitem twice: the derived
+    HAVING branch and the re-join both replanned the fact. The window
+    shuffle carries the same rows the re-join shuffle carried, so the
+    rewrite deletes a full scan and the semi-join for free.)"""
     li = load_table(spark, sf_dir, "lineitem")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("q"))
+    w = Window.partitionBy("l_orderkey")
+    big_lines = (
+        li.select("l_orderkey", "l_quantity")
+        .withColumn("q", F.sum("l_quantity").over(w))
         .filter(F.col("q") > 250)
-        .select("l_orderkey")
+        .drop("q")
     )
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").join(
-        big.withColumnRenamed("l_orderkey", "bk"),
-        F.col("o_orderkey") == F.col("bk"),
-        "left_semi",
-    )
+    o = load_table(spark, sf_dir, "orders")
     return (
         c.join(o, c["c_custkey"] == o["o_custkey"])
-        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(big_lines, big_lines["l_orderkey"] == o["o_orderkey"])
         .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(dsum("l_quantity", "total_qty"))
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
@@ -1623,15 +1631,22 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     are small integers stored as doubles, so the average is an exact
     integer sum / count in both engines and the 0.2* scaling is the
     same double; the strict < cannot straddle engines. The money SUM is
-    decimal-exact; /7.0 happens once on the final scalar."""
+    decimal-exact; /7.0 happens once on the final scalar.
+
+    Scale: the per-part threshold is a WINDOW avg over the partkey
+    partition -- one lineitem scan, one partkey shuffle (the round-5
+    aggregate + join-back replanned the fact scan, and its threshold
+    join shuffled the full fact by partkey anyway, so the window form
+    strictly dominates). The Brand filter prunes to a broadcast join
+    after the window."""
     li = load_table(spark, sf_dir, "lineitem")
-    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    w = Window.partitionBy("l_partkey")
+    li = li.select("l_partkey", "l_quantity", "l_extendedprice").withColumn(
+        "qty_threshold", F.lit(0.2) * F.avg("l_quantity").over(w)
     )
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
     return (
         li.join(p, p["p_partkey"] == li["l_partkey"])
-        .join(thresholds, F.col("t_partkey") == li["l_partkey"])
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             F.round(
