@@ -85,6 +85,7 @@ CHECKPOINTED_ALLOWED = {
     "q_kmeans",
     "q_ngram_jaccard",
     "q_pagerank",
+    "q_rare_token_ratio",
     "q_simhash",
     "q_stream_agg_update",
     "q_stream_stateful_custom",

@@ -387,6 +387,7 @@ def test_text_corpus_queries_scan_documents_once_at_runtime(spark):
         "q_approx_topk",
         "q_decontaminate",
         "q_unigram_logprob",
+        "q_rare_token_ratio",
     ):
         assert _runtime_scan_count(spark, name, "documents") <= 1, name
 

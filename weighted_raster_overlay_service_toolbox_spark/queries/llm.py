@@ -1446,9 +1446,13 @@ def q_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     hapax-heavy web corpus has billions of types and a forced broadcast
     OOMs the executors. Un-hinted, AQE broadcasts it when runtime stats
     say it fits and falls back to a shuffled hash join when they don't.
-    The per-doc pass is one explode + one doc-keyed aggregation."""
+    The per-doc pass is one explode + one doc-keyed aggregation; the
+    frequency and scoring branches share ONE corpus scan (non-eager
+    localCheckpoint on the token stream, same as q_unigram_logprob)."""
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(TOKS()).alias("t"))
+    tok = d.select("doc_id", F.explode(TOKS()).alias("t")).localCheckpoint(
+        eager=False
+    )
     freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
     return (
         tok.join(freq, "t")
