@@ -79,6 +79,7 @@ CHECKPOINTED_ALLOWED = {
     "q_dedup_clusters",
     "q_dedup_keep_one",
     "q_dedup_minhash",
+    "q_hll_rollup",
     "q_interval_join_binned",
     "q_jaccard_sim",
     "q_join_range",

@@ -88,7 +88,10 @@ from . import tpch  # noqa: F401,E402
 # q_rollup_two_level, q_win_time_range, q_dedup_rate,
 # q_dedup_incremental, q_block_dedup, q_collocations, q_ann_filtered,
 # q_scd2, q_sample_stratified, q_impute_group_mean, q_subquery_scalar,
-# q_udtf_lateral). Round 7 = a handful of flagships + those 28 + the
+# q_udtf_lateral), plus the one r6-changed query the full window could
+# not absorb (q_hll_rollup, single-scan checkpoint -- r5-green,
+# re-witnessed at three SFs by parity_all pending its r7 driver row).
+# Round 7 = a handful of flagships + those 28 + the
 # oldest r1/r2-only re-grades (q_join_left/right/full/semi/anti/cross/
 # theta, q_win_* frames, q_sort_*, set-ops,
 # q_agg_rollup/cube/grouping_sets) to fill 50 -- giving every

@@ -384,12 +384,19 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound, same contract as q_agg_approx_distinct.
 
     Scale: the sketch build shuffles once on the fine grain; the merge
-    shuffles sketch BYTES (KBs per group), not rows."""
+    shuffles sketch BYTES (KBs per group), not rows. The sketch leg and
+    the exact yardstick leg share ONE scan+join (non-eager
+    localCheckpoint on the 3-column joined projection) -- a
+    test-harness cost only, since in production just the sketch leg
+    runs."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
-    joined = o.join(c, o.o_custkey == c.c_custkey).join(
-        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_regionkey", "c_nationkey", "o_custkey")
+        .localCheckpoint(eager=False)
     )
     fine = joined.groupBy("n_regionkey", "c_nationkey").agg(
         F.expr("hll_sketch_agg(o_custkey)").alias("sk")
