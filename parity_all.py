@@ -51,11 +51,16 @@ def main() -> int:
     results: dict[str, dict] = {}
     for name, fn in QUERIES.items():
         entry: dict = {}
+        tq = time.time()
         try:
             if name in ORACLES:
-                problems = compare(spark, duck, fn, ORACLES[name], SF_DIR)
+                tm: dict = {}
+                problems = compare(
+                    spark, duck, fn, ORACLES[name], SF_DIR, timings=tm
+                )
                 entry["mode"] = "oracle"
                 entry["ok"] = not problems
+                entry.update(tm)
                 if problems:
                     entry["problems"] = problems
             else:
@@ -63,9 +68,17 @@ def main() -> int:
                 entry["mode"] = "rows_only"
                 entry["ok"] = n >= 0
                 entry["rows"] = n
+                entry["spark_sec"] = round(time.time() - tq, 2)
         except Exception:
             entry["ok"] = False
             entry["error"] = traceback.format_exc(limit=3)
+            entry.setdefault("spark_sec", round(time.time() - tq, 2))
+        # Full-registry SPARK-side wall clock (plan + execute + collect):
+        # even never-benched queries leave a trace -- a scale-killer in
+        # the unbenched tail shows up as an outlier here. oracle_sec is
+        # reported separately: several oracles are deliberately naive
+        # replays (e.g. the quadratic interval-join SQL) and would
+        # otherwise masquerade as engine cost.
         results[name] = entry
 
     oracle = [n for n in results if results[n].get("mode") == "oracle"]
@@ -80,8 +93,23 @@ def main() -> int:
         "rows_only_pass": sum(results[n]["ok"] for n in rows_only),
         "failed": failed,
         "elapsed_sec": round(time.time() - t0, 1),
+        "slowest_20_spark": sorted(
+            ((n, e.get("spark_sec", 0.0)) for n, e in results.items()),
+            key=lambda kv: -kv[1],
+        )[:20],
         "driver_window_first_50": list(QUERIES)[:50],
-        "per_query": {n: e for n, e in results.items() if not e["ok"]},
+        "per_query": {
+            n: (
+                e
+                if not e["ok"]
+                else {
+                    k: v
+                    for k, v in e.items()
+                    if k in ("spark_sec", "oracle_sec")
+                }
+            )
+            for n, e in results.items()
+        },
     }
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "PARITY_FULL.json")
     with open(out, "w") as f:

@@ -45,15 +45,31 @@ def _sorted_rows(cols: list[str], rows: list[tuple]):
     return sorted(canon, key=repr)
 
 
-def compare(spark, duck, fn, sql: str, sf_dir: str) -> list[str]:
-    """Return a list of mismatch descriptions (empty == parity)."""
+def compare(
+    spark, duck, fn, sql: str, sf_dir: str, timings: dict | None = None
+) -> list[str]:
+    """Return a list of mismatch descriptions (empty == parity).
+
+    When ``timings`` is given, records ``spark_sec`` (plan + execute +
+    collect) and ``oracle_sec`` (DuckDB replay) into it -- the two are
+    wildly different animals (some oracles are deliberately naive, e.g.
+    the quadratic interval-join replay), so a combined number would
+    misread as engine cost."""
+    import time as _time
+
+    t0 = _time.time()
     sdf = fn(spark, sf_dir)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
+    if timings is not None:
+        timings["spark_sec"] = round(_time.time() - t0, 2)
 
+    t0 = _time.time()
     res = duck.execute(sql)
     dcols = [d[0] for d in res.description]
     drows = res.fetchall()
+    if timings is not None:
+        timings["oracle_sec"] = round(_time.time() - t0, 2)
 
     problems: list[str] = []
     if sorted(scols) != sorted(dcols):
