@@ -90,8 +90,10 @@ from . import tpch  # noqa: F401,E402
 # q_scd2, q_sample_stratified, q_impute_group_mean, q_subquery_scalar,
 # q_udtf_lateral), plus the one r6-changed query the full window could
 # not absorb (q_hll_rollup, single-scan checkpoint -- r5-green,
-# re-witnessed at three SFs by parity_all pending its r7 driver row).
-# Round 7 = a handful of flagships + those 28 + the
+# re-witnessed at three SFs by parity_all pending its r7 driver row)
+# and the r6 ADDITION q_corpus_mixture (token-budget domain mixing,
+# llm.py -- oracle-verified at three SFs on arrival).
+# Round 7 = a handful of flagships + those 29 + the
 # oldest r1/r2-only re-grades (q_join_left/right/full/semi/anti/cross/
 # theta, q_win_* frames, q_sort_*, set-ops,
 # q_agg_rollup/cube/grouping_sets) to fill 50 -- giving every

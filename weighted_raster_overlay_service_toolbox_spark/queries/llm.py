@@ -1285,6 +1285,67 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_corpus_mixture",
+    oracle="""
+    WITH sized AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+        FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')
+    ), c AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+               CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 600
+                    WHEN 'src2' THEN 400 ELSE 200 END AS budget
+        FROM sized
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= budget
+    """,
+)
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture assembly to TARGET TOKEN PROPORTIONS: given per-domain
+    mixture weights (src0..src3 at 40/30/20/10% of a 2000-token budget),
+    greedily take each domain's docs in a deterministic pseudo-random
+    order (md5 of doc id -- engine-portable, rerun-stable) until the
+    domain's token budget is filled -- the mixing step every multi-source
+    pretraining corpus build runs (domain reweighting a la
+    SlimPajama/DoReMi). Unlike q_domain_cap (doc COUNT cap) the budget is
+    in TOKENS, which is what the training run actually consumes.
+
+    Scale: one scan, one shuffle keyed by source for the running-sum
+    window; the cumulative sum is per-partition sequential but each
+    domain's stream is independent, so parallelism = number of domains
+    (salt-split a mega-domain first if one dominates). Deterministic
+    order means incremental re-runs select the same prefix."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1", "src2", "src3")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget = (
+        F.when(F.col("source") == "src0", 800)
+        .when(F.col("source") == "src1", 600)
+        .when(F.col("source") == "src2", 400)
+        .otherwise(200)
+    )
+    return (
+        d.select(
+            "doc_id", "source", F.size(TOKS()).cast("int").alias("n_tokens")
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= budget)
+    )
+
+
+@query(
     "q_contamination",
     oracle="""
     WITH ev AS (
