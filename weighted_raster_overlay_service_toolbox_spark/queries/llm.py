@@ -1320,28 +1320,14 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain's stream is independent, so parallelism = number of domains
     (salt-split a mega-domain first if one dominates). Deterministic
     order means incremental re-runs select the same prefix."""
-    from pyspark.sql import Window
+    from ..operators.mixture import token_budget_mixture
 
-    d = load_table(spark, sf_dir, "documents").filter(
-        F.col("source").isin("src0", "src1", "src2", "src3")
-    )
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    budget = (
-        F.when(F.col("source") == "src0", 800)
-        .when(F.col("source") == "src1", 600)
-        .when(F.col("source") == "src2", 400)
-        .otherwise(200)
-    )
-    return (
-        d.select(
-            "doc_id", "source", F.size(TOKS()).cast("int").alias("n_tokens")
-        )
-        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
-        .filter(F.col("cum_tokens") <= budget)
+    d = load_table(spark, sf_dir, "documents")
+    return token_budget_mixture(
+        d,
+        weights={"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        total_budget=2000,
+        n_tokens=F.size(TOKS()),
     )
 
 
