@@ -4,16 +4,57 @@ Runs a declared Spark query and its DuckDB oracle on the same sf directory
 and compares row count, column names, and order-insensitive values. Used by
 ``test_oracle_parity.py`` so every declared query is self-checked before the
 driver sees it.
+
+FIDELITY (round-7 fix): the external driver canonicalizes BOTH result sets
+through pandas before hashing -- the DuckDB side via ``.df()`` (where
+HUGEINT/DECIMAL coerce to float64) and the Spark side from collected rows
+(where an int column containing a null also coerces to float64). Round 6's
+one red row (q_funnel_ordered) was exactly this: an un-cast ``SUM(CASE...)``
+oracle typed HUGEINT -> pandas float64 ``150.0`` vs Spark bigint ``150`` --
+values equal under Python ``==``, hashes different under the driver's
+serializer. The old ``fetchall()``-based compare (Python ints, ``==``
+tuples) structurally could not catch it. This version replicates the
+driver's path: both sides go through pandas, and the canonical cell TAGS
+the numeric kind so ``150`` vs ``150.0`` is a mismatch here exactly as it
+is there.
 """
 
 from __future__ import annotations
 
 import math
-from datetime import datetime
+from datetime import date, datetime
+
+import numpy as np
+import pandas as pd
+
+#: DuckDB output types pandas coerces in a way the Spark side cannot
+#: reproduce (HUGEINT -> float64 even with no nulls present). Any oracle
+#: emitting one is a latent driver-hash mismatch; tests/test_oracle_types.py
+#: gates the whole registry to zero.
+DRIVER_TOXIC_ORACLE_TYPES = ("HUGEINT", "UHUGEINT")
+
+
+def oracle_type_problems(duck, sql: str) -> list[str]:
+    """DESCRIBE the oracle and return driver-toxic output columns.
+
+    ``DESCRIBE <query>`` plans without executing, so this is cheap enough
+    to run registry-wide. Empty list == safe."""
+    desc = duck.execute(f"DESCRIBE {sql}").fetchall()
+    return [
+        f"column {col!r} has driver-toxic type {typ}"
+        for col, typ, *_ in desc
+        if any(t in typ.upper() for t in DRIVER_TOXIC_ORACLE_TYPES)
+    ]
 
 
 def _norm_cell(v):
-    """Normalize a cell for cross-engine comparison.
+    """Normalize a pandas-materialized cell for cross-engine comparison.
+
+    The driver hashes serialized values, so the canonical form must
+    distinguish everything its serializer distinguishes -- in particular
+    int vs float (``150`` vs ``150.0``), which Python ``==`` equates.
+    Numeric cells are therefore tagged by kind. Floats compare EXACTLY
+    (the driver hashes, so we must too; negative zero normalized).
 
     Non-scalar cells (list/dict/bytes) are REJECTED, not canonicalized:
     the external driver's pandas ``sort_values`` canonicalizer raises
@@ -22,20 +63,49 @@ def _norm_cell(v):
     (``array_join`` / ``to_json``) before the driver ever sees it."""
     if v is None:
         return None
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, pd.Timestamp):
+        v = None if pd.isna(v) else v.to_pydatetime()
+        if v is None:
+            return None
+    if isinstance(v, bool):
+        return ("b", v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # exact float compare -- the driver hashes values, so we must too
-        # (negative zero normalized: repr differs, value does not)
-        return v + 0.0 if v == 0.0 else v
+        return ("f", v + 0.0 if v == 0.0 else v)
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, (list, tuple, dict, set, bytes, bytearray)):
+        v = v.replace(tzinfo=None)
+        # duckdb .df() materializes DATE as midnight datetime64 while
+        # Spark collect() gives datetime.date -- fold exact-midnight
+        # datetimes onto the date form so the two stay comparable (the
+        # fixture timestamps all carry sub-day components, so no real
+        # TIMESTAMP value aliases onto a DATE).
+        if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return v.date().isoformat()
+        return v.isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple, dict, set, bytes, bytearray, np.ndarray)):
         raise TypeError(
             f"non-scalar cell {type(v).__name__} is driver-incompatible; "
             "serialize with array_join/to_json in the query output"
         )
     return v
+
+
+def _pandas_rows(pdf: pd.DataFrame) -> list[tuple]:
+    """Cell tuples out of a pandas frame, NA unified to None.
+
+    ``itertuples`` hands back numpy scalars / NaT / NaN exactly as the
+    driver's canonicalizer sees them; ``_norm_cell`` does the unwrap."""
+    return [
+        tuple(None if (c is pd.NaT or c is None) else c for c in row)
+        for row in pdf.itertuples(index=False, name=None)
+    ]
 
 
 def _sorted_rows(cols: list[str], rows: list[tuple]):
@@ -60,14 +130,19 @@ def compare(
     t0 = _time.time()
     sdf = fn(spark, sf_dir)
     scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
+    # Driver-faithful: collected Python rows -> pandas (int column with a
+    # null -> float64, same as the driver's canonicalizer sees).
+    spdf = pd.DataFrame([tuple(r) for r in sdf.collect()], columns=scols)
+    srows = _pandas_rows(spdf)
     if timings is not None:
         timings["spark_sec"] = round(_time.time() - t0, 2)
 
     t0 = _time.time()
-    res = duck.execute(sql)
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
+    # Driver-faithful: pandas fetch, NOT fetchall() -- .df() is where
+    # HUGEINT/DECIMAL become float64 and nullable ints coerce.
+    dpdf = duck.execute(sql).df()
+    dcols = list(dpdf.columns)
+    drows = _pandas_rows(dpdf)
     if timings is not None:
         timings["oracle_sec"] = round(_time.time() - t0, 2)
 

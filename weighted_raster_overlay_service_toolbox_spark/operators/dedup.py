@@ -206,7 +206,11 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact pairwise Jaccard over a deduped ``(id, token)`` posting table
     via the sparse token-keyed join: |A∩B| is counted only for pairs that
-    actually share a token, sizes broadcast back.
+    actually share a token, set sizes joined back size-adaptively (the
+    sizes side is doc-cardinality, so it carries no broadcast hint --
+    AQE broadcasts it below the threshold, shuffles it beyond; the
+    vocab-sized hot-token filter DOES broadcast, per the repo's pinned
+    vocab-join convention).
 
     ``max_token_df`` is the hot-token cap -- the standard guard for
     posting-list blowup: a token appearing in ``d`` documents contributes
@@ -241,10 +245,8 @@ def jaccard_pairs(
         F.col("sa.n") + F.col("sb.n") - F.col("n_common")
     )
     return (
-        inter.join(
-            F.broadcast(sizes.alias("sa")), F.col("sa._id") == F.col("doc_a")
-        )
-        .join(F.broadcast(sizes.alias("sb")), F.col("sb._id") == F.col("doc_b"))
+        inter.join(sizes.alias("sa"), F.col("sa._id") == F.col("doc_a"))
+        .join(sizes.alias("sb"), F.col("sb._id") == F.col("doc_b"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
 
@@ -275,10 +277,15 @@ def minhash_verified_edges(
     so floor=threshold/2 adds only ~1e-4 miss probability at j=0.9, k=16
     (the fixture equality test pins zero misses deterministically).
 
-    Returns ``(src, dst)`` with ``src < dst``. The token-set side is
-    broadcast: bounded probe blocks fit in a broadcast; an unbounded
-    corpus caller swaps the hint for a doc-keyed shuffle join -- the
-    shape stays linear in candidates either way."""
+    Returns ``(src, dst)`` with ``src < dst``. The token-set side carries
+    NO join hint: it is doc-cardinality (the whole input corpus), so a
+    forced broadcast OOMs every executor once the corpus outgrows driver
+    memory -- exactly the library path ``pipeline.curate_corpus`` feeds.
+    AQE picks broadcast on its own below
+    ``spark.sql.autoBroadcastJoinThreshold`` (fixture sizes) and a
+    doc-keyed shuffle join beyond; either way the work stays linear in
+    candidates. (Round-7 fix per the r5 size-adaptive hint rule -- same
+    rationale as q_rare_token_ratio's frequency join.)"""
     cand = minhash_candidates(docs, id_col, tokens_col, k=k, bands=bands)
     if candidate_floor is not None:
         cand = cand.filter(F.col("est_jaccard") >= candidate_floor)
@@ -291,15 +298,11 @@ def minhash_verified_edges(
     )
     return (
         cand.join(
-            F.broadcast(
-                sets_.select(F.col("sid").alias("doc_a"), F.col("tk").alias("tk_a"))
-            ),
+            sets_.select(F.col("sid").alias("doc_a"), F.col("tk").alias("tk_a")),
             "doc_a",
         )
         .join(
-            F.broadcast(
-                sets_.select(F.col("sid").alias("doc_b"), F.col("tk").alias("tk_b"))
-            ),
+            sets_.select(F.col("sid").alias("doc_b"), F.col("tk").alias("tk_b")),
             "doc_b",
         )
         .filter(jac >= threshold)

@@ -98,6 +98,22 @@ from . import tpch  # noqa: F401,E402
 # theta, q_win_* frames, q_sort_*, set-ops,
 # q_agg_rollup/cube/grouping_sets) to fill 50 -- giving every
 # oracle-backed query a driver-green HASH row by end of r7.
+#
+# r7 window (this one -- executes the plan above exactly): 9 flagships
+# + the 5 queries whose code CHANGED in r7 (q_funnel_ordered: oracle
+# SUM cast to BIGINT, the round-6 red row; q_dedup_clusters /
+# q_dedup_keep_one / q_jaccard_sim / q_ngram_jaccard: routed through
+# operators/dedup.py where the doc-cardinality broadcast hints were
+# dropped per VERDICT r6 #2 -- results are hint-invariant but changed
+# code must be driver-witnessed) + q_hll_rollup (r6-changed single-scan
+# checkpoint, displaced from the full r6 window) + ALL 29 names of the
+# never-driver-graded tail + 6 fills: q_scan_full / q_stream_tumbling
+# (family-coverage invariants of test_registry.py -- the tail carries
+# no scan or stream name) and q_join_full / q_win_frame_range /
+# q_agg_grouping_sets / q_except, the oldest r1-only re-grades, one per
+# family the plan comment names. After this window every one of the
+# 214 registered queries has a driver HASH row at least once -- the
+# program's stated evidence end-state.
 _DRIVER_WINDOW = [
     # -- permanent flagships (driver-green r3/r4/r5; q_sink_partitioned
     #    keeps the every-window-exercises-a-sink invariant of
@@ -108,31 +124,45 @@ _DRIVER_WINDOW = [
     "q_wro_overlay", "q_sink_partitioned",
     "q_dedup_exact", "q_cosine_topk", "q_tfidf", "q_corpus_pipeline",
     "q_sql_api", "q_agg_group", "q_win_rank",
-    # -- changed in r6: driver-witness the fixes --
-    "q_join_multikey",      # single-scan window rewrite (r5 weak #1)
-    "q_approx_topk",        # shared-scan checkpoint
-    "q_decontaminate",      # shared-scan checkpoint
-    "q_unigram_logprob",    # shared-scan checkpoint
-    "q_outliers_zscore",    # single-scan window rewrite
-    "q_retention_cohorts",  # single-scan window rewrite
-    "q_dq_checks",          # five rules in ONE orders pass
-    # -- never-graded tail: 34 first-time names --
-    "q_scan_bucket_pruned",  # displaced twice; FIRST this time
-    "q_tpch_q1", "q_tpch_q2", "q_tpch_q3", "q_tpch_q4",
-    "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9",
-    "q_tpch_q10", "q_tpch_q11", "q_tpch_q12", "q_tpch_q13",
-    "q_tpch_q14", "q_tpch_q15", "q_tpch_q16", "q_tpch_q17",
-    "q_tpch_q18", "q_tpch_q19", "q_tpch_q20", "q_tpch_q21",
-    "q_tpch_q22",
-    "q_pagerank",            # r6-changed: overflow-safe damping split
-    "q_catalog_merge", "q_catalog_diff",
-    "q_stream_watermark", "q_stream_dedup", "q_stream_upsert",
-    "q_stream_stream_left_join",
-    "q_interval_join_binned",  # r6-changed: explicit self-exclusion
-    "q_schema_evolution",      # r6-changed: atomic staging
-    "q_rare_token_ratio",      # r6-changed: broadcast hint dropped
-    "q_udtf_flatmap",
-    "q_funnel_ordered",        # r6-changed: one-scan conditional agg
+    # -- changed in r7: driver-witness the fixes --
+    "q_funnel_ordered",     # oracle SUM cast to BIGINT (r6's one red row)
+    "q_dedup_clusters",     # minhash_verified_edges hint drop (r6 #2)
+    "q_dedup_keep_one",     # same operator path
+    "q_jaccard_sim",        # jaccard_pairs sizes-side hint drop
+    "q_ngram_jaccard",      # same operator path (shingle tokens)
+    # -- changed in r6, displaced from the full r6 window --
+    "q_hll_rollup",         # single-scan shared-join checkpoint
+    # -- the never-driver-graded tail: all 29 remaining names --
+    "q_histogram_numeric", "q_histogram_equidepth",
+    "q_join_asof_forward", "q_join_null_safe",
+    "q_win_time_range",
+    "q_intersect_all", "q_except_distinct",
+    "q_udtf_lateral",
+    "q_json_typed", "q_str_funcs2",
+    "q_seasonality_matrix",
+    "q_multimodal_resize", "q_multimodal_framesample",
+    "q_corpus_mixture",      # r6 ADDITION: token-budget domain mixing
+    "q_block_dedup",
+    "q_sample_stratified",
+    "q_dedup_rate", "q_dedup_incremental",
+    "q_ann_filtered",
+    "q_collocations",
+    "q_containment_sim",
+    "q_split_train_val_test",
+    "q_subquery_scalar",
+    "q_scd2",
+    "q_impute_group_mean",
+    "q_rollup_two_level",
+    "q_zorder_layout",       # displaced three times; FIRST this time
+    "q_downsample_rollup",
+    "q_timeseries_gapfill",
+    # -- fills: family coverage + oldest r1-only re-grades --
+    "q_scan_full",           # scan family (r1-only)
+    "q_stream_tumbling",     # stream family (multi-round green flagship)
+    "q_join_full",           # r1-only re-grade
+    "q_win_frame_range",     # r1-only re-grade
+    "q_agg_grouping_sets",   # r1-only re-grade
+    "q_except",              # r1-only re-grade
 ]
 
 

@@ -861,8 +861,8 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE event_type = 'purchase' GROUP BY user_id
     )
     SELECT COUNT(*) AS n_clickers,
-           SUM(CASE WHEN p.last_purchase >= c.first_click
-                    THEN 1 ELSE 0 END) AS n_converted
+           CAST(SUM(CASE WHEN p.last_purchase >= c.first_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
     FROM c LEFT JOIN p USING (user_id)
     """,
 )
