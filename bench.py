@@ -144,10 +144,27 @@ def main() -> None:
     # the estimator least contaminated by external scheduler noise while
     # still measuring real end-to-end execution. Override with
     # SPARK_GRAFT_BENCH_REPEATS=1 for the old single-shot behavior.
+    # Default raised 2 -> 3 in round 7 (VERDICT r6 'Next round' #5):
+    # with min-of-2, untouched queries still drifted 1.3-1.7x between
+    # rounds and swamped real deltas.
     try:
-        repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
+        repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     except ValueError:
-        repeats = 2
+        repeats = 3
+
+    # Host-drift sentinel (round 7): q_join_inner's code is untouched
+    # since round 1, so its min-of-5 here measures THE HOST, not the
+    # repo. Cross-round readers divide any per-query delta by the
+    # sentinel ratio before calling it a regression -- e.g. r5->r6's
+    # "q_tpch_q1 1.74x slower" was pure drift that this field would
+    # have normalized away.
+    sentinel_name = "q_join_inner"
+    sentinel_best = float("inf")
+    for _ in range(max(repeats, 5)):
+        t0 = time.perf_counter()
+        materialize(QUERIES[sentinel_name](spark, sf_dir))
+        sentinel_best = min(sentinel_best, time.perf_counter() - t0)
+
     timings: dict[str, float] = {}
     for name in headline:
         best = float("inf")
@@ -169,6 +186,11 @@ def main() -> None:
         # field cross-round comparisons conflate code speedups with the
         # estimator change)
         "repeats": repeats,
+        # host-drift normalizer: min-of-5 of a query untouched since r1.
+        # Cross-round per-query comparisons should be read as
+        # (t_new / t_old) / (sentinel_new / sentinel_old).
+        "sentinel_query": sentinel_name,
+        "sentinel_sec": round(sentinel_best, 3),
     }
     print(json.dumps(result))
 

@@ -49,7 +49,11 @@ def tfidf(docs: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     (id, text) projection is pinned with a non-eager localCheckpoint so
     column pruning cannot specialize each branch into its own parquet
     read (the same single-scan treatment the similarity queries got;
-    at 100 TB a 3x corpus scan is 3x the I/O bill)."""
+    at 100 TB a 3x corpus scan is 3x the I/O bill). Note the pin
+    itself is a trade: the projection materializes to executor storage
+    without recompute-on-loss -- pinning the PRE-explode rows (as here,
+    not the token stream) keeps that cache as small as the trade
+    allows; at the extreme, re-scanning is the fault-tolerant choice."""
     base = docs.select(id_col, text_col).localCheckpoint(eager=False)
     tok = tokenize(base, id_col, text_col)
     tf = term_frequencies(tok)

@@ -1495,7 +1495,15 @@ def q_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     say it fits and falls back to a shuffled hash join when they don't.
     The per-doc pass is one explode + one doc-keyed aggregation; the
     frequency and scoring branches share ONE corpus scan (non-eager
-    localCheckpoint on the token stream, same as q_unigram_logprob)."""
+    localCheckpoint on the token stream, same as q_unigram_logprob).
+    The checkpoint is a TRADE, not free I/O savings: it materializes the
+    token stream (several x corpus bytes) to executor storage with no
+    recompute-on-loss (a lost block fails the job), in exchange for one
+    parquet scan instead of two. Right at fixture-to-medium scale; at
+    the 100 TB extreme prefer two column-pruned scans, a DISK_ONLY
+    persist of the narrow pre-explode projection, or accept the rescan
+    -- unlike the dedup.py pins, which cache only signature-sized
+    rows."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(TOKS()).alias("t")).localCheckpoint(
         eager=False
@@ -2026,7 +2034,10 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: bigram and unigram counts are token-keyed aggregations with
     map-side partials; the unigram table is vocabulary-sized and
     BROADCAST back to the bigram counts; the two corpus totals are
-    scalar cross joins. One corpus scan feeds both counts. The ln is
+    scalar cross joins. One corpus scan feeds both counts (non-eager
+    localCheckpoint on the tokenized rows -- the usual trade: a
+    corpus-sized materialization without recompute-on-loss buys the
+    single scan; at the 100 TB extreme re-scan instead). The ln is
     rounded to 4dp (the tfidf cross-engine convention)."""
     d = load_table(spark, sf_dir, "documents")
     # checkpointed so unigram/bigram counts + both totals really do share
@@ -2256,7 +2267,11 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     pretrained (static) LM table makes the first shuffle disappear
     entirely: the score pass is then a broadcast join + single agg. The
     vocab/total/score branches share ONE corpus scan (non-eager
-    localCheckpoint on the token stream)."""
+    localCheckpoint on the token stream -- same trade-off caveat as
+    q_rare_token_ratio: the materialized stream is corpus-sized
+    executor storage without recompute-on-loss, worth it up to medium
+    scale, swap for re-scan or a DISK_ONLY narrow-projection persist at
+    the 100 TB extreme)."""
     d = load_table(spark, sf_dir, "documents")
     t = d.select("doc_id", F.explode(TOKS()).alias("tok")).localCheckpoint(
         eager=False

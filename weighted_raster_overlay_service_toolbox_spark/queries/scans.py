@@ -314,7 +314,17 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         # published path (which would duplicate generation-2 rows and
         # pin the corruption under the marker forever); the rename loser
         # just discards its stage.
-        if os.path.isdir(path):  # partial legacy write, no marker
+        if os.path.isdir(path) and not os.path.isfile(marker):
+            # Partial legacy write (dir without marker). The marker is
+            # re-checked HERE, immediately before the rmtree: between
+            # the outer isfile() miss and this point another process
+            # may have completed its atomic publish, and deleting a
+            # marker-bearing dataset would let concurrent readers see
+            # the path vanish mid-read. Residual race: a publish landing
+            # between this re-stat and the rmtree is still deleted (and
+            # identically re-published by our own rename) -- only the
+            # repo's no-concurrent-Spark-tests convention closes that
+            # last window.
             shutil.rmtree(path, ignore_errors=True)
         stage = f"{path}.stage.{os.getpid()}"
         shutil.rmtree(stage, ignore_errors=True)
