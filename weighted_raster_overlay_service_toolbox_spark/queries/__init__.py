@@ -114,6 +114,18 @@ from . import tpch  # noqa: F401,E402
 # family the plan comment names. After this window every one of the
 # 214 registered queries has a driver HASH row at least once -- the
 # program's stated evidence end-state.
+#
+# ROUND-8 ROTATION PLAN: with the r7 window graded, every pre-r7 query
+# has a driver hash row. The only never-graded name is the r7 ADDITION
+# q_corpus_mixture_salted (registry 214 -> 215; oracle-verified at
+# three SFs on arrival). Round 8 = flagships + q_corpus_mixture_salted
+# + any query whose code changes in r8 + the oldest-evidence re-grades
+# (r1-only names not refreshed in r7: q_agg_global/stats/distinct/
+# having/filtered/rollup/cube/argmax, q_scan_prune, q_project_expr,
+# q_filter_*, q_join_left/right/semi/anti/cross/theta/range/broadcast,
+# q_win_lead_lag/running/frame_rows/ntile_first_last/percent_rank,
+# q_sort_multi, q_topk, q_topk_per_group, q_union_*, q_intersect,
+# q_str_funcs, q_str_split_index, q_str_regex) to fill 50.
 _DRIVER_WINDOW = [
     # -- permanent flagships (driver-green r3/r4/r5; q_sink_partitioned
     #    keeps the every-window-exercises-a-sink invariant of

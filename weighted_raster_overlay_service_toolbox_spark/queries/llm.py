@@ -1332,6 +1332,64 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_corpus_mixture_salted",
+    oracle="""
+    WITH sized AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+               CASE WHEN source = 'src0'
+                    THEN CAST(('0x' || substring(
+                             md5('lane:' || CAST(doc_id AS VARCHAR)),
+                             1, 15)) AS BIGINT) % 4
+                    ELSE 0 END AS lane
+        FROM documents WHERE source IN ('src0', 'src1')
+    ), c AS (
+        SELECT doc_id, source, lane, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source, lane
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+               CASE WHEN source = 'src1' THEN 2005
+                    WHEN lane = 0 THEN 502 ELSE 501 END AS budget
+        FROM sized
+    )
+    SELECT doc_id, source, CAST(lane AS BIGINT) AS lane, n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= budget
+    """,
+)
+def q_corpus_mixture_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_corpus_mixture with MEGA-DOMAIN SALT-SPLITTING (round 7): src0
+    is treated as the skewed domain and split into 4 portable-hash lanes
+    (lane = md5-hash of the doc id alone, mod 4 -- rerun-stable and
+    engine-portable), each lane filling its exactly-conserved sub-budget
+    (round(4010 * 0.5) = 2005 tokens -> lanes [502, 501, 501, 501];
+    the remainder spread is part of what the oracle checks); src1 runs
+    unsalted on one lane. The skew answer for the mixture operator: the
+    sequential running-sum unit shrinks from a whole mega-domain to
+    1/n_salts of it, so parallelism = sum of lane counts instead of
+    number of domains.
+
+    Scale: same ONE scan + ONE shuffle as the unsalted operator -- the
+    window partition key just widens to (source, lane). Budget
+    conservation across the split is exact (property-tested in
+    tests/test_mixture.py over all (budget, n) pairs); selection stays
+    a strict md5-order prefix WITHIN each lane, so incremental re-runs
+    keep lane-local prefix stability. See
+    operators/mixture.py:salted_token_budget_mixture for the
+    lane-budget >> doc-size sizing rule."""
+    from ..operators.mixture import salted_token_budget_mixture
+
+    d = load_table(spark, sf_dir, "documents")
+    return salted_token_budget_mixture(
+        d,
+        weights={"src0": 0.5, "src1": 0.5},
+        total_budget=4010,
+        n_salts={"src0": 4},
+        n_tokens=F.size(TOKS()),
+    )
+
+
+@query(
     "q_contamination",
     oracle="""
     WITH ev AS (
