@@ -291,3 +291,57 @@ def test_portable_hash60_matches_hashlib_and_duckdb(spark, duck):
             assert duck_val == want, (t, duck_val, want)
 
     check()
+
+
+def test_semantic_dedup_invariants(spark):
+    """semantic_dedup (SemDeDup-style): (a) survivors + dropped partition
+    the input; (b) NO surviving pair within a cluster has rounded cosine
+    >= threshold (the operator's whole point); (c) every dropped vector
+    has a LOWER-id surviving-or-dropped witness in its cluster at or
+    above the threshold (greedy keep-lowest-id rule)."""
+    from weighted_raster_overlay_service_toolbox_spark.operators.kmeans import (
+        kmeans,
+    )
+    from weighted_raster_overlay_service_toolbox_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    v = load_table(spark, SF_ORACLE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    tau = 0.35
+    survivors = {
+        r["vec_id"]: r["cluster"]
+        for r in semantic_dedup(v, k=8, iterations=3, threshold=tau).collect()
+    }
+    assigned, _ = kmeans(v, k=8, iterations=3)
+    rows = assigned.collect()
+    all_ids = {r["vec_id"] for r in rows}
+    assert set(survivors) <= all_ids and survivors
+    dropped = all_ids - set(survivors)
+
+    import numpy as np
+
+    vecs = {r["vec_id"]: np.array(r["e"]) for r in rows}
+    clus = {r["vec_id"]: r["cluster"] for r in rows}
+
+    def cos(i, j):
+        a, b = vecs[i], vecs[j]
+        return round(float(a @ b / (np.sqrt(a @ a) * np.sqrt(b @ b))), 4)
+
+    by_cluster: dict[int, list[int]] = {}
+    for i in all_ids:
+        by_cluster.setdefault(clus[i], []).append(i)
+    for members in by_cluster.values():
+        members.sort()
+        kept = [i for i in members if i in survivors]
+        # (b) no surviving near-pair within the cluster
+        for x in range(len(kept)):
+            for y in range(x + 1, len(kept)):
+                assert cos(kept[x], kept[y]) < tau, (kept[x], kept[y])
+        # (c) every dropped member has a lower-id witness in-cluster
+        for i in members:
+            if i in dropped:
+                assert any(
+                    j < i and cos(j, i) >= tau for j in members
+                ), i

@@ -33,6 +33,7 @@ PYTHON_EVAL_ALLOWED = {
     "q_multimodal_framesample",
     "q_multimodal_resize",
     "q_pack_sequences",
+    "q_semantic_dedup",
     "q_udaf_grouped",
     "q_udf_grouped_map",
     "q_udf_scalar",
@@ -87,6 +88,7 @@ CHECKPOINTED_ALLOWED = {
     "q_ngram_jaccard",
     "q_pagerank",
     "q_rare_token_ratio",
+    "q_semantic_dedup",
     "q_simhash",
     "q_stream_agg_update",
     "q_stream_stateful_custom",

@@ -432,3 +432,12 @@ def test_banded_self_joins_scan_corpus_once_at_runtime(spark):
     banded row, never the text."""
     for name in ("q_dedup_minhash", "q_simhash"):
         assert _runtime_scan_count(spark, name, "documents") <= 1, name
+
+
+def test_semantic_dedup_scans_embeddings_once_at_runtime(spark):
+    """q_semantic_dedup (round 7): the k-means assignment relation feeds
+    BOTH cluster-self-join sides and the anti-join base; un-pinned, each
+    consumer replans the scan -> assign subtree (3 embeddings scans in
+    the static audit). The non-eager localCheckpoint pin must hold the
+    runtime count at one."""
+    assert _runtime_scan_count(spark, "q_semantic_dedup", "embeddings") <= 1

@@ -120,3 +120,71 @@ def hyperplane_bucket(
         start=F.lit(0),
     )
     return vectors.withColumn(out, bucket)
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means cluster the embedding space, then compare
+    ONLY within clusters -- the pair space collapses from n^2/2 to
+    ~n^2/(2k), and at production scale k grows with n so the per-cluster
+    block stays bounded (the paper runs 11k clusters over LAION). Within
+    a cluster, a vector is DROPPED when its cosine to any LOWER-id
+    vector of the same cluster reaches ``threshold`` -- the
+    deterministic greedy keep-lowest-id rule (the same keep-one
+    convention the MinHash cluster path uses), a SQL-expressible
+    variant of the paper's per-cluster greedy sweep.
+
+    Returns the SURVIVORS as ``(vec_id, cluster)``.
+
+    Determinism/oracle story: clustering is the exact-arithmetic
+    deterministic Lloyd's of operators/kmeans.py (quantized inputs,
+    integer-exact centroid means), and the pair cosine follows the
+    rounded-4dp convention, so the whole operator carries an exact
+    DuckDB oracle (unrolled k-means CTEs + one within-cluster
+    self-join).
+
+    Scale: one broadcast + one (cluster, dim) shuffle per k-means
+    iteration, then ONE cluster-keyed self-join whose pair dots run in
+    the Arrow-batched numpy path (dot_pandas) -- no all-pairs product
+    ever forms. Norms are precomputed per vector (N evaluations, not
+    2 per pair)."""
+    from .kmeans import kmeans
+
+    assigned, _ = kmeans(vectors, k=k, iterations=iterations)
+    # ONE embeddings scan: the assignment relation feeds BOTH self-join
+    # sides and the final anti-join base -- un-pinned, each consumer
+    # replans the scan->assign subtree (the aliased-derived-relation
+    # rescan the r6 sweep eliminated registry-wide; same fix as the
+    # banded minhash/simhash self-joins). The pinned relation is
+    # embedding-sized -- exactly the data the self-join must hold anyway.
+    assigned = assigned.localCheckpoint(eager=False)
+    sides = with_norm(assigned)
+    a = sides.select(
+        F.col("vec_id").alias("id_a"), F.col("e").alias("ea"),
+        F.col("nrm").alias("na"), "cluster",
+    )
+    b = sides.select(
+        F.col("vec_id").alias("id_b"), F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"), F.col("cluster").alias("cluster_b"),
+    )
+    cos = F.round(
+        dot_pandas(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4
+    ).cast("double")
+    dropped = (
+        a.join(
+            b,
+            (F.col("cluster") == F.col("cluster_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(cos >= threshold)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return assigned.join(dropped, "vec_id", "left_anti").select(
+        "vec_id", "cluster"
+    )

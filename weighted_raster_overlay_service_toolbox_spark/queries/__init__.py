@@ -116,10 +116,11 @@ from . import tpch  # noqa: F401,E402
 # program's stated evidence end-state.
 #
 # ROUND-8 ROTATION PLAN: with the r7 window graded, every pre-r7 query
-# has a driver hash row. The only never-graded name is the r7 ADDITION
-# q_corpus_mixture_salted (registry 214 -> 215; oracle-verified at
-# three SFs on arrival). Round 8 = flagships + q_corpus_mixture_salted
-# + any query whose code changes in r8 + the oldest-evidence re-grades
+# has a driver hash row. The only never-graded names are the r7
+# ADDITIONS q_corpus_mixture_salted (registry 214 -> 215) and
+# q_semantic_dedup (215 -> 216; SemDeDup cluster-then-compare) -- both
+# oracle-verified at three SFs on arrival. Round 8 = flagships + those
+# two + any query whose code changes in r8 + the oldest-evidence re-grades
 # (r1-only names not refreshed in r7: q_agg_global/stats/distinct/
 # having/filtered/rollup/cube/argmax, q_scan_prune, q_project_expr,
 # q_filter_*, q_join_left/right/semi/anti/cross/theta/range/broadcast,

@@ -996,13 +996,10 @@ def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(payloads, "doc_id", "payload", every_n_bytes=64)
 
 
-def _kmeans_oracle(k: int = 8, iterations: int = 3, dim: int = 64) -> str:
-    """DuckDB oracle for q_kmeans: Lloyd's iterations UNROLLED as chained
-    CTEs. Every arithmetic step mirrors operators/kmeans.py exactly --
-    1e-6 input quantization, the expanded |v|^2 - 2 v.c + |c|^2 distance
-    with sequential-fold dot products, exact long-sum centroid means --
-    so the "iterative, not SQL-expressible" claim stops being true once
-    the iteration count is a constant."""
+def _kmeans_ctes(k: int = 8, iterations: int = 3, dim: int = 64) -> list[str]:
+    """The unrolled-Lloyd's CTE chain shared by the q_kmeans and
+    q_semantic_dedup oracles; the final assignment relation is
+    ``a{iterations}`` with columns (vec_id, e, cluster)."""
     d2 = (
         "(list_dot_product(v.e, v.e) - 2 * list_dot_product(v.e, c.ce)"
         " + list_dot_product(c.ce, c.ce))"
@@ -1032,10 +1029,47 @@ def _kmeans_oracle(k: int = 8, iterations: int = 3, dim: int = 64) -> str:
                 f" (SELECT unnest(range(0, {dim})) AS j) d"
                 f" GROUP BY cluster, d.j) GROUP BY cluster)"
             )
+    return ctes
+
+
+def _kmeans_oracle(k: int = 8, iterations: int = 3, dim: int = 64) -> str:
+    """DuckDB oracle for q_kmeans: Lloyd's iterations UNROLLED as chained
+    CTEs. Every arithmetic step mirrors operators/kmeans.py exactly --
+    1e-6 input quantization, the expanded |v|^2 - 2 v.c + |c|^2 distance
+    with sequential-fold dot products, exact long-sum centroid means --
+    so the "iterative, not SQL-expressible" claim stops being true once
+    the iteration count is a constant."""
+    ctes = _kmeans_ctes(k, iterations, dim)
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT vec_id, CAST(cluster AS INTEGER) AS cluster"
         f" FROM a{iterations}"
+    )
+
+
+def _semantic_dedup_oracle(
+    k: int = 8, iterations: int = 3, dim: int = 64, threshold: float = 0.35
+) -> str:
+    """DuckDB oracle for q_semantic_dedup: the shared unrolled-k-means
+    CTE chain, then ONE within-cluster self-join dropping the higher id
+    of every pair whose rounded-4dp cosine reaches the threshold --
+    the same pair-cosine SQL q_embed_near_dup pins."""
+    ctes = _kmeans_ctes(k, iterations, dim)
+    a = f"a{iterations}"
+    cos = (
+        "ROUND(list_dot_product(x.e, y.e)"
+        " / (sqrt(list_dot_product(x.e, x.e))"
+        " * sqrt(list_dot_product(y.e, y.e))), 4)"
+    )
+    ctes.append(
+        f"dropped AS (SELECT DISTINCT y.vec_id FROM {a} x JOIN {a} y"
+        f" ON x.cluster = y.cluster AND x.vec_id < y.vec_id"
+        f" WHERE {cos} >= {threshold})"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT vec_id, CAST(cluster AS INTEGER) AS cluster"
+        f" FROM {a} WHERE vec_id NOT IN (SELECT vec_id FROM dropped)"
     )
 
 
@@ -1061,6 +1095,37 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assigned, _ = kmeans(v, k=8, iterations=3)
     return assigned.select("vec_id", "cluster")
+
+
+@query("q_semantic_dedup", oracle=_semantic_dedup_oracle())
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication over the FULL embeddings
+    table (round 7): deterministic k-means (k=8, 3 iterations -- the
+    exact q_kmeans configuration) partitions the embedding space, then
+    a single WITHIN-cluster self-join drops the higher id of every pair
+    whose rounded cosine >= 0.35. Survivors returned as
+    (vec_id, cluster). This is the BULK semantic-dedup path the
+    pipeline runs at scale -- q_embed_near_dup is its bounded all-pairs
+    ground truth, exactly as q_dedup_minhash's banded path pairs with
+    q_jaccard_sim.
+
+    Scale: the pair space is ~n^2/(2k) instead of n^2/2, and k grows
+    with corpus size so the per-cluster block stays bounded (SemDeDup
+    runs 11k clusters over LAION); pair dots go through the
+    Arrow-batched numpy path, norms are precomputed per vector, and no
+    all-pairs product ever forms (operators/similarity.py
+    semantic_dedup).
+
+    Oracle-exact: the clustering inherits q_kmeans' integer-exact
+    unrolled-CTE replay, and the pair cosine uses the rounded-4dp
+    convention q_embed_near_dup pins -- so a greedy clustered dedup,
+    nominally "iterative and approximate", is hash-checked exactly."""
+    from ..operators.similarity import semantic_dedup
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    return semantic_dedup(v, k=8, iterations=3, threshold=0.35)
 
 
 @query(
