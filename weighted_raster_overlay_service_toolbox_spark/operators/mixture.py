@@ -16,9 +16,15 @@ one scan plus one domain-keyed shuffle.
   into hash-derived sub-domains with proportional sub-budgets (exact
   conservation: the lane budgets sum to the domain budget) and
   re-merges -- parallelism becomes domains x salts.
-- Determinism is the point: an incremental re-run (more data appended)
-  selects the same prefix for unchanged documents, so downstream caches
-  and training shards stay valid.
+- Determinism is the point: the same input always selects the same
+  set, independent of partitioning and rerun. On an incremental re-run
+  (more data appended) the selection is stable only UP TO the earliest
+  newcomer in a domain's md5 order -- every unchanged document ordered
+  before it keeps its fate, but a newcomer hashing into the middle of
+  the order shifts all later running sums (no hash order can prevent
+  that while budgets bind). Pipelines needing append-only stability
+  should freeze a selection snapshot and run subsequent rounds on the
+  remainder with the leftover budget.
 - Token counts are whatever ``token_count_col`` computes -- whitespace
   split here; swap in the BPE-ish regex from the token-count query when
   the training tokenizer is subword.

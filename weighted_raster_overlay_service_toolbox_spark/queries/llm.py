@@ -1383,8 +1383,11 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one scan, one shuffle keyed by source for the running-sum
     window; the cumulative sum is per-partition sequential but each
     domain's stream is independent, so parallelism = number of domains
-    (salt-split a mega-domain first if one dominates). Deterministic
-    order means incremental re-runs select the same prefix."""
+    (salt-split a mega-domain first if one dominates --
+    q_corpus_mixture_salted). Deterministic order means the same input
+    always selects the same set; under appends the selection is stable
+    up to the earliest newcomer in md5 order (see
+    operators/mixture.py)."""
     from ..operators.mixture import token_budget_mixture
 
     d = load_table(spark, sf_dir, "documents")
@@ -1438,8 +1441,10 @@ def q_corpus_mixture_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     window partition key just widens to (source, lane). Budget
     conservation across the split is exact (property-tested in
     tests/test_mixture.py over all (budget, n) pairs); selection stays
-    a strict md5-order prefix WITHIN each lane, so incremental re-runs
-    keep lane-local prefix stability. See
+    a strict md5-order prefix WITHIN each lane, and an appended
+    document perturbs ONLY the lane it hashes into -- salting bounds
+    an append's blast radius to 1/n_salts of the domain, where the
+    unsalted operator can shift the whole domain's tail. See
     operators/mixture.py:salted_token_budget_mixture for the
     lane-budget >> doc-size sizing rule."""
     from ..operators.mixture import salted_token_budget_mixture
