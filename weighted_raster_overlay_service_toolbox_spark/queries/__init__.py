@@ -112,15 +112,18 @@ from . import tpch  # noqa: F401,E402
 # no scan or stream name) and q_join_full / q_win_frame_range /
 # q_agg_grouping_sets / q_except, the oldest r1-only re-grades, one per
 # family the plan comment names. After this window every one of the
-# 214 registered queries has a driver HASH row at least once -- the
-# program's stated evidence end-state.
+# 214 pre-r7 registered queries has a driver HASH row at least once --
+# the program's stated evidence end-state (the r7 additions below are
+# parity-verified on arrival and graded in r8).
 #
 # ROUND-8 ROTATION PLAN: with the r7 window graded, every pre-r7 query
 # has a driver hash row. The only never-graded names are the r7
-# ADDITIONS q_corpus_mixture_salted (registry 214 -> 215) and
-# q_semantic_dedup (215 -> 216; SemDeDup cluster-then-compare) -- both
-# oracle-verified at three SFs on arrival. Round 8 = flagships + those
-# two + any query whose code changes in r8 + the oldest-evidence re-grades
+# ADDITIONS q_corpus_mixture_salted (registry 214 -> 215),
+# q_semantic_dedup (215 -> 216; SemDeDup cluster-then-compare), and
+# q_quality_classifier (216 -> 217; model-based quality filtering) --
+# all oracle-verified at three SFs on arrival. Round 8 = flagships +
+# those three + any query whose code changes in r8 + the
+# oldest-evidence re-grades
 # (r1-only names not refreshed in r7: q_agg_global/stats/distinct/
 # having/filtered/rollup/cube/argmax, q_scan_prune, q_project_expr,
 # q_filter_*, q_join_left/right/semi/anti/cross/theta/range/broadcast,

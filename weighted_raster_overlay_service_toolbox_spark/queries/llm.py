@@ -709,9 +709,97 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: tiny seeded marker lexicons for the language-ID heuristic.
+#: tiny seeded marker lexicons for the language-ID heuristic (defined
+#: before q_quality_classifier, which reuses the EN lexicon).
 _EN_MARKERS = ["the", "of", "and", "order", "key", "scan"]
 _ES_MARKERS = ["el", "la", "de", "orden", "clave"]
+
+#: "pretrained" linear quality-classifier coefficients (fastText/DCLM-
+#: style model-based filtering reduced to its inference arithmetic):
+#: bias + weights for (ln(1+n_toks), avg_tok_len, type_token_ratio,
+#: marker_ratio), fixed literals so both engines evaluate the identical
+#: expression -- a real deployment broadcasts a learned weight vector,
+#: the plan is the same.
+_QC_BIAS = -3.09  # centers the fixture z distribution on the 0.5 cut,
+#                   so keep/drop actually SPLITS at every SF (a
+#                   classifier that keeps 100% would exercise nothing)
+_QC_W = (0.35, 0.12, 1.6, 2.2)
+
+
+@query(
+    "q_quality_classifier",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks
+               FROM documents),
+    f AS (
+        SELECT doc_id,
+               ln(1 + len(toks))                                  AS x1,
+               CAST(n_chars AS DOUBLE) / len(toks)                AS x2,
+               CAST(len(list_distinct(toks)) AS DOUBLE)
+                   / len(toks)                                    AS x3,
+               CAST(len(list_filter(toks,
+                    t -> list_contains({_EN_MARKERS!r}, t))) AS DOUBLE)
+                   / len(toks)                                    AS x4
+        FROM t
+    ),
+    z AS (
+        SELECT doc_id,
+               {_QC_BIAS} + {_QC_W[0]} * x1 + {_QC_W[1]} * x2
+                          + {_QC_W[2]} * x3 + {_QC_W[3]} * x4 AS z
+        FROM f
+    )
+    SELECT doc_id,
+           CAST(ROUND(1.0 / (1.0 + exp(-z)), 4) AS DOUBLE) AS score,
+           ROUND(1.0 / (1.0 + exp(-z)), 4) >= 0.5          AS keep
+    FROM z
+    """,
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL-BASED quality filtering (round 7): the classifier-inference
+    stage modern corpus pipelines run after heuristic filters (fastText
+    in CCNet, the DCLM/fineweb-edu quality classifiers) -- a linear
+    model over cheap text features, sigmoid score, keep at 0.5. The
+    weights here are fixed literals standing in for a trained model;
+    a deployment swaps them for a broadcast weight vector (the plan
+    shape is identical: narrow per-row arithmetic, no shuffle at all).
+
+    Features, in the exact evaluation order both engines share:
+    ln(1+n_toks), avg token length, type-token ratio, and the
+    marker-lexicon hit ratio (the q_lang_id lexicon reused as a
+    stopword-density proxy). The threshold compares the ROUNDED-4dp
+    sigmoid on both engines, so the keep/drop cut is insensitive to
+    last-ulp exp() differences between libms -- the same insulation
+    the cosine and tfidf conventions use.
+
+    Scale: fully narrow (one projection, zero exchanges) -- this is
+    the cheapest stage of the whole pipeline and the first one to run
+    after decoding, exactly because it prunes the corpus before any
+    shuffle-bearing stage sees it."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(TOKS())
+    x1 = F.log(F.lit(1.0) + n)
+    x2 = F.col("n_chars").cast("double") / n
+    x3 = F.size(F.array_distinct(TOKS())).cast("double") / n
+    markers = F.array(*[F.lit(m) for m in _EN_MARKERS])
+    x4 = (
+        F.size(F.filter(TOKS(), lambda t: F.array_contains(markers, t))).cast(
+            "double"
+        )
+        / n
+    )
+    z = (
+        F.lit(_QC_BIAS)
+        + F.lit(_QC_W[0]) * x1
+        + F.lit(_QC_W[1]) * x2
+        + F.lit(_QC_W[2]) * x3
+        + F.lit(_QC_W[3]) * x4
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
+    return d.select(
+        "doc_id",
+        score.cast("double").alias("score"),
+        (score >= 0.5).alias("keep"),
+    )
 
 
 @query(
