@@ -81,3 +81,24 @@ def test_norm_cell_folds_midnight_datetime_onto_date():
     assert _norm_cell(datetime(2020, 1, 1, 0, 0, 1)) != _norm_cell(
         date(2020, 1, 1)
     )
+
+
+def test_compare_itself_catches_r6_funnel_oracle(spark, duck):
+    """End-to-end fails-before/passes-after for the COMPARE fix (not just
+    the DESCRIBE gate): the driver-replica compare must flag the round-6
+    oracle (HUGEINT -> float64 150.0 vs Spark bigint 150 -- values equal
+    under Python ==, hashes different in the driver) and pass the fixed
+    one. The old fetchall-based compare returned [] for BOTH."""
+    from weighted_raster_overlay_service_toolbox_spark.queries import (
+        ORACLES,
+        QUERIES,
+    )
+
+    from .conftest import SF_ORACLE
+    from .parity import compare
+
+    fn = QUERIES["q_funnel_ordered"]
+    assert compare(spark, duck, fn, _R6_FUNNEL_ORACLE, SF_ORACLE), (
+        "pandas-faithful compare missed the known int-vs-float divergence"
+    )
+    assert not compare(spark, duck, fn, ORACLES["q_funnel_ordered"], SF_ORACLE)
