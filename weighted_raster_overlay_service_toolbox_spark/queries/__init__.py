@@ -120,10 +120,12 @@ from . import tpch  # noqa: F401,E402
 # has a driver hash row. The only never-graded names are the r7
 # ADDITIONS q_corpus_mixture_salted (registry 214 -> 215),
 # q_semantic_dedup (215 -> 216; SemDeDup cluster-then-compare), and
-# q_quality_classifier (216 -> 217; model-based quality filtering) --
-# all oracle-verified at three SFs on arrival. Round 8 = flagships +
-# those three + any query whose code changes in r8 + the
-# oldest-evidence re-grades
+# q_quality_classifier (216 -> 217; model-based quality filtering),
+# and q_stream_quality_filter (217 -> 218; the same classifier applied
+# at INGEST over a deterministic documents file stream -- stateless
+# append, batch==stream by construction) -- all oracle-verified at
+# three SFs on arrival. Round 8 = flagships + those four + any query
+# whose code changes in r8 + the oldest-evidence re-grades
 # (r1-only names not refreshed in r7: q_agg_global/stats/distinct/
 # having/filtered/rollup/cube/argmax, q_scan_prune, q_project_expr,
 # q_filter_*, q_join_left/right/semi/anti/cross/theta/range/broadcast,

@@ -726,6 +726,32 @@ _QC_BIAS = -3.09  # centers the fixture z distribution on the 0.5 cut,
 _QC_W = (0.35, 0.12, 1.6, 2.2)
 
 
+def quality_classifier_score() -> "F.Column":
+    """The rounded-4dp sigmoid quality score as a pure column expression
+    over (text, n_chars) -- shared verbatim by q_quality_classifier
+    (batch) and q_stream_quality_filter (ingest-time), so the two paths
+    are the SAME function of the row, not two implementations."""
+    n = F.size(TOKS())
+    x1 = F.log(F.lit(1.0) + n)
+    x2 = F.col("n_chars").cast("double") / n
+    x3 = F.size(F.array_distinct(TOKS())).cast("double") / n
+    markers = F.array(*[F.lit(m) for m in _EN_MARKERS])
+    x4 = (
+        F.size(F.filter(TOKS(), lambda t: F.array_contains(markers, t))).cast(
+            "double"
+        )
+        / n
+    )
+    z = (
+        F.lit(_QC_BIAS)
+        + F.lit(_QC_W[0]) * x1
+        + F.lit(_QC_W[1]) * x2
+        + F.lit(_QC_W[2]) * x3
+        + F.lit(_QC_W[3]) * x4
+    )
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
+
+
 @query(
     "q_quality_classifier",
     oracle=f"""
@@ -776,25 +802,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     after decoding, exactly because it prunes the corpus before any
     shuffle-bearing stage sees it."""
     d = load_table(spark, sf_dir, "documents")
-    n = F.size(TOKS())
-    x1 = F.log(F.lit(1.0) + n)
-    x2 = F.col("n_chars").cast("double") / n
-    x3 = F.size(F.array_distinct(TOKS())).cast("double") / n
-    markers = F.array(*[F.lit(m) for m in _EN_MARKERS])
-    x4 = (
-        F.size(F.filter(TOKS(), lambda t: F.array_contains(markers, t))).cast(
-            "double"
-        )
-        / n
-    )
-    z = (
-        F.lit(_QC_BIAS)
-        + F.lit(_QC_W[0]) * x1
-        + F.lit(_QC_W[1]) * x2
-        + F.lit(_QC_W[2]) * x3
-        + F.lit(_QC_W[3]) * x4
-    )
-    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
+    score = quality_classifier_score()
     return d.select(
         "doc_id",
         score.cast("double").alias("score"),

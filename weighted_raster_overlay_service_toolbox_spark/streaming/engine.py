@@ -54,10 +54,51 @@ def stage_event_files(
     is valid across runs. The fingerprint (source mtime+size) invalidates
     stagings built from a previous generation of the fixture data.
     """
+    return _stage_table_files(
+        spark,
+        sf_dir,
+        table="events",
+        order_cols=("ts", "event_id"),
+        prefix=f"stream_{name}_",
+        n_files=n_files,
+        late_rows=late_events,
+    )
+
+
+def stage_document_files(
+    spark: SparkSession, sf_dir: str, name: str, n_files: int = 4
+) -> str:
+    """Stage the documents table as an n_files deterministic file stream
+    (doc_id order) -- the CORPUS-INGEST scenario: documents arriving in
+    batches, filtered/scored on the way in. Same content-addressed
+    staging contract as :func:`stage_event_files`."""
+    return _stage_table_files(
+        spark,
+        sf_dir,
+        table="documents",
+        order_cols=("doc_id",),
+        prefix=f"streamdoc_{name}_",
+        n_files=n_files,
+        late_rows=0,
+    )
+
+
+def _stage_table_files(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    order_cols: tuple,
+    prefix: str,
+    n_files: int,
+    late_rows: int,
+) -> str:
+    """Shared staging engine (round-7 factor-out of the events-only body;
+    the events path keeps its exact historical directory naming, so
+    completed stagings from earlier rounds stay valid)."""
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    st = os.stat(f"{sf_dir}/events.parquet")
+    st = os.stat(f"{sf_dir}/{table}.parquet")
     fp = f"{st.st_mtime_ns:x}_{st.st_size:x}"
-    prefix = f"stream_{name}_{sf_tag}_f{n_files}_l{late_events}_"
+    prefix = f"{prefix}{sf_tag}_f{n_files}_l{late_rows}_"
     out = os.path.join(_SCRATCH, prefix + fp)
     # prune stagings of the SAME (name, sf, params) built from a previous
     # fixture generation (different fingerprint) -- without this, every
@@ -70,16 +111,16 @@ def stage_event_files(
         return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
-    ev = load_table(spark, sf_dir, "events").orderBy("ts", "event_id")
+    ev = load_table(spark, sf_dir, table).orderBy(*order_cols)
     rows_total = ev.count()
     chunk = rows_total // n_files + 1
     # one pass: rank, then cache so each batch-file write re-filters the
     # in-memory ranked set instead of re-sorting the source
     ranked = ev.withColumn(
-        "_rn", F.row_number().over(Window.orderBy("ts", "event_id"))
+        "_rn", F.row_number().over(Window.orderBy(*order_cols))
     ).cache()
-    late = ranked.filter(F.col("_rn") <= late_events)
-    on_time = ranked.filter(F.col("_rn") > late_events)
+    late = ranked.filter(F.col("_rn") <= late_rows)
+    on_time = ranked.filter(F.col("_rn") > late_rows)
     for i in range(n_files):
         part = on_time.filter(
             (F.col("_rn") > i * chunk) & (F.col("_rn") <= (i + 1) * chunk)
@@ -87,7 +128,7 @@ def stage_event_files(
         part.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(out, f"batch_{i:03d}.parquet")
         )
-    if late_events:
+    if late_rows:
         late.drop("_rn").coalesce(1).write.mode("overwrite").parquet(
             os.path.join(out, f"batch_{n_files:03d}_late.parquet")
         )
@@ -143,6 +184,25 @@ def read_event_stream(
     schema = (
         "event_id long, ts timestamp, user_id long, event_type string, "
         "value double, props string"
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .option("recursiveFileLookup", "true")
+        .parquet(staged_dir)
+    )
+
+
+def read_document_stream(
+    spark: SparkSession, staged_dir: str, files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over a :func:`stage_document_files` dir -- the
+    documents-table sibling of :func:`read_event_stream` (same session
+    cloning and determinism contract)."""
+    spark = stream_session(spark)
+    schema = (
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long"
     )
     return (
         spark.readStream.schema(schema)
