@@ -53,8 +53,13 @@ def _norm_cell(v):
     The driver hashes serialized values, so the canonical form must
     distinguish everything its serializer distinguishes -- in particular
     int vs float (``150`` vs ``150.0``), which Python ``==`` equates.
-    Numeric cells are therefore tagged by kind. Floats compare EXACTLY
-    (the driver hashes, so we must too; negative zero normalized).
+    Numeric cells are therefore tagged by kind. Floats compare EXACTLY,
+    INCLUDING the sign of zero: the driver serializes values before
+    hashing, so DuckDB's ``-0.0`` (sign-preserving double ROUND) hashes
+    differently from Spark's ``+0.0`` (BigDecimal round) -- exactly
+    CORRECTNESS_r07's one red row (q_collocations). Python tuple ``==``
+    equates ``-0.0`` and ``0.0``, so the canonical form carries the sign
+    bit explicitly for zeros rather than relying on the float value.
 
     Non-scalar cells (list/dict/bytes) are REJECTED, not canonicalized:
     the external driver's pandas ``sort_values`` canonicalizer raises
@@ -74,7 +79,12 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return ("f", v + 0.0 if v == 0.0 else v)
+        # Negative zero must canonicalize DIFFERENTLY from positive zero
+        # (driver-hash fidelity), and tuple equality alone can't do it:
+        # ("f", -0.0) == ("f", 0.0) in Python. Carry the sign bit.
+        if v == 0.0 and math.copysign(1.0, v) < 0.0:
+            return ("f", v, "-0")
+        return ("f", v)
     if isinstance(v, int):
         return ("i", v)
     if isinstance(v, datetime):

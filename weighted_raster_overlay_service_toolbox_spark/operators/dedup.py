@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.rounding import duck_round
+
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Group by content hash; keep the lowest id (the canonical survivor)."""
@@ -194,7 +196,7 @@ def minhash_candidates(
             est.alias("est_row"),
         )
         .groupBy("doc_a", "doc_b")
-        .agg(F.round(F.max("est_row"), 4).alias("est_jaccard"))
+        .agg(duck_round(F.max("est_row"), 4).alias("est_jaccard"))
     )
 
 

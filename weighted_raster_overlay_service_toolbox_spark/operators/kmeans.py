@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..functions.rounding import duck_round
 from pyspark.sql.functions import broadcast
 
 _Q = 1_000_000  # quantization denominator: 1e-6 embedding granularity
@@ -38,7 +40,7 @@ def quantize_vec(e) -> F.Column:
     bit pattern in Spark and DuckDB because both divide the same exact
     integer by the same constant."""
     e = F.col(e) if isinstance(e, str) else e
-    return F.transform(e, lambda x: F.round(x * _Q) / F.lit(float(_Q)))
+    return F.transform(e, lambda x: duck_round(x * _Q) / F.lit(float(_Q)))
 
 
 def _dot(a, b) -> F.Column:
@@ -79,7 +81,7 @@ def update_centroids(assigned: DataFrame) -> DataFrame:
     flat = assigned.select(
         "cluster", F.posexplode("e").alias("pos", "val")
     ).select(
-        "cluster", "pos", F.round(F.col("val") * _Q).cast("long").alias("v6")
+        "cluster", "pos", duck_round(F.col("val") * _Q).cast("long").alias("v6")
     )
     dims = flat.groupBy("cluster", "pos").agg(
         (F.sum("v6") / F.count(F.lit(1)) / F.lit(float(_Q))).alias("mean_val")

@@ -23,6 +23,8 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..functions.rounding import duck_round
 from pyspark.sql.functions import broadcast, pandas_udf
 
 
@@ -71,10 +73,18 @@ def cosine_scores(
     ``cands``: ``vec_id, e, nrm``; ``probes``: ``probe_id, pe, pnrm``.
     Returns ``probe_id, cand_id, sim`` with sim rounded to 4dp (the
     cross-engine determinism convention for similarity scores).
+
+    ``bulk=False`` (dot_expr, sequential fold) bit-matches DuckDB's
+    list_dot_product and is REQUIRED when the rounded sim gates an exact
+    comparison (oracle parity, top-k membership: the r8 sweep measured a
+    fixture sim 9e-11 from a 4dp rounding boundary, inside einsum-vs-fold
+    summation-order drift). ``bulk=True`` (Arrow einsum) is the
+    throughput path for 100k+ pair re-scoring where last-ulp identity is
+    not load-bearing.
     """
     dot = dot_pandas if bulk else dot_expr
     joined = cands.join(broadcast(probes), F.col("vec_id") != F.col("probe_id"))
-    sim = F.round(
+    sim = duck_round(
         dot(F.col("pe"), F.col("e")) / (F.col("pnrm") * F.col("nrm")), 4
     ).cast("double")
     return joined.select(
@@ -127,32 +137,53 @@ def semantic_dedup(
     k: int = 8,
     iterations: int = 3,
     threshold: float = 0.35,
+    max_block: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means cluster the embedding space, then compare
     ONLY within clusters -- the pair space collapses from n^2/2 to
     ~n^2/(2k), and at production scale k grows with n so the per-cluster
     block stays bounded (the paper runs 11k clusters over LAION). Within
-    a cluster, a vector is DROPPED when its cosine to any LOWER-id
-    vector of the same cluster reaches ``threshold`` -- the
-    deterministic greedy keep-lowest-id rule (the same keep-one
-    convention the MinHash cluster path uses), a SQL-expressible
-    variant of the paper's per-cluster greedy sweep.
+    a cluster, a vector is DROPPED if ANY lower-id cluster member (kept
+    or itself already dropped) is within ``threshold`` cosine -- a
+    deterministic, join-expressible rule, the same keep-one convention
+    the MinHash cluster path uses. NOTE this is not the paper's
+    survivor-relative greedy sweep: on a chain a~b~c with a !~ c, the
+    sweep would keep c (its only near neighbor b is already gone) while
+    this rule drops it -- strictly more aggressive, order-free, and
+    therefore expressible as one self-join instead of a sequential scan.
+
+    ``max_block`` caps the within-cluster comparison block: clusters
+    larger than the cap are striped into ``ceil(c_n / max_block)`` lanes
+    by id-ordered round-robin (row_number over vec_id, modulo), and only
+    same-lane pairs are compared. This bounds the worst-case block at
+    EXACTLY ``max_block`` rows (deterministic, not hash-expected), so one
+    hot cluster at 100 TB cannot become an O(c^2) straggler. The trade is
+    recall: cross-lane near-dups inside an oversize cluster are missed --
+    the same documented under-detection trade as the salted corpus-mixture
+    lanes; production sizing should prefer growing k (the paper's regime)
+    and use the cap as a straggler backstop. Default None = off, which is
+    the oracle-checked registry configuration.
 
     Returns the SURVIVORS as ``(vec_id, cluster)``.
 
     Determinism/oracle story: clustering is the exact-arithmetic
     deterministic Lloyd's of operators/kmeans.py (quantized inputs,
     integer-exact centroid means), and the pair cosine follows the
-    rounded-4dp convention, so the whole operator carries an exact
-    DuckDB oracle (unrolled k-means CTEs + one within-cluster
+    rounded-4dp convention computed with :func:`dot_expr` -- the
+    SEQUENTIAL fold that bit-matches DuckDB's list_dot_product -- NOT
+    the einsum path, because this rounded cosine GATES set membership:
+    a last-ulp summation-order difference at a .xxxx5 boundary would
+    flip a survivor (ADVICE r7). The whole operator therefore carries
+    an exact DuckDB oracle (unrolled k-means CTEs + one within-cluster
     self-join).
 
     Scale: one broadcast + one (cluster, dim) shuffle per k-means
-    iteration, then ONE cluster-keyed self-join whose pair dots run in
-    the Arrow-batched numpy path (dot_pandas) -- no all-pairs product
+    iteration, then ONE cluster-keyed self-join -- no all-pairs product
     ever forms. Norms are precomputed per vector (N evaluations, not
-    2 per pair)."""
+    2 per pair). For bulk re-scoring where the result does not gate an
+    exact comparison, :func:`dot_pandas` (Arrow einsum) is the faster
+    path at 100k+ pairs."""
     from .kmeans import kmeans
 
     assigned, _ = kmeans(vectors, k=k, iterations=iterations)
@@ -164,21 +195,39 @@ def semantic_dedup(
     # embedding-sized -- exactly the data the self-join must hold anyway.
     assigned = assigned.localCheckpoint(eager=False)
     sides = with_norm(assigned)
+    if max_block is not None:
+        # id-ordered round-robin striping: lane sizes differ by at most 1
+        # and never exceed max_block (n_lanes = ceil(c_n / max_block)).
+        wc = Window.partitionBy("cluster").orderBy("vec_id")
+        sides = (
+            sides.withColumn("_rn", F.row_number().over(wc))
+            .withColumn("_c_n", F.count(F.lit(1)).over(Window.partitionBy("cluster")))
+            .withColumn(
+                "_lane",
+                (F.col("_rn") - 1)
+                % F.ceil(F.col("_c_n") / F.lit(max_block)).cast("int"),
+            )
+            .drop("_rn", "_c_n")
+        )
+    else:
+        sides = sides.withColumn("_lane", F.lit(0))
     a = sides.select(
         F.col("vec_id").alias("id_a"), F.col("e").alias("ea"),
-        F.col("nrm").alias("na"), "cluster",
+        F.col("nrm").alias("na"), "cluster", F.col("_lane").alias("lane_a"),
     )
     b = sides.select(
         F.col("vec_id").alias("id_b"), F.col("e").alias("eb"),
         F.col("nrm").alias("nb"), F.col("cluster").alias("cluster_b"),
+        F.col("_lane").alias("lane_b"),
     )
-    cos = F.round(
-        dot_pandas(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4
+    cos = duck_round(
+        dot_expr(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4
     ).cast("double")
     dropped = (
         a.join(
             b,
             (F.col("cluster") == F.col("cluster_b"))
+            & (F.col("lane_a") == F.col("lane_b"))
             & (F.col("id_a") < F.col("id_b")),
         )
         .filter(cos >= threshold)

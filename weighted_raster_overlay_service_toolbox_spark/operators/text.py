@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.rounding import duck_round
 from pyspark.sql.functions import broadcast
 
 
@@ -68,7 +70,7 @@ def tfidf(docs: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
             "doc_id",
             "term",
             "tf",
-            F.round(
+            duck_round(
                 F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
             )
             .cast("double")
@@ -87,10 +89,10 @@ def quality_features(
     return docs.select(
         F.col(id_col).alias("doc_id"),
         n.alias("n_toks"),
-        F.round(F.length(text_col).cast("double") / n, 4)
+        duck_round(F.length(text_col).cast("double") / n, 4)
         .cast("double")
         .alias("avg_tok_len"),
-        F.round(F.size(F.array_distinct(toks)).cast("double") / n, 4)
+        duck_round(F.size(F.array_distinct(toks)).cast("double") / n, 4)
         .cast("double")
         .alias("type_token_ratio"),
         (n >= min_tokens).alias("long_enough"),
@@ -103,7 +105,7 @@ def marker_score(text_col: str | Column, markers: list[str]) -> Column:
     toks = tokens_of(text_col)
     arr = F.array(*[F.lit(m) for m in markers])
     hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
-    return F.round(hits.cast("double") / F.size(toks), 4).cast("double")
+    return duck_round(hits.cast("double") / F.size(toks), 4).cast("double")
 
 
 def word_ngrams(text_col: str | Column, n: int = 3) -> Column:
@@ -138,7 +140,7 @@ def repetition_features(
     return cnt.groupBy("doc_id").agg(
         F.max("c").cast("int").alias("top_ngram_count"),
         F.sum("c").cast("int").alias("n_ngrams"),
-        F.round(F.max("c") / F.sum("c"), 4).cast("double").alias("top_ngram_share"),
+        duck_round(F.max("c") / F.sum("c"), 4).cast("double").alias("top_ngram_share"),
     )
 
 

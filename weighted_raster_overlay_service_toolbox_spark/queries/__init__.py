@@ -133,54 +133,50 @@ from . import tpch  # noqa: F401,E402
 # q_sort_multi, q_topk, q_topk_per_group, q_union_*, q_intersect,
 # q_str_funcs, q_str_split_index, q_str_regex) to fill 50.
 _DRIVER_WINDOW = [
-    # -- permanent flagships (driver-green r3/r4/r5; q_sink_partitioned
-    #    keeps the every-window-exercises-a-sink invariant of
-    #    tests/test_registry.py; q_wro_equal_interval /
-    #    q_stream_tumbling / q_dedup_clusters rotated out this round --
-    #    multi-round green, unchanged, and their family prefixes stay
-    #    covered by q_wro_overlay and the four tail stream queries) --
+    # == ROUND-8 WINDOW ==
+    # After r7's grading, every pre-r7 name has a driver hash row.
+    # This window = flagships + the 4 never-driver-graded r7 additions +
+    # EVERY query whose code or oracle changed in r8 (the duck_round
+    # cross-engine rounding mirror, the -0.0 folds, the dot_expr gate
+    # switches -- all parity-verified value-preserving at sf0.01 before
+    # shipping, but changed code must be driver-witnessed) + r1-only
+    # re-grade fills. The remaining r1-only re-grades continue in r9.
+    #
+    # -- permanent flagships (q_sink_partitioned keeps the
+    #    every-window-exercises-a-sink invariant of tests/test_registry.py)
     "q_wro_overlay", "q_sink_partitioned",
     "q_dedup_exact", "q_cosine_topk", "q_tfidf", "q_corpus_pipeline",
     "q_sql_api", "q_agg_group", "q_win_rank",
-    # -- changed in r7: driver-witness the fixes --
-    "q_funnel_ordered",     # oracle SUM cast to BIGINT (r6's one red row)
-    "q_dedup_clusters",     # minhash_verified_edges hint drop (r6 #2)
-    "q_dedup_keep_one",     # same operator path
-    "q_jaccard_sim",        # jaccard_pairs sizes-side hint drop
-    "q_ngram_jaccard",      # same operator path (shingle tokens)
-    # -- changed in r6, displaced from the full r6 window --
-    "q_hll_rollup",         # single-scan shared-join checkpoint
-    # -- the never-driver-graded tail: all 29 remaining names --
-    "q_histogram_numeric", "q_histogram_equidepth",
-    "q_join_asof_forward", "q_join_null_safe",
-    "q_win_time_range",
-    "q_intersect_all", "q_except_distinct",
-    "q_udtf_lateral",
-    "q_json_typed", "q_str_funcs2",
-    "q_seasonality_matrix",
-    "q_multimodal_resize", "q_multimodal_framesample",
-    "q_corpus_mixture",      # r6 ADDITION: token-budget domain mixing
-    "q_block_dedup",
-    "q_sample_stratified",
-    "q_dedup_rate", "q_dedup_incremental",
-    "q_ann_filtered",
+    # (q_cosine_topk / q_tfidf / q_corpus_pipeline also changed in r8:
+    #  dot_expr gate switch, duck_round tfidf, est_jaccard path)
+    #
+    # -- the 4 r7 additions: first driver grade --
+    "q_corpus_mixture_salted",
+    "q_semantic_dedup",       # + r8: dot_expr gate, max_block lane cap
+    "q_quality_classifier",   # + r8: duck_round sigmoid
+    "q_stream_quality_filter",  # + r8: same shared scorer
+    #
+    # -- r8's one red-row fix: DuckDB ROUND emits -0.0 where BigDecimal
+    #    emits +0.0; now folded + 0.0 on BOTH sides (VERDICT r7 #1) --
     "q_collocations",
-    "q_containment_sim",
-    "q_split_train_val_test",
-    "q_subquery_scalar",
-    "q_scd2",
-    "q_impute_group_mean",
-    "q_rollup_two_level",
-    "q_zorder_layout",       # displaced three times; FIRST this time
-    "q_downsample_rollup",
-    "q_timeseries_gapfill",
+    "q_udf_grouped_map",      # the other -0.0 emitter, same fold
+    #
+    # -- changed in r8: duck_round mirror on rounded-double outputs --
+    "q_embed_near_dup",       # + dot_expr gate (ADVICE r7 #1)
+    "q_kmeans", "q_repetition_ratio", "q_dedup_minhash",
+    "q_jaccard_sim", "q_ngram_jaccard", "q_ann_ivf",
+    "q_text_quality", "q_lang_id", "q_contamination",
+    "q_rare_token_ratio", "q_embed_quantize", "q_dedup_rate",
+    "q_ann_filtered", "q_containment_sim", "q_unigram_logprob",
+    "q_win_percent_rank", "q_agg_stats", "q_math_funcs",
+    "q_udaf_grouped", "q_project_expr", "q_wro_stats",
+    "q_agg_corr", "q_embed_centroid", "q_outliers_zscore",
+    "q_dq_checks", "q_tpch_q14", "q_tpch_q8", "q_tpch_q17",
+    #
     # -- fills: family coverage + oldest r1-only re-grades --
-    "q_scan_full",           # scan family (r1-only)
-    "q_stream_tumbling",     # stream family (multi-round green flagship)
-    "q_join_full",           # r1-only re-grade
-    "q_win_frame_range",     # r1-only re-grade
-    "q_agg_grouping_sets",   # r1-only re-grade
-    "q_except",              # r1-only re-grade
+    "q_scan_prune",          # scan family (r1-only)
+    "q_join_left", "q_join_semi", "q_join_anti",   # r1-only re-grades
+    "q_sort_multi", "q_topk",                      # r1-only re-grades
 ]
 
 

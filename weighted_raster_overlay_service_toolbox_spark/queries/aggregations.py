@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.rounding import duck_round
+
 from ..sources import load_table
 from .registry import davg, dsum, money, oavg, osum, query
 
@@ -118,7 +120,7 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_quantity").cast("double").alias("min_qty"),
         F.max("l_quantity").cast("double").alias("max_qty"),
         davg("l_quantity", "avg_qty"),
-        F.round(F.stddev_pop("l_quantity"), 2).cast("double").alias("std_qty"),
+        duck_round(F.stddev_pop("l_quantity"), 2).cast("double").alias("std_qty"),
     )
 
 

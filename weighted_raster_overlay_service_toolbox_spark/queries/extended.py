@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.rounding import duck_round
+
 from ..plans.wro import wro_catalog, wro_catalog_sql
 from ..sources import load_table
 from .registry import query
@@ -270,7 +272,7 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine stable where raw co-moment sums would not be)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4)
+        duck_round(F.corr("l_quantity", "l_extendedprice"), 4)
         .cast("double")
         .alias("qty_price_corr")
     )
@@ -304,7 +306,7 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "pos")
         # + 0.0 normalizes IEEE negative zero: ROUND can yield -0.0 on one
         # engine and 0.0 on the other, which hash-mismatches despite ==
-        .agg((F.round(F.avg("val"), 4) + F.lit(0.0)).cast("double").alias("centroid_val"))
+        .agg((duck_round(F.avg("val"), 4) + F.lit(0.0)).cast("double").alias("centroid_val"))
         .select("label", F.col("pos").cast("int").alias("pos"), "centroid_val")
     )
 
@@ -686,7 +688,7 @@ def q_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
-        F.round(F.col("value") * 100).cast("long").alias("cv"),
+        duck_round(F.col("value") * 100).cast("long").alias("cv"),
     )
     w = Window.partitionBy("user_id")
     dev = F.col("n") * F.col("cv") - F.col("sv")
@@ -1007,7 +1009,7 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rule",
         F.col("n").cast("long").alias("n_checked"),
         F.col("v").cast("long").alias("n_violations"),
-        F.round(F.col("v").cast("double") / F.col("n"), 6)
+        duck_round(F.col("v").cast("double") / F.col("n"), 6)
         .cast("double")
         .alias("violation_rate"),
     )
@@ -1353,7 +1355,7 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(p, li["l_partkey"] == p["p_partkey"])
         .agg(
-            F.round(
+            duck_round(
                 F.lit(100.0)
                 * F.sum(
                     F.when(F.col("p_type") == "PROMO", dp).otherwise(
@@ -1543,7 +1545,7 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return base.groupBy("o_year").agg(
-        F.round(
+        duck_round(
             F.sum(
                 F.when(F.col("supp_nation") == "NATION_7", F.col("volume"))
                 .otherwise(F.lit(0).cast("decimal(18,4)"))
@@ -1649,7 +1651,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(p, p["p_partkey"] == li["l_partkey"])
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
-            F.round(
+            duck_round(
                 F.sum(money("l_extendedprice")).cast("double") / 7.0, 2
             )
             .cast("double")

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..functions.rounding import duck_round
 from pyspark.sql.functions import broadcast
 
 from ..operators.dedup import (
@@ -135,7 +137,7 @@ def q_jaccard_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.array_distinct(TOKS())).alias("tok")
     ).localCheckpoint(eager=False)
     return jaccard_pairs(toks).select(
-        "doc_a", "doc_b", F.round("jaccard", 4).cast("double").alias("jaccard")
+        "doc_a", "doc_b", duck_round("jaccard", 4).cast("double").alias("jaccard")
     )
 
 
@@ -331,7 +333,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.round("jaccard", 4).cast("double").alias("trigram_jaccard"),
+            duck_round("jaccard", 4).cast("double").alias("trigram_jaccard"),
         )
     )
 
@@ -448,7 +450,13 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: probes broadcast (tiny), candidates stream -- no shuffle of the
     candidate side; per-partition partial top-k then a final merge (the
-    window over probe_id partitions is the merge)."""
+    window over probe_id partitions is the merge). The pair dot uses the
+    SEQUENTIAL fold (bulk=False): the rounded sim decides top-k
+    membership, and the r8 knife-edge sweep measured one fixture sim
+    9e-11 from a 4dp boundary -- inside einsum summation-order drift, so
+    only the fold (bit-matching DuckDB's list_dot_product) makes the
+    selection provably engine-stable; dot_pandas remains the documented
+    bulk-rescoring path."""
     # norms are computed ONCE per vector (not per pair): at N probes x M
     # candidates that is N+M norm evaluations instead of 2*N*M.
     v = with_norm(
@@ -461,7 +469,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("pe"),
         F.col("nrm").alias("pnrm"),
     )
-    return topk_per_probe(cosine_scores(v, p, bulk=True), k=5)
+    return topk_per_probe(cosine_scores(v, p, bulk=False), k=5)
 
 
 def _ann_ivf_oracle() -> str:
@@ -552,7 +560,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains(F.col("pbs"), F.col("bucket"))
         & (F.col("vec_id") != F.col("probe_id")),
     )
-    sim = F.round(
+    sim = duck_round(
         dot_expr(F.col("pe"), F.col("e")) / (F.col("pnrm") * F.col("nrm")), 4
     ).cast("double")
     scored = joined.select(
@@ -581,14 +589,15 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the threshold sits inside the fixture's similarity range so the
     query returns a non-trivial pair set at every SF).
 
-    The pair scoring runs through the Arrow-batched numpy bulk path
-    (``dot_pandas`` -- one einsum per batch, no per-element interpreted
-    lambdas); the threshold compares the ROUNDED cosine on both engines
-    so the cut is insensitive to summation-order last-ulp differences.
+    The ROUNDED cosine GATES pair membership, so the dot runs through
+    ``dot_expr`` (sequential fold, bit-matching DuckDB's
+    list_dot_product): a last-ulp summation-order difference at a .xxxx5
+    boundary would add/remove a pair (ADVICE r7; the einsum path stays
+    the documented bulk-rescoring option where the score is not a gate).
 
     Scale: this bounded block is the verify stage; candidate generation at
     100 TB is q_ann_ivf's bucket join, never the full cross product."""
-    from ..operators.similarity import dot_pandas
+    from ..operators.similarity import dot_expr
 
     v = with_norm(
         load_table(spark, sf_dir, "embeddings")
@@ -601,8 +610,8 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = v.select(
         F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
     )
-    cos = F.round(
-        dot_pandas(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4
+    cos = duck_round(
+        dot_expr(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4
     ).cast("double")
     return (
         a.join(broadcast(b), F.col("vec_a") < F.col("vec_b"))
@@ -701,8 +710,8 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         n.alias("n_toks"),
-        F.round(F.col("n_chars").cast("double") / n, 4).cast("double").alias("avg_tok_len"),
-        F.round(F.size(F.array_distinct(TOKS())).cast("double") / n, 4)
+        duck_round(F.col("n_chars").cast("double") / n, 4).cast("double").alias("avg_tok_len"),
+        duck_round(F.size(F.array_distinct(TOKS())).cast("double") / n, 4)
         .cast("double")
         .alias("type_token_ratio"),
         (n >= 5).alias("long_enough"),
@@ -749,7 +758,7 @@ def quality_classifier_score() -> "F.Column":
         + F.lit(_QC_W[2]) * x3
         + F.lit(_QC_W[3]) * x4
     )
-    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
+    return duck_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
 
 
 @query(
@@ -841,8 +850,8 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     en, es = score(_EN_MARKERS), score(_ES_MARKERS)
     return d.select(
         "doc_id",
-        F.round(en.cast("double") / n, 4).cast("double").alias("en_score"),
-        F.round(es.cast("double") / n, 4).cast("double").alias("es_score"),
+        duck_round(en.cast("double") / n, 4).cast("double").alias("en_score"),
+        duck_round(es.cast("double") / n, 4).cast("double").alias("es_score"),
         F.when(es > en, "es").otherwise("en").alias("pred_lang"),
     )
 
@@ -1608,7 +1617,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(tr, "sh", "left")
         .groupBy("doc_id")
         .agg(
-            F.round(
+            duck_round(
                 F.sum(F.coalesce("hit", F.lit(0))).cast("double")
                 / F.count(F.lit(1)),
                 4,
@@ -1737,7 +1746,7 @@ def q_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.join(freq, "t")
         .groupBy("doc_id")
         .agg(
-            F.round(
+            duck_round(
                 F.sum(F.when(F.col("c") < 3, 1).otherwise(0)).cast("double")
                 / F.count(F.lit(1)),
                 4,
@@ -1783,7 +1792,7 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale = F.lit(127.0) / F.array_max(F.transform(e, F.abs))
     return emb.select(
         "vec_id",
-        F.round(scale, 6).cast("double").alias("scale"),
+        duck_round(scale, 6).cast("double").alias("scale"),
         F.array_join(
             F.transform(e, lambda x: F.floor(x * scale).cast("string")), ","
         ).alias("q"),
@@ -1987,7 +1996,7 @@ def q_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct(F.md5(F.col("text").cast("binary"))).alias("n_unique"),
-        F.round(
+        duck_round(
             F.lit(1.0)
             - F.countDistinct(F.md5(F.col("text").cast("binary"))).cast("double")
             / F.count(F.lit(1)),
@@ -2214,7 +2223,7 @@ def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = joined.select(
         "probe_id",
         F.col("vec_id").alias("cand_id"),
-        F.round(
+        duck_round(
             _dot(F.col("pe"), F.col("e")) / (F.col("pnrm") * F.col("nrm")), 4
         ).cast("double").alias("sim"),
     )
@@ -2239,8 +2248,15 @@ def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     bcnt AS (SELECT w1, w2, COUNT(*) AS cxy FROM big GROUP BY w1, w2),
     nb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM big)
     SELECT b.w1, b.w2, b.cxy,
-           CAST(ROUND(ln((CAST(b.cxy AS DOUBLE) / nb.n)
-                    / ((c1.c / nu.n) * (c2.c / nu.n))), 4) AS DOUBLE) AS pmi
+           -- + 0.0 folds IEEE negative zero: DuckDB's ROUND on DOUBLE is
+           -- round(x*1e4)/1e4 and PRESERVES the sign bit (a raw PMI of
+           -- -3.9e-06 rounds to -0.0), while Spark's F.round goes through
+           -- BigDecimal which has no signed zero and emits +0.0. The
+           -- driver hash distinguishes the sign bit (CORRECTNESS_r07's
+           -- one red row); -0.0 + 0.0 = +0.0 and x + 0.0 = x otherwise.
+           (CAST(ROUND(ln((CAST(b.cxy AS DOUBLE) / nb.n)
+                    / ((c1.c / nu.n) * (c2.c / nu.n))), 4) AS DOUBLE)
+            + 0.0) AS pmi
     FROM bcnt b
     CROSS JOIN nb CROSS JOIN nu
     JOIN ucnt c1 ON c1.w = b.w1
@@ -2298,7 +2314,11 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(c2), "w2")
         .select(
             "w1", "w2", "cxy",
-            F.round(pmi, 4).cast("double").alias("pmi"),
+            # + 0.0 on BOTH sides (oracle too): duck_round faithfully
+            # mirrors DuckDB's sign-preserving ROUND, so a raw PMI of
+            # -3.9e-06 rounds to -0.0 on both engines; the fold keeps the
+            # registry's outputs negative-zero-free (tests/test_sign_of_zero.py)
+            (duck_round(pmi, 4) + F.lit(0.0)).cast("double").alias("pmi"),
         )
     )
 
@@ -2361,8 +2381,8 @@ def q_containment_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.round(nc / F.col("sa.n"), 4).cast("double").alias("cont_a_in_b"),
-            F.round(nc / F.col("sb.n"), 4).cast("double").alias("cont_b_in_a"),
+            duck_round(nc / F.col("sa.n"), 4).cast("double").alias("cont_a_in_b"),
+            duck_round(nc / F.col("sb.n"), 4).cast("double").alias("cont_b_in_a"),
         )
     )
 
@@ -2507,7 +2527,7 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(broadcast(n))
         .select(
             "doc_id",
-            F.round(
+            duck_round(
                 F.log(F.col("c").cast("double") / F.col("total")) * 1000000
             )
             .cast("long")
@@ -2516,7 +2536,7 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return lp.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_tokens"),
-        F.round(F.sum("lp6") / F.count(F.lit(1)) / 1000000.0, 4)
+        duck_round(F.sum("lp6") / F.count(F.lit(1)) / 1000000.0, 4)
         .cast("double")
         .alias("avg_logprob"),
     )

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.rounding import duck_round
+
 from ..sources import load_table
 from .registry import money, query
 
@@ -36,7 +38,7 @@ def q_project_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (money("l_extendedprice") * (F.lit(1) - money("l_discount")))
         .cast("double")
         .alias("revenue"),
-        F.round(F.col("l_quantity") * 2.54, 2).cast("double").alias("qty_cm"),
+        duck_round(F.col("l_quantity") * 2.54, 2).cast("double").alias("qty_cm"),
     )
 
 

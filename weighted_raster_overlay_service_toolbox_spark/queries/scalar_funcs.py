@@ -28,6 +28,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..functions.rounding import duck_round, duck_round_np
 from pyspark.sql.functions import pandas_udf
 
 from ..functions.csvcodec import csv_encode, csv_encode_py, csv_encode_sql
@@ -247,12 +249,12 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        duck_round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
         F.floor(F.col("l_discount") * 100).alias("disc_pct_floor"),
         F.ceil(F.col("l_tax") * 100).alias("tax_pct_ceil"),
-        F.round(F.abs(F.col("l_tax") - 0.05), 4).alias("tax_dev"),
+        duck_round(F.abs(F.col("l_tax") - 0.05), 4).alias("tax_dev"),
         F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
-        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        duck_round(F.log("l_extendedprice"), 6).alias("price_ln"),
         (F.floor("l_quantity") % 7).alias("qty_mod7"),
         F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
     )
@@ -505,7 +507,7 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(mean_qty("l_quantity"), 2).alias("avg_qty")
+        duck_round(mean_qty("l_quantity"), 2).alias("avg_qty")
     )
 
 
@@ -538,10 +540,13 @@ def q_udtf_flatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_udf_grouped_map",
     oracle="""
     SELECT o_orderkey, c_mktsegment,
-           CAST(ROUND(
+           -- + 0.0 folds IEEE negative zero (a raw z of -4e-03 rounds to
+           -- -0.0 under DuckDB's sign-preserving double ROUND; the driver
+           -- hash distinguishes the sign bit -- the q_collocations class)
+           (CAST(ROUND(
                (o_totalprice - AVG(o_totalprice) OVER (PARTITION BY c_mktsegment))
                / STDDEV_POP(o_totalprice) OVER (PARTITION BY c_mktsegment), 2)
-           AS DOUBLE) AS z
+           AS DOUBLE) + 0.0) AS z
     FROM orders JOIN customer ON o_custkey = c_custkey
     """,
 )
@@ -559,11 +564,15 @@ def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         x = pdf["o_totalprice"]
         mu = x.mean()
         sd = ((x - mu) ** 2).mean() ** 0.5
+        # duck_round_np (not Series.round, which is half-even with its own
+        # scaled arithmetic) keeps the rounding bit-identical to the
+        # oracle's ROUND; + 0.0 folds -0.0 to match the oracle's fold.
+        z = duck_round_np((x - mu).to_numpy() / sd, 2) + 0.0
         return pd.DataFrame(
             {
                 "o_orderkey": pdf["o_orderkey"],
                 "c_mktsegment": pdf["c_mktsegment"],
-                "z": ((x - mu) / sd).round(2),
+                "z": z,
             }
         )
 

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.rounding import duck_round
+
 from ..sources import load_table
 from .registry import query
 
@@ -221,8 +223,8 @@ def q_win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         "o_totalprice",
-        F.round(F.percent_rank().over(w), 6).cast("double").alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).cast("double").alias("cume"),
+        duck_round(F.percent_rank().over(w), 6).cast("double").alias("pct_rank"),
+        duck_round(F.cume_dist().over(w), 6).cast("double").alias("cume"),
     )
 
 

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from ..functions.rounding import duck_round
 from pyspark.sql.functions import broadcast
 
 from ..functions.ranges import (
@@ -351,7 +353,7 @@ def q_wro_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("min_v"),
         F.max("value").alias("max_v"),
         davg("value", "avg_v"),
-        F.round(F.stddev_pop("value"), 2).cast("double").alias("std_v"),
+        duck_round(F.stddev_pop("value"), 2).cast("double").alias("std_v"),
     )
 
 
