@@ -155,11 +155,11 @@ def main() -> None:
         repeats = 3
 
     # Host-drift sentinel (round 7): q_join_inner's code is untouched
-    # since round 1, so its min-of-5 here measures THE HOST, not the
-    # repo. Cross-round readers divide any per-query delta by the
-    # sentinel ratio before calling it a regression -- e.g. r5->r6's
-    # "q_tpch_q1 1.74x slower" was pure drift that this field would
-    # have normalized away.
+    # since round 1, so its min-of-5 here -- cold session, same position
+    # every round -- measures THE HOST, not the repo. Cross-round readers
+    # divide any per-query delta by the sentinel ratio before calling it
+    # a regression -- e.g. r5->r6's "q_tpch_q1 1.74x slower" was pure
+    # drift that this field would have normalized away.
     sentinel_name = "q_join_inner"
     sentinel_best = float("inf")
     for _ in range(max(repeats, 5)):
@@ -169,6 +169,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in headline:
+        if name == sentinel_name:
+            # ADVICE r7 #4: the sentinel warm-up made q_join_inner's
+            # headline systematically warmer than every other query's;
+            # reuse the sentinel's own min (same work, honest label)
+            # instead of timing a ninth warmed repetition.
+            timings[name] = round(sentinel_best, 3)
+            continue
         best = float("inf")
         for _ in range(repeats):
             t0 = time.perf_counter()

@@ -91,9 +91,16 @@ def _norm_cell(v):
         v = v.replace(tzinfo=None)
         # duckdb .df() materializes DATE as midnight datetime64 while
         # Spark collect() gives datetime.date -- fold exact-midnight
-        # datetimes onto the date form so the two stay comparable (the
-        # fixture timestamps all carry sub-day components, so no real
-        # TIMESTAMP value aliases onto a DATE).
+        # datetimes onto the date form so the two stay comparable.
+        # NOTE (r8, ADVICE r7 #3 considered and resolved the other way):
+        # the fixture DOES hold all-midnight TIMESTAMP columns
+        # (orders.o_orderdate, lineitem.l_shipdate), so a "no midnight
+        # timestamps" fixture assertion is impossible, and a type-aware
+        # fold (DATE-only) would make this replica STRICTER than the
+        # driver: the driver canonicalizes BOTH sides through pandas,
+        # where DATE and midnight TIMESTAMP both land as datetime64 --
+        # evidenced by every DATE-emitting query's green driver rows.
+        # The fold therefore replicates the driver faithfully as-is.
         if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
             return v.date().isoformat()
         return v.isoformat()

@@ -345,3 +345,59 @@ def test_semantic_dedup_invariants(spark):
                 assert any(
                     j < i and cos(j, i) >= tau for j in members
                 ), i
+
+
+def test_semantic_dedup_lane_cap_arithmetic():
+    """The max_block striping bound is EXACT, not hash-expected: id-ordered
+    round-robin over n_lanes = ceil(c_n / max_block) lanes never builds a
+    lane larger than max_block, for ANY cluster size (hypothesis sweep)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(c_n=st.integers(1, 100_000), max_block=st.integers(1, 5_000))
+    def check(c_n: int, max_block: int):
+        n_lanes = -(-c_n // max_block)  # ceil
+        # round-robin lane sizes: (rn - 1) % n_lanes over rn in 1..c_n
+        base, extra = divmod(c_n, n_lanes)
+        biggest = base + (1 if extra else 0)
+        assert biggest <= max_block, (c_n, max_block, n_lanes, biggest)
+
+    check()
+
+
+def test_semantic_dedup_max_block_cap(spark):
+    """Behavioral contract of the hot-cluster cap: (a) an inactive cap
+    (max_block >= n) is IDENTICAL to the uncapped registry configuration;
+    (b) an active cap only MISSES cross-lane comparisons, so the capped
+    survivor set is a superset of the uncapped one -- the documented
+    recall-for-boundedness trade, never extra drops."""
+    from weighted_raster_overlay_service_toolbox_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    v = load_table(spark, SF_ORACLE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    n = v.count()
+    # k=1 forces ONE hot cluster holding every vector -- the skew case
+    # the cap exists for.
+    base = {
+        r["vec_id"]
+        for r in semantic_dedup(v, k=1, iterations=1, threshold=0.35).collect()
+    }
+    inactive = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            v, k=1, iterations=1, threshold=0.35, max_block=n
+        ).collect()
+    }
+    assert inactive == base
+    capped = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            v, k=1, iterations=1, threshold=0.35, max_block=7
+        ).collect()
+    }
+    assert base <= capped, "an active cap must never drop MORE vectors"
+    assert len(capped) <= n

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.pinning import pin_corpus
+
 from ..functions.rounding import duck_round
 
 
@@ -167,7 +169,7 @@ def minhash_candidates(
         F.posexplode(lsh_band_hashes(F.col("sig"), k, bands)).alias(
             "band_idx", "band_hash"
         ),
-    ).localCheckpoint(eager=False)
+    ).transform(pin_corpus)
     a = bandsdf.alias("a")
     b = bandsdf.alias("b")
     # est is computed per collision ROW (identical for every band a pair
@@ -401,7 +403,7 @@ def simhash_near_pairs(
         F.posexplode(simhash_band_values(F.col("simhash"), bands, nbits)).alias(
             "band_idx", "band_val"
         ),
-    ).localCheckpoint(eager=False)
+    ).transform(pin_corpus)
     a = banded.alias("a")
     b = banded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))

@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..plans.pinning import pin_corpus
+
 from ..functions.rounding import duck_round
 from pyspark.sql.functions import broadcast, pandas_udf
 
@@ -193,7 +195,7 @@ def semantic_dedup(
     # rescan the r6 sweep eliminated registry-wide; same fix as the
     # banded minhash/simhash self-joins). The pinned relation is
     # embedding-sized -- exactly the data the self-join must hold anyway.
-    assigned = assigned.localCheckpoint(eager=False)
+    assigned = assigned.transform(pin_corpus)
     sides = with_norm(assigned)
     if max_block is not None:
         # id-ordered round-robin striping: lane sizes differ by at most 1

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.pinning import pin_corpus
+
 from ..functions.rounding import duck_round
 from pyspark.sql.functions import broadcast
 
@@ -56,7 +58,7 @@ def tfidf(docs: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     without recompute-on-loss -- pinning the PRE-explode rows (as here,
     not the token stream) keeps that cache as small as the trade
     allows; at the extreme, re-scanning is the fault-tolerant choice."""
-    base = docs.select(id_col, text_col).localCheckpoint(eager=False)
+    base = docs.select(id_col, text_col).transform(pin_corpus)
     tok = tokenize(base, id_col, text_col)
     tf = term_frequencies(tok)
     dfreq = tok.groupBy(F.col("token").alias("term")).agg(

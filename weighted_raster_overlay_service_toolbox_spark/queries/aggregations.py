@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.pinning import pin_corpus
+
 from ..functions.rounding import duck_round
 
 from ..sources import load_table
@@ -398,7 +400,7 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .select("n_regionkey", "c_nationkey", "o_custkey")
-        .localCheckpoint(eager=False)
+        .transform(pin_corpus)
     )
     fine = joined.groupBy("n_regionkey", "c_nationkey").agg(
         F.expr("hll_sketch_agg(o_custkey)").alias("sk")

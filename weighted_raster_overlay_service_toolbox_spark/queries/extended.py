@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..plans.pinning import pin_corpus
+
 from ..functions.rounding import duck_round
 
 from ..plans.wro import wro_catalog, wro_catalog_sql
@@ -1773,7 +1775,7 @@ def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = (
         e.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=False)
+        .transform(pin_corpus)
     )
     bounds = b.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
     hours = bounds.select(
@@ -1841,7 +1843,7 @@ def q_interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
         )
         .withColumn("bin", F.expr(f"us DIV {WIN_US}"))
-        .localCheckpoint(eager=False)
+        .transform(pin_corpus)
     )
     probes = base.withColumn(
         "pb", F.explode(F.array(F.col("bin") - 1, F.col("bin"), F.col("bin") + 1))

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.pinning import pin_corpus
+
 from ..functions.rounding import duck_round
 from pyspark.sql.functions import broadcast
 
@@ -135,7 +137,7 @@ def q_jaccard_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the self-join (and the size table) through a non-eager checkpoint
     toks = d.select(
         "doc_id", F.explode(F.array_distinct(TOKS())).alias("tok")
-    ).localCheckpoint(eager=False)
+    ).transform(pin_corpus)
     return jaccard_pairs(toks).select(
         "doc_a", "doc_b", duck_round("jaccard", 4).cast("double").alias("jaccard")
     )
@@ -325,7 +327,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.expr("substring(text, i, 3)").alias("sh"))
         .distinct()
-        .localCheckpoint(eager=False)  # one scan feeds both self-join sides
+        .transform(pin_corpus)  # one scan feeds both self-join sides
     )
     return (
         jaccard_pairs(g, tok_col="sh")
@@ -735,6 +737,37 @@ _QC_BIAS = -3.09  # centers the fixture z distribution on the 0.5 cut,
 _QC_W = (0.35, 0.12, 1.6, 2.2)
 
 
+def qc_oracle_cte() -> str:
+    """Shared DuckDB CTE chain (t -> f -> z) for the quality-classifier
+    score, interpolated from the SAME constants
+    (_QC_BIAS/_QC_W/_EN_MARKERS) the Spark expression uses. Both the
+    batch oracle (q_quality_classifier) and the ingest-time oracle
+    (q_stream_quality_filter, queries/streaming.py) are built from this
+    one string, so a future weight tweak cannot silently desynchronize
+    them (ADVICE r7). Consumers append their own final SELECT over z."""
+    return f"""
+    WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks
+               FROM documents),
+    f AS (
+        SELECT doc_id,
+               ln(1 + len(toks))                                  AS x1,
+               CAST(n_chars AS DOUBLE) / len(toks)                AS x2,
+               CAST(len(list_distinct(toks)) AS DOUBLE)
+                   / len(toks)                                    AS x3,
+               CAST(len(list_filter(toks,
+                    t -> list_contains({_EN_MARKERS!r}, t))) AS DOUBLE)
+                   / len(toks)                                    AS x4
+        FROM t
+    ),
+    z AS (
+        SELECT doc_id,
+               {_QC_BIAS} + {_QC_W[0]} * x1 + {_QC_W[1]} * x2
+                          + {_QC_W[2]} * x3 + {_QC_W[3]} * x4 AS z
+        FROM f
+    )
+    """
+
+
 def quality_classifier_score() -> "F.Column":
     """The rounded-4dp sigmoid quality score as a pure column expression
     over (text, n_chars) -- shared verbatim by q_quality_classifier
@@ -763,26 +796,8 @@ def quality_classifier_score() -> "F.Column":
 
 @query(
     "q_quality_classifier",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks
-               FROM documents),
-    f AS (
-        SELECT doc_id,
-               ln(1 + len(toks))                                  AS x1,
-               CAST(n_chars AS DOUBLE) / len(toks)                AS x2,
-               CAST(len(list_distinct(toks)) AS DOUBLE)
-                   / len(toks)                                    AS x3,
-               CAST(len(list_filter(toks,
-                    t -> list_contains({_EN_MARKERS!r}, t))) AS DOUBLE)
-                   / len(toks)                                    AS x4
-        FROM t
-    ),
-    z AS (
-        SELECT doc_id,
-               {_QC_BIAS} + {_QC_W[0]} * x1 + {_QC_W[1]} * x2
-                          + {_QC_W[2]} * x3 + {_QC_W[3]} * x4 AS z
-        FROM f
-    )
+    oracle=qc_oracle_cte()
+    + """
     SELECT doc_id,
            CAST(ROUND(1.0 / (1.0 + exp(-z)), 4) AS DOUBLE) AS score,
            ROUND(1.0 / (1.0 + exp(-z)), 4) >= 0.5          AS keep
@@ -1738,9 +1753,7 @@ def q_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- unlike the dedup.py pins, which cache only signature-sized
     rows."""
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(TOKS()).alias("t")).localCheckpoint(
-        eager=False
-    )
+    tok = d.select("doc_id", F.explode(TOKS()).alias("t")).transform(pin_corpus)
     freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
     return (
         tok.join(freq, "t")
@@ -2041,7 +2054,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .filter(F.length("text") >= 16)
         .select("doc_id", "source", "text")
-        .localCheckpoint(eager=False)
+        .transform(pin_corpus)
     )
 
     def shingles(df: DataFrame) -> DataFrame:
@@ -2098,7 +2111,7 @@ def q_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the sketch side runs, so the checkpoint is a test-harness cost,
     not a deployment one."""
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select(F.explode(TOKS()).alias("t")).localCheckpoint(eager=False)
+    tok = d.select(F.explode(TOKS()).alias("t")).transform(pin_corpus)
     approx = tok.agg(F.expr("approx_top_k(t, 10)").alias("tk")).select(
         F.posexplode("tk").alias("pos", "entry")
     ).select(
@@ -2283,7 +2296,7 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpointed so unigram/bigram counts + both totals really do share
     # ONE corpus scan (the docstring claim; the un-checkpointed plan
     # re-scanned documents per consumer)
-    tk = d.select(F.split("text", " ").alias("t")).localCheckpoint(eager=False)
+    tk = d.select(F.split("text", " ").alias("t")).transform(pin_corpus)
     uni = tk.select(F.explode("t").alias("w"))
     ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     nu = uni.agg(F.count(F.lit(1)).cast("double").alias("nu"))
@@ -2361,7 +2374,7 @@ def q_containment_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     toks = d.select(
         "doc_id", F.explode(F.array_distinct(TOKS())).alias("tok")
-    ).localCheckpoint(eager=False)  # one scan: self-join sides + sizes
+    ).transform(pin_corpus)  # one scan: self-join sides + sizes
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = toks.alias("a"), toks.alias("b")
     inter = (
@@ -2517,9 +2530,7 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale, swap for re-scan or a DISK_ONLY narrow-projection persist at
     the 100 TB extreme)."""
     d = load_table(spark, sf_dir, "documents")
-    t = d.select("doc_id", F.explode(TOKS()).alias("tok")).localCheckpoint(
-        eager=False
-    )
+    t = d.select("doc_id", F.explode(TOKS()).alias("tok")).transform(pin_corpus)
     v = t.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     n = t.agg(F.count(F.lit(1)).alias("total"))
     lp = (

@@ -34,6 +34,7 @@ from ..streaming.engine import (
     stage_event_files,
     stage_with_sentinel,
 )
+from .llm import qc_oracle_cte
 from .registry import query
 
 
@@ -684,27 +685,11 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_stream_quality_filter",
-    oracle="""
-    WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks
-               FROM documents),
-    f AS (
-        SELECT doc_id,
-               ln(1 + len(toks))                                  AS x1,
-               CAST(n_chars AS DOUBLE) / len(toks)                AS x2,
-               CAST(len(list_distinct(toks)) AS DOUBLE)
-                   / len(toks)                                    AS x3,
-               CAST(len(list_filter(toks,
-                    t -> list_contains(['the', 'of', 'and', 'order',
-                                        'key', 'scan'], t))) AS DOUBLE)
-                   / len(toks)                                    AS x4
-        FROM t
-    ),
-    z AS (
-        SELECT doc_id,
-               -3.09 + 0.35 * x1 + 0.12 * x2
-                     + 1.6 * x3 + 2.2 * x4 AS z
-        FROM f
-    )
+    # built from the SAME CTE string (and thus the same _QC_BIAS/_QC_W/
+    # _EN_MARKERS constants) as q_quality_classifier's oracle, so the
+    # batch and ingest-time oracles cannot desynchronize (ADVICE r7)
+    oracle=qc_oracle_cte()
+    + """
     SELECT doc_id,
            CAST(ROUND(1.0 / (1.0 + exp(-z)), 4) AS DOUBLE) AS score
     FROM z

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..plans.pinning import pin_corpus
+
 from ..sources import load_table
 from .registry import (
     DISC_SQL as _DISC,
@@ -509,7 +511,7 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         # checkpointed: the late-line set feeds BOTH the probe (l1) and
         # the anti side (late2); without this the fact join computing it
         # is planned -- and scanned -- twice (plan-audit finding)
-        .localCheckpoint(eager=False)
+        .transform(pin_corpus)
     )
     others = li.select(
         F.col("l_orderkey").alias("o2_orderkey"),

@@ -59,7 +59,8 @@ def stage_event_files(
         sf_dir,
         table="events",
         order_cols=("ts", "event_id"),
-        prefix=f"stream_{name}_",
+        prefix=f"stream_events_{name}_",
+        legacy_prefix=f"stream_{name}_",
         n_files=n_files,
         late_rows=late_events,
     )
@@ -77,7 +78,8 @@ def stage_document_files(
         sf_dir,
         table="documents",
         order_cols=("doc_id",),
-        prefix=f"streamdoc_{name}_",
+        prefix=f"stream_documents_{name}_",
+        legacy_prefix=f"streamdoc_{name}_",
         n_files=n_files,
         late_rows=0,
     )
@@ -91,21 +93,40 @@ def _stage_table_files(
     prefix: str,
     n_files: int,
     late_rows: int,
+    legacy_prefix: str | None = None,
 ) -> str:
-    """Shared staging engine (round-7 factor-out of the events-only body;
-    the events path keeps its exact historical directory naming, so
-    completed stagings from earlier rounds stay valid)."""
+    """Shared staging engine (round-7 factor-out of the events-only body).
+
+    Naming unified in round 8 (VERDICT r7 #8): canonical dirs are
+    ``stream_{table}_{name}_{sf}_f{n}_l{k}_{fingerprint}``. A completed
+    staging under the pre-unification name (``stream_{name}_...`` for
+    events, ``streamdoc_{name}_...`` for documents) is still REUSED via
+    ``legacy_prefix`` -- the fixture is read-only and the split
+    deterministic, so the bytes are identical and existing .scratch dirs
+    stay valid; only NEW stagings get the canonical name."""
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     st = os.stat(f"{sf_dir}/{table}.parquet")
     fp = f"{st.st_mtime_ns:x}_{st.st_size:x}"
-    prefix = f"{prefix}{sf_tag}_f{n_files}_l{late_rows}_"
+    params = f"{sf_tag}_f{n_files}_l{late_rows}_"
+    prefix = f"{prefix}{params}"
     out = os.path.join(_SCRATCH, prefix + fp)
+    legacy_out = (
+        os.path.join(_SCRATCH, f"{legacy_prefix}{params}" + fp)
+        if legacy_prefix
+        else None
+    )
     # prune stagings of the SAME (name, sf, params) built from a previous
     # fixture generation (different fingerprint) -- without this, every
     # fixture regeneration leaks a stale dir into .scratch forever
-    for stale in glob.glob(os.path.join(_SCRATCH, prefix + "*")):
-        if stale != out:
-            shutil.rmtree(stale, ignore_errors=True)
+    stale_globs = [os.path.join(_SCRATCH, prefix + "*")]
+    if legacy_prefix:
+        stale_globs.append(os.path.join(_SCRATCH, f"{legacy_prefix}{params}*"))
+    for g in stale_globs:
+        for stale in glob.glob(g):
+            if stale not in (out, legacy_out):
+                shutil.rmtree(stale, ignore_errors=True)
+    if legacy_out and os.path.exists(os.path.join(legacy_out, "_STAGED")):
+        return legacy_out
     marker = os.path.join(out, "_STAGED")
     if os.path.exists(marker):
         return out
