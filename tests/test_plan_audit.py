@@ -22,18 +22,20 @@ from weighted_raster_overlay_service_toolbox_spark.queries import QUERIES
 
 from .conftest import SF_SMOKE
 
-#: declared UDF surface + Arrow-vectorized similarity/multimodal ops --
-#: each documented as Python-by-necessity in its docstring. Includes
-#: the UDTF (BatchEvalPythonUDTF) and Arrow UDAF (ArrowAggregatePython)
-#: nodes the first detector version missed.
+#: declared UDF surface + Arrow-vectorized multimodal ops -- each
+#: documented as Python-by-necessity in its docstring. Includes the
+#: UDTF (BatchEvalPythonUDTF) and Arrow UDAF (ArrowAggregatePython)
+#: nodes the first detector version missed. r8: cosine_topk /
+#: embed_near_dup / semantic_dedup LEFT this set -- their oracle-gated
+#: rounded cosines moved to the JVM-side sequential fold (dot_expr,
+#: bit-matching DuckDB's list_dot_product; ADVICE r7 #1), so their
+#: plans are now fully whole-stage-codegen; dot_pandas remains the
+#: documented bulk path, exercised by unit tests.
 PYTHON_EVAL_ALLOWED = {
-    "q_cosine_topk",
-    "q_embed_near_dup",
     "q_multimodal_decode",
     "q_multimodal_framesample",
     "q_multimodal_resize",
     "q_pack_sequences",
-    "q_semantic_dedup",
     "q_udaf_grouped",
     "q_udf_grouped_map",
     "q_udf_scalar",
