@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import duck_round
+from .similarity import dot_expr
 from pyspark.sql.functions import broadcast
 
 _Q = 1_000_000  # quantization denominator: 1e-6 embedding granularity
@@ -43,29 +44,28 @@ def quantize_vec(e) -> F.Column:
     return F.transform(e, lambda x: duck_round(x * _Q) / F.lit(float(_Q)))
 
 
-def _dot(a, b) -> F.Column:
-    """Sequential-fold dot product (index order 0..dim-1) -- matches
-    DuckDB's list_dot_product evaluation order, so the expanded distance
-    below is bit-identical across engines."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-
-
-def _sq_dist(a, b) -> F.Column:
-    """|a-b|^2 via the expanded identity (NOT a fold of squared diffs:
-    the identity is what the oracle can replicate with dot products)."""
-    return _dot(a, a) - 2 * _dot(a, b) + _dot(b, b)
-
-
 def assign_clusters(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vec_id, e) x (cluster, ce) -> (vec_id, e, cluster) by nearest
-    centroid, cluster-id tiebreak."""
-    scored = vectors.join(broadcast(centroids)).select(
+    centroid, cluster-id tiebreak.
+
+    Distances use the expanded identity |v|^2 - 2 v.c + |c|^2 with
+    sequential dots (similarity.dot_expr -- DuckDB's list_dot_product
+    order), NOT a fold of squared diffs: the identity is what the oracle
+    replicates. r8: |v|^2 and |c|^2 are computed ONCE per vector /
+    centroid BEFORE the k-way join instead of per (vector, centroid)
+    pair -- bit-identical arithmetic (same sub-expressions, same
+    association), 3x fewer dots on the hot path."""
+    v = vectors.withColumn("_vv", dot_expr("e", "e"))
+    c = centroids.withColumn("_cc", dot_expr("ce", "ce"))
+    scored = v.join(broadcast(c)).select(
         "vec_id",
         "e",
         "cluster",
-        _sq_dist(F.col("e"), F.col("ce")).alias("d2"),
+        (
+            F.col("_vv")
+            - 2 * dot_expr(F.col("e"), F.col("ce"))
+            + F.col("_cc")
+        ).alias("d2"),
     )
     best = scored.groupBy("vec_id").agg(
         F.min(F.struct("d2", "cluster")).alias("best"),

@@ -31,8 +31,21 @@ from pyspark.sql.functions import broadcast, pandas_udf
 
 
 def dot_expr(a: Column | str, b: Column | str) -> Column:
-    """Sequential double-precision dot product as a pure column expression
-    (right for one-off norms; see :func:`dot_pandas` for bulk)."""
+    """Sequential double-precision dot product as a pure column expression.
+
+    Bit-matches DuckDB's ``list_dot_product`` (sequential left-to-right
+    accumulation from 0.0), which is what makes it the REQUIRED dot for
+    any rounded cosine that gates an oracle-compared result.
+
+    Measured dead end (r8, kept as a warning): unrolling the fold into a
+    flat 0.0 + a[1]*b[1] + ... + a[64]*b[64] expression to escape the
+    interpreted HOF lambda made every consumer SLOWER (q_cosine_topk
+    0.76s -> 2.4s) -- column expressions are trees, so wrappers like
+    duck_round substitute the 129-node dot into every branch that
+    references it, and the multiplied expression defeats codegen. The
+    fold keeps the dot a single compact node. If the interpreted cost
+    ever dominates a non-gated path, dot_pandas is the answer, not
+    unrolling."""
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     return F.aggregate(
