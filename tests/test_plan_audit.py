@@ -79,6 +79,7 @@ CHECKPOINTED_ALLOWED = {
     "q_collocations",
     "q_containment_sim",
     "q_decontaminate",
+    "q_dedup_bloom",      # r8: pinned fp index + <=64-row Bloom word table
     "q_dedup_clusters",
     "q_dedup_keep_one",
     "q_dedup_minhash",

@@ -422,3 +422,108 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def _bloom_probe(key: str, seed: int, m_bits: int) -> tuple[Column, Column]:
+    """(word index, bit mask) of Bloom probe ``seed`` for column ``key``.
+
+    SQL-expression form: ``shiftleft``'s bit count must be a runtime
+    column here, which the Python ``F.shiftleft`` wrapper rejects."""
+    pos = f"pmod(xxhash64({key}, {seed}), {m_bits})"
+    widx = F.expr(f"CAST(floor(({pos}) / 64) AS BIGINT)")
+    mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(({pos}), 64) AS INT))")
+    return widx, mask
+
+
+def bloom_prefiltered_new_keys(
+    batch: DataFrame,
+    index: DataFrame,
+    key: str = "fp",
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Rows of ``batch`` whose ``key`` is NOT present in ``index`` --
+    EXACT result, Bloom-accelerated membership pruning.
+
+    The pattern Spark's InjectRuntimeFilter applies to selective joins,
+    made explicit for the incremental-dedup shape -- and built from pure
+    DataFrame aggregates (Spark exposes no bloom_filter_agg SQL routine,
+    and a driver-collected sketch object would put a Python UDF on the
+    hot path):
+
+    1. SKETCH: each index key sets ``k_hashes`` bits of an ``m_bits``
+       filter; the filter is materialized as a WORD TABLE -- explode the
+       (word_idx, bit_mask) probes, ``bit_or`` per word_idx -- at most
+       ``m_bits/64`` rows regardless of index size. bit_or is
+       commutative, so the sketch is deterministic across partitionings.
+    2. PROBE: the batch takes ``k_hashes`` broadcast left-joins against
+       the word table; ``might contain`` = every probe found its bit.
+       ``might==false`` is DEFINITELY new (no false negatives) and skips
+       the join; ``might==true`` is verified by the exact anti-join.
+
+    The output equals a plain anti-join for ANY false-positive rate (the
+    sketch decides which rows pay the shuffle, never the answer), so the
+    operator stays oracle-exact while the anti-join's shuffle carries
+    only (true dups + FP-rate x batch) rows. Size ``m_bits`` at ~10
+    bits/key (k=3 keeps FP ~1% there); at 100 TB/day against a
+    years-deep index the word table is still only m_bits/64 longs --
+    a broadcast, not a shuffle.
+
+    Empty-index edge: the word table is empty, every probe join misses,
+    every hit coalesces to false -> the whole batch is definitely-new
+    (the correct answer), no NULL-logic dropout.
+    """
+    probes = F.array(
+        *[
+            F.struct(
+                _bloom_probe(key, j, m_bits)[0].alias("widx"),
+                _bloom_probe(key, j, m_bits)[1].alias("mask"),
+            )
+            for j in range(k_hashes)
+        ]
+    )
+    # the index relation feeds the sketch build AND the exact verify
+    # anti-join; the word table is referenced once per probe join --
+    # un-pinned, every reference replans the scan -> fp -> distinct
+    # subtree (the aliased-derived-relation rescan the r6 sweep
+    # eliminated registry-wide; first audit of this operator measured 9
+    # source scans / 14 exchanges). The index pin is fingerprint-sized
+    # (16 bytes/doc, pin_corpus -> storage-configurable); the word table
+    # is <= m_bits/64 rows -- metadata, pinned unconditionally.
+    index = pin_corpus(index)
+    words = (
+        index.select(F.explode(probes).alias("p"))
+        .groupBy(F.col("p.widx").alias("widx"))
+        .agg(F.bit_or("p.mask").alias("word"))
+        .localCheckpoint(eager=False)
+    )
+    probed = batch
+    hits = []
+    for j in range(k_hashes):
+        widx, mask = _bloom_probe(key, j, m_bits)
+        wj = words.select(
+            F.col("widx").alias(f"_w{j}"), F.col("word").alias(f"_word{j}")
+        )
+        probed = probed.withColumn(f"_widx{j}", widx).withColumn(
+            f"_mask{j}", mask
+        ).join(
+            F.broadcast(wj), F.col(f"_widx{j}") == F.col(f"_w{j}"), "left"
+        )
+        hits.append(
+            F.coalesce(
+                F.col(f"_word{j}").bitwiseAND(F.col(f"_mask{j}"))
+                == F.col(f"_mask{j}"),
+                F.lit(False),
+            )
+        )
+    maybe = hits[0]
+    for h in hits[1:]:
+        maybe = maybe & h
+    probed = probed.withColumn("_maybe", maybe).drop(
+        *[c for j in range(k_hashes) for c in (f"_widx{j}", f"_mask{j}", f"_w{j}", f"_word{j}")]
+    )
+    definitely_new = probed.filter(~F.col("_maybe")).drop("_maybe")
+    verified_new = (
+        probed.filter(F.col("_maybe")).drop("_maybe").join(index, key, "left_anti")
+    )
+    return definitely_new.unionByName(verified_new)

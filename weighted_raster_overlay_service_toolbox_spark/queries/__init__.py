@@ -132,6 +132,15 @@ from . import tpch  # noqa: F401,E402
 # q_win_lead_lag/running/frame_rows/ntile_first_last/percent_rank,
 # q_sort_multi, q_topk, q_topk_per_group, q_union_*, q_intersect,
 # q_str_funcs, q_str_split_index, q_str_regex) to fill 50.
+# ROUND-9 NOTE: q_dedup_bloom (registry 218 -> 219, Bloom-prefiltered
+# incremental dedup -- exact output, word-table sketch) was ADDED in r8
+# after the window froze; it is parity-verified at three SFs on arrival
+# (the r7-additions cadence) and must be graded in the r9 window along
+# with the remaining r1-only re-grades the r8 window could not fit
+# (q_join_right/cross/theta/range/broadcast, q_win_lead_lag/running/
+# frame_rows/ntile_first_last, q_agg_global/distinct/having/filtered/
+# rollup/cube/argmax, q_union_*, q_intersect, q_str_funcs,
+# q_str_split_index, q_str_regex, q_scan_full, q_filter_*).
 _DRIVER_WINDOW = [
     # == ROUND-8 WINDOW ==
     # After r7's grading, every pre-r7 name has a driver hash row.

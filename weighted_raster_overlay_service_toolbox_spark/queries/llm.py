@@ -2183,6 +2183,66 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_bloom",
+    oracle="""
+    WITH idx AS (
+        SELECT DISTINCT md5(array_to_string(list_sort(list_distinct(
+                   string_split(text, ' '))), ' ')) AS fp
+        FROM documents WHERE doc_id < 250
+    ),
+    batch AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                   string_split(text, ' '))), ' ')) AS fp
+        FROM documents WHERE doc_id >= 250
+    )
+    SELECT fp, MIN(doc_id) AS keep_id
+    FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM idx i WHERE i.fp = b.fp)
+    GROUP BY fp
+    """,
+)
+def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-accelerated incremental dedup (round 8): the SAME semantics
+    as q_dedup_incremental's anti-join -- new-batch fingerprints not in
+    the corpus index -- but the membership test is pruned by a Bloom
+    sketch built over the index (operators/dedup.py
+    bloom_prefiltered_new_keys). The result is EXACT for any
+    false-positive rate (might_contain=false is definitely-new and skips
+    the join; might_contain=true is verified by the anti-join), so the
+    oracle is the plain NOT EXISTS SQL -- the sketch only decides which
+    rows pay the shuffle.
+
+    Why a second incremental-dedup query: the two are the SAME answer
+    with different 100 TB shuffle profiles. The plain anti-join shuffles
+    the ENTIRE daily batch against the index; this plan broadcasts a
+    one-row sketch (~100 KB for 1% FP at 10 bits/key) and shuffles only
+    (true dups + FP-rate x batch). Spark's InjectRuntimeFilter applies
+    the same idea to selective joins automatically; an ingest pipeline
+    wants it explicit and sized (num_bits ~ 10x index cardinality).
+
+    Scale: sketch build is one map-side-combined aggregate over the
+    fingerprint index (16 bytes/doc, no text); the definitely-new branch
+    is narrow; only the possibly-seen branch joins."""
+    from ..operators.dedup import bloom_prefiltered_new_keys
+
+    d = load_table(spark, sf_dir, "documents")
+    idx = (
+        d.filter(F.col("doc_id") < 250)
+        .select(fingerprint("text").alias("fp"))
+        .distinct()
+    )
+    batch = d.filter(F.col("doc_id") >= 250).select(
+        "doc_id", fingerprint("text").alias("fp")
+    )
+    return (
+        bloom_prefiltered_new_keys(batch, idx, key="fp")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+
+
+@query(
     "q_ann_filtered",
     oracle="""
     WITH v AS (
