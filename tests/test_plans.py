@@ -363,6 +363,25 @@ def test_gapfill_scans_fact_once_at_runtime(spark):
     assert final.count("events.parquet") <= 1, final
 
 
+def test_dedup_bloom_scans_documents_twice_at_runtime(spark):
+    """q_dedup_bloom's pinned fp index + word table must hold the plan
+    at exactly TWO documents scans (batch + index) at runtime -- the
+    unpinned form re-planned the scan -> fingerprint -> distinct subtree
+    per Bloom probe join (9 scans / 14 exchanges measured before the
+    pin). Two scans is the q_dedup_incremental convention: batch and
+    index are separate relations by design (different storage in
+    production)."""
+    df = QUERIES["q_dedup_bloom"](spark, SF_SMOKE)
+    df.collect()
+    final = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert final.count("documents.parquet") <= 2, final
+
+
 def test_pagerank_scans_fact_once_at_runtime(spark):
     """q_pagerank derives its edge list from the fact once: the
     checkpoint on `edges` must prevent fan/nodes from independently
