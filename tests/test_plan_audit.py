@@ -59,6 +59,7 @@ NON_EQUI_ALLOWED = {
     "q_join_cross",
     "q_join_range",
     "q_kmeans",
+    "q_logprob_strata",   # r8: scalar corpus-total cross join (unigram path)
     "q_str_levenshtein",
     "q_tfidf",
     "q_timeseries_gapfill",
@@ -88,6 +89,7 @@ CHECKPOINTED_ALLOWED = {
     "q_jaccard_sim",
     "q_join_range",
     "q_kmeans",
+    "q_logprob_strata",   # r8: pinned token stream (q_unigram_logprob trade)
     "q_ngram_jaccard",
     "q_pagerank",
     "q_rare_token_ratio",

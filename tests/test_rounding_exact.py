@@ -199,6 +199,7 @@ _KNIFE_EXPLAINED = {
     "q_ngram_jaccard",      # intersection/union counts: exact division
     "q_contamination",      # hit-count ratio: exact division
     "q_unigram_logprob",    # avg of exact int64 lp6 quantities
+    "q_logprob_strata",     # same lp6 path (exact int64 sums)
     "q_math_funcs",         # per-row sqrt/ln of stored values (no aggregation)
     "q_kmeans",             # 1e6-quantize of stored parquet doubles
     "q_semantic_dedup",     # same quantize + sequential-fold pair dots

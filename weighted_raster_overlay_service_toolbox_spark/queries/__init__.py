@@ -133,7 +133,10 @@ from . import tpch  # noqa: F401,E402
 # q_sort_multi, q_topk, q_topk_per_group, q_union_*, q_intersect,
 # q_str_funcs, q_str_split_index, q_str_regex) to fill 50.
 # ROUND-9 NOTE: q_dedup_bloom (registry 218 -> 219, Bloom-prefiltered
-# incremental dedup -- exact output, word-table sketch) was ADDED in r8
+# incremental dedup -- exact output, word-table sketch) and
+# q_logprob_strata (219 -> 220, quality-stratified sampling by unigram
+# LM score: NTILE quartiles + per-stratum content-hash rates) were
+# ADDED in r8
 # after the window froze; it is parity-verified at three SFs on arrival
 # (the r7-additions cadence) and must be graded in the r9 window along
 # with the remaining r1-only re-grades the r8 window could not fit

@@ -2614,6 +2614,107 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_logprob_strata",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    v AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok),
+    n AS (SELECT COUNT(*) AS total FROM t),
+    lp AS (
+        SELECT t.doc_id,
+               CAST(ROUND(ln(CAST(v.c AS DOUBLE) / n.total) * 1000000)
+                    AS BIGINT) AS lp6
+        FROM t JOIN v USING (tok) CROSS JOIN n
+    ),
+    doc AS (
+        SELECT doc_id,
+               CAST(ROUND(SUM(lp6) / COUNT(*) / 1000000.0, 4) AS DOUBLE)
+                   AS avg_logprob
+        FROM lp GROUP BY doc_id
+    ),
+    st AS (
+        SELECT doc_id, avg_logprob,
+               CAST(NTILE(4) OVER (ORDER BY avg_logprob, doc_id) AS INT)
+                   AS stratum
+        FROM doc
+    )
+    SELECT s.doc_id, s.stratum, s.avg_logprob
+    FROM st s JOIN documents d USING (doc_id)
+    WHERE CAST('0x' || substring(md5(d.text), 1, 15) AS BIGINT) % 100
+          < CASE s.stratum WHEN 1 THEN 25 WHEN 2 THEN 50
+                           WHEN 3 THEN 75 ELSE 100 END
+    """,
+)
+def q_logprob_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-stratified sampling by LM score (round 8) -- the
+    DSIR/DoReMi-flavored curation move: bucket documents into quartile
+    STRATA of unigram avg-logprob (q_unigram_logprob's perplexity
+    proxy), then keep each stratum at a different rate (25/50/75/100%
+    from junkiest to most natural) with the dedup-safe content-hash
+    sampler (portable md5-60 mod 100, the q_split_train_val_test
+    convention: identical documents are kept or dropped together,
+    re-ingestion cannot flip membership).
+
+    Cross-engine determinism: the logprob aggregate is the exact int64
+    lp6 sum (commutative); strata come from NTILE over the total order
+    (rounded avg_logprob, doc_id) -- the rounded score is bit-identical
+    cross-engine (duck_round) and doc_id breaks ties, so the quartile
+    assignment is deterministic; the sampler is the portable hash.
+
+    Scale: the global NTILE is the fixture form -- at 100 TB replace it
+    with broadcast quantile THRESHOLDS (approx_percentile over the
+    scores, then a comparison bucket: no global sort, no single-reducer
+    window; same downstream plan). The sample filter itself is a pure
+    per-row expression, and the token-stream pin is the
+    q_unigram_logprob single-scan trade."""
+    from ..operators.dedup import portable_hash60
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.explode(TOKS()).alias("tok")).transform(pin_corpus)
+    v = t.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n = t.agg(F.count(F.lit(1)).alias("total"))
+    lp = (
+        t.join(broadcast(v), "tok")
+        .crossJoin(broadcast(n))
+        .select(
+            "doc_id",
+            duck_round(
+                F.log(F.col("c").cast("double") / F.col("total")) * 1000000
+            )
+            .cast("long")
+            .alias("lp6"),
+        )
+    )
+    doc = lp.groupBy("doc_id").agg(
+        duck_round(F.sum("lp6") / F.count(F.lit(1)) / 1000000.0, 4)
+        .cast("double")
+        .alias("avg_logprob")
+    )
+    from pyspark.sql import Window
+
+    st = doc.select(
+        "doc_id",
+        "avg_logprob",
+        F.ntile(4)
+        .over(Window.orderBy("avg_logprob", "doc_id"))
+        .cast("int")
+        .alias("stratum"),
+    )
+    rate = (
+        F.when(F.col("stratum") == 1, 25)
+        .when(F.col("stratum") == 2, 50)
+        .when(F.col("stratum") == 3, 75)
+        .otherwise(100)
+    )
+    return (
+        st.join(d.select("doc_id", "text"), "doc_id")
+        .filter((portable_hash60(F.col("text")) % 100) < rate)
+        .select("doc_id", "stratum", "avg_logprob")
+    )
+
+
+@query(
     "q_split_train_val_test",
     oracle="""
     WITH b AS (
