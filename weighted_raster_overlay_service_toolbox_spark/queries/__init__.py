@@ -133,11 +133,18 @@ from . import tpch  # noqa: F401,E402
 # q_sort_multi, q_topk, q_topk_per_group, q_union_*, q_intersect,
 # q_str_funcs, q_str_split_index, q_str_regex) to fill 50.
 # ROUND-9 NOTE: q_dedup_bloom (registry 218 -> 219, Bloom-prefiltered
-# incremental dedup -- exact output, word-table sketch) and
+# incremental dedup -- exact output, word-table sketch),
 # q_logprob_strata (219 -> 220, quality-stratified sampling by unigram
-# LM score: NTILE quartiles + per-stratum content-hash rates) were
+# LM score: NTILE quartiles + per-stratum content-hash rates),
+# q_weighted_sample (220 -> 221, deterministic hash-priority weighted
+# sampling, sequential-Poisson style), q_entity_resolution (221 -> 222,
+# blocked fuzzy record linkage: (first-token, length) blocking +
+# levenshtein, per-block linkage census), and q_triangle_count
+# (222 -> 223, Suri-Vassilvitskii degree-ordered triangle counting over
+# the support->=2 co-purchase graph; oracle = naive id-ordered SQL
+# enumeration, proving output-equivalence of the two plans) were
 # ADDED in r8
-# after the window froze; it is parity-verified at three SFs on arrival
+# after the window froze; each is parity-verified at three SFs on arrival
 # (the r7-additions cadence) and must be graded in the r9 window along
 # with the remaining r1-only re-grades the r8 window could not fit
 # (q_join_right/cross/theta/range/broadcast, q_win_lead_lag/running/

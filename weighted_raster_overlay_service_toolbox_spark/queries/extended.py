@@ -1863,3 +1863,216 @@ def q_interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("concurrent_cnt")
         )
     )
+
+
+@query(
+    "q_entity_resolution",
+    oracle="""
+    WITH p AS (
+        SELECT p_partkey AS k, p_name AS n,
+               split_part(p_name, ' ', 1) AS w1,
+               CAST(len(p_name) AS INT) AS ln
+        FROM part
+    ),
+    rec AS (SELECT w1, ln, COUNT(*) AS n_records FROM p GROUP BY w1, ln),
+    pr AS (
+        SELECT a.w1, a.ln,
+               COUNT(*) AS n_pairs,
+               CAST(SUM(CASE WHEN levenshtein(a.n, b.n) = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+               CAST(SUM(CASE WHEN levenshtein(a.n, b.n) BETWEEN 1 AND 4
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_near
+        FROM p a JOIN p b ON a.w1 = b.w1 AND a.ln = b.ln AND a.k < b.k
+        GROUP BY a.w1, a.ln
+    )
+    SELECT r.w1 AS block_word, r.ln AS name_len, r.n_records,
+           COALESCE(pr.n_pairs, 0) AS n_pairs,
+           COALESCE(pr.n_exact, 0) AS n_exact,
+           COALESCE(pr.n_near, 0) AS n_near
+    FROM rec r LEFT JOIN pr ON pr.w1 = r.w1 AND pr.ln = r.ln
+    """,
+)
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage (round 8): find duplicate / near-
+    duplicate part records by edit distance WITHOUT the cartesian pair
+    space -- the classic entity-resolution blocking strategy. Block key
+    = (first name token, exact name length): candidate pairs form only
+    inside a block (equi-join), and equal length inside the block is the
+    standard |len(a)-len(b)| <= d Levenshtein prefilter taken to its
+    cheapest form (a length difference already costs that many edits).
+    Within a block every ordered pair (k_a < k_b) is scored once; the
+    output is the per-block linkage census (records, candidate pairs,
+    exact dups, near dups at distance 1-4: the fixture's two-word names share a small per-slot vocabulary, so the nearest distinct equal-length names sit at distance 4), so result size is bounded by
+    block-key cardinality, not by the O(sum b_i^2) pair count.
+
+    Scale: one shuffle on the block key for each side of the self-join
+    (co-partitioned, so the pair enumeration is partition-local), one
+    map-side-combined aggregation on the same key -- the pair stage
+    reuses the join partitioning, no extra exchange. The O(b^2)
+    within-block cost is the knob: at 100 TB tighten the block key (add
+    a second token or a phonetic/prefix code) or salt-cap oversize
+    blocks exactly as operators/similarity.py max_block does; the
+    blocking-key census this query emits is the skew diagnostic you
+    would use to pick that cap. Levenshtein itself is a JVM codegen
+    builtin (F.levenshtein) -- no Python in the pair loop."""
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k"),
+        F.col("p_name").alias("n"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("w1"),
+        F.length("p_name").cast("int").alias("ln"),
+    )
+    rec = p.groupBy("w1", "ln").agg(F.count(F.lit(1)).alias("n_records"))
+    a = p.select(
+        F.col("w1"), F.col("ln"), F.col("k").alias("ka"), F.col("n").alias("na")
+    )
+    b = p.select(
+        F.col("w1").alias("w1b"),
+        F.col("ln").alias("lnb"),
+        F.col("k").alias("kb"),
+        F.col("n").alias("nb"),
+    )
+    dst = F.levenshtein("na", "nb")
+    pr = (
+        a.join(
+            b,
+            (F.col("w1") == F.col("w1b"))
+            & (F.col("ln") == F.col("lnb"))
+            & (F.col("ka") < F.col("kb")),
+        )
+        .select("w1", "ln", dst.alias("dst"))
+        .groupBy("w1", "ln")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.when(F.col("dst") == 0, 1).otherwise(0)).alias("n_exact"),
+            F.sum(
+                F.when((F.col("dst") >= 1) & (F.col("dst") <= 4), 1).otherwise(0)
+            ).alias("n_near"),
+        )
+    )
+    return (
+        rec.join(pr, ["w1", "ln"], "left")
+        .select(
+            F.col("w1").alias("block_word"),
+            F.col("ln").alias("name_len"),
+            "n_records",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+            F.coalesce("n_near", F.lit(0)).alias("n_near"),
+        )
+    )
+
+
+@query(
+    "q_triangle_count",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk
+                FROM lineitem),
+    e AS (
+        SELECT a.pk AS u, b.pk AS v
+        FROM li a JOIN li b ON a.o = b.o AND a.pk < b.pk
+        GROUP BY a.pk, b.pk HAVING COUNT(*) >= 2
+    ),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT CAST(a % 8 AS BIGINT) AS bucket, COUNT(*) AS n_triangles
+    FROM tri GROUP BY a % 8
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting (round 8) over the co-purchase
+    graph: vertices are parts, an edge joins two parts bought together
+    in >= 2 distinct orders (the support floor is frequent-itemset
+    pruning -- it keeps the graph from densifying with one-off
+    co-occurrence noise). Output is the triangle census bucketed by the
+    triangle's minimum vertex id.
+
+    The Spark side runs the Suri-Vassilvitskii degree-ordered algorithm:
+    orient every edge from its lower-(degree, id) endpoint to its
+    higher one, enumerate wedges only among a node's OUT-neighbors, and
+    close each wedge with one hash join against the oriented edge list.
+    Orientation makes every triangle counted exactly once and -- the
+    scale point -- caps the wedge fan-out at O(m^1.5) total regardless
+    of skew: a hub vertex of degree d generates d^2 wedges under naive
+    id-ordering but only out-deg^2 <= O(m) under degree-ordering, which
+    is what keeps one celebrity vertex at 100 TB from stalling a
+    straggler reducer. The oracle proves output-equivalence with the
+    naive declarative id-ordered enumeration: same triangles, different
+    physical plan -- the whole point of the technique.
+
+    Scale: distinct + pair-enumeration shuffle on l_orderkey (order
+    baskets are small, so partition-local C(k,2)), one groupBy for
+    support, one for degrees (broadcast back -- vertex-count sized),
+    wedge join + closing join both hash joins on edge keys. The support-
+    filtered edge list and the oriented edge list are each consumed by
+    THREE downstream relations (degrees + both orientation sides; both
+    wedge sides + the closing probe), so both are pinned (pin_corpus):
+    without the pin Spark re-derives the whole fact-scan subtree per
+    consumer -- the unpinned plan audits at 30 lineitem scans, the
+    pinned one at 1."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a = li.select(F.col("o"), F.col("pk").alias("u"))
+    b = li.select(F.col("o").alias("o2"), F.col("pk").alias("v"))
+    e = (
+        a.join(b, (F.col("o") == F.col("o2")) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("u", "v")
+        .transform(pin_corpus)
+    )
+    # Degree table is vertex-sized (small); broadcast it onto the edges.
+    deg = (
+        e.select(F.col("u").alias("x"))
+        .unionAll(e.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    from pyspark.sql.functions import broadcast as _bc
+
+    ed = (
+        e.join(_bc(deg.select(F.col("x"), F.col("d").alias("du"))), F.col("u") == F.col("x"))
+        .drop("x")
+        .join(_bc(deg.select(F.col("x"), F.col("d").alias("dv"))), F.col("v") == F.col("x"))
+        .drop("x")
+    )
+    # Orient each edge lower-(degree, id) -> higher-(degree, id).
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oe = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("du")).otherwise(F.col("dv")).alias("dsrc"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+    ).transform(pin_corpus)
+    # Wedges among out-neighbors of one center, rank-ordered so the
+    # closing edge (if present) is oriented exactly b -> c.
+    w1 = oe.select(
+        F.col("src").alias("ctr"), F.col("dst").alias("b"), F.col("ddst").alias("db")
+    )
+    w2 = oe.select(
+        F.col("src").alias("ctr2"), F.col("dst").alias("c"), F.col("ddst").alias("dc")
+    )
+    b_first = (F.col("db") < F.col("dc")) | (
+        (F.col("db") == F.col("dc")) & (F.col("b") < F.col("c"))
+    )
+    wedges = w1.join(w2, (F.col("ctr") == F.col("ctr2")) & b_first).select(
+        "ctr", "b", "c"
+    )
+    closing = oe.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(closing, ["b", "c"])
+    return (
+        tri.select(
+            (F.least(F.col("ctr"), F.col("b"), F.col("c")) % 8).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

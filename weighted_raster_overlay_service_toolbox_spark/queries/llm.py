@@ -2760,3 +2760,72 @@ def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("long").alias("min_doc_id"),
         )
     )
+
+
+@query(
+    "q_weighted_sample",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+               CAST(CAST('0x' || substring(md5('ws:' || text), 1, 15)
+                         AS BIGINT) AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                   AS priority
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, source, n_tok, priority,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY priority, doc_id) AS rk
+        FROM w
+    )
+    SELECT source, doc_id, n_tok, priority FROM r WHERE rk <= 20
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (round 8): per-source top-k by
+    hash priority ``h / w`` with weight w = token count -- sequential
+    Poisson / priority sampling (Ohlsson; Duffield-Lund-Thorup): a
+    document's chance of making the sample is proportional to its
+    weight, yet membership is a pure function of content, so identical
+    documents sample identically (the q_split_train_val_test
+    dedup-safety convention) and re-ingestion or repartitioning cannot
+    flip the sample. This is the mixture-building primitive: "take k
+    docs per source, long docs proportionally more often", without an
+    RNG whose state would differ per engine and per run.
+
+    Cross-engine determinism: the priority is int64 md5-60 -> DOUBLE
+    over int -> DOUBLE division -- IEEE correctly-rounded conversions
+    and one correctly-rounded division, no libm, so the doubles are
+    bit-identical in Spark and DuckDB; (priority, doc_id) is a total
+    order, so the top-20 cut is exact.
+
+    Scale: weight and priority are pure per-row expressions (no shuffle
+    to assign); the per-source top-k is one hash-partitioned window on a
+    low-cardinality key. At 100 TB swap the row_number window for the
+    rank-threshold trick (approx top-k per group, then exact filter) if
+    source cardinality is low enough to skew -- same output."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import portable_hash60
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(TOKS())
+    pri = portable_hash60(F.concat(F.lit("ws:"), F.col("text"))).cast(
+        "double"
+    ) / n_tok.cast("double")
+    w = d.select(
+        "doc_id",
+        "source",
+        n_tok.alias("n_tok"),
+        pri.alias("priority"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy("priority", "doc_id")
+    )
+    return (
+        w.withColumn("rk", rk)
+        .filter(F.col("rk") <= 20)
+        .select("source", "doc_id", "n_tok", "priority")
+    )
