@@ -142,7 +142,10 @@ from . import tpch  # noqa: F401,E402
 # levenshtein, per-block linkage census), and q_triangle_count
 # (222 -> 223, Suri-Vassilvitskii degree-ordered triangle counting over
 # the support->=2 co-purchase graph; oracle = naive id-ordered SQL
-# enumeration, proving output-equivalence of the two plans) were
+# enumeration, proving output-equivalence of the two plans), and
+# q_bigram_lm (223 -> 224, add-one-smoothed bigram LM mean conditional
+# logprob per doc -- the perplexity filter one rung above
+# q_unigram_logprob) were
 # ADDED in r8
 # after the window froze; each is parity-verified at three SFs on arrival
 # (the r7-additions cadence) and must be graded in the r9 window along

@@ -2829,3 +2829,102 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 20)
         .select("source", "doc_id", "n_tok", "priority")
     )
+
+
+@query(
+    "q_bigram_lm",
+    oracle="""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    big AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM tk CROSS JOIN LATERAL (
+            SELECT unnest(range(1, len(t))) AS i
+        ) ix(i)
+    ),
+    vc AS (SELECT COUNT(DISTINCT w) AS v
+           FROM (SELECT unnest(t) AS w FROM tk) u),
+    bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+    hc AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+    lp AS (
+        SELECT b.doc_id,
+               CAST(ROUND(ln((CAST(bc.c12 AS DOUBLE) + 1.0)
+                             / (CAST(hc.c1 AS DOUBLE) + vc.v)) * 1000000)
+                    AS BIGINT) AS lp6
+        FROM big b JOIN bc USING (w1, w2) JOIN hc USING (w1) CROSS JOIN vc
+    )
+    SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+           (CAST(ROUND(SUM(lp6) / COUNT(*) / 1000000.0, 4) AS DOUBLE)
+            + 0.0) AS avg_bigram_lp
+    FROM lp GROUP BY doc_id
+    """,
+)
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score (round 8): per-document mean
+    conditional logprob ln P(w2 | w1) under an add-one-smoothed bigram
+    LM estimated on the corpus itself -- the CCNet/KenLM-style
+    perplexity filter one rung up from q_unigram_logprob's unigram
+    proxy (a document full of individually common words in an unusual
+    ORDER now scores low). Smoothing: P(w2|w1) = (c(w1 w2) + 1) /
+    (c(w1 .) + V) with V the unigram vocabulary size; the history count
+    c(w1 .) counts w1's occurrences AS a bigram history (doc-final
+    tokens excluded), so probabilities per history sum to exactly 1.
+
+    Cross-engine determinism: the unigram-logprob convention -- each
+    bigram's logprob is quantized to integer micro-nats (duck_round to
+    0dp, bit-exact vs DuckDB ROUND) so the per-doc SUM is commutative
+    int64 arithmetic, immune to partition order; the final 4dp mean is
+    duck_round + the negative-zero fold (q_collocations convention).
+
+    Scale: bigram extraction is a narrow per-row transform; the pinned
+    bigram stream feeds the bigram-count, history-count, and per-doc
+    scoring consumers in ONE corpus scan (pin_corpus trade as
+    documented there). History counts and the scalar V are
+    vocabulary-sized and broadcast; the bigram-TYPE table bc is
+    vocab^2-bounded so it carries NO broadcast hint -- AQE broadcasts
+    it while it fits and falls back to a shuffle join at 100 TB (the
+    doc-cardinality hint rule, one level up)."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select("doc_id", F.split("text", " ").alias("t")).transform(pin_corpus)
+    big = (
+        tk.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+        .transform(pin_corpus)
+    )
+    vc = (
+        tk.select(F.explode("t").alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    hc = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    lp6 = (
+        duck_round(
+            F.log(
+                (F.col("c12").cast("double") + F.lit(1.0))
+                / (F.col("c1").cast("double") + F.col("v"))
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("lp6")
+    )
+    lp = (
+        big.join(bc, ["w1", "w2"])
+        .join(broadcast(hc), "w1")
+        .crossJoin(broadcast(vc))
+        .select("doc_id", lp6)
+    )
+    return lp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+        (duck_round(F.sum("lp6") / F.count(F.lit(1)) / 1000000.0, 4) + F.lit(0.0))
+        .cast("double")
+        .alias("avg_bigram_lp"),
+    )
