@@ -185,13 +185,28 @@ def semantic_dedup(
     Determinism/oracle story: clustering is the exact-arithmetic
     deterministic Lloyd's of operators/kmeans.py (quantized inputs,
     integer-exact centroid means), and the pair cosine follows the
-    rounded-4dp convention computed with :func:`dot_expr` -- the
-    SEQUENTIAL fold that bit-matches DuckDB's list_dot_product -- NOT
-    the einsum path, because this rounded cosine GATES set membership:
-    a last-ulp summation-order difference at a .xxxx5 boundary would
-    flip a survivor (ADVICE r7). The whole operator therefore carries
-    an exact DuckDB oracle (unrolled k-means CTEs + one within-cluster
-    self-join).
+    rounded-4dp convention where the DECIDING value is always
+    :func:`dot_expr` -- the SEQUENTIAL fold that bit-matches DuckDB's
+    list_dot_product -- because this rounded cosine GATES set
+    membership: a last-ulp summation-order difference at a .xxxx5
+    boundary would flip a survivor (ADVICE r7; the r8 sweep measured a
+    fixture pair 9e-11 from a boundary). The whole operator therefore
+    carries an exact DuckDB oracle (unrolled k-means CTEs + one
+    within-cluster self-join).
+
+    Measured dead end (r8, kept as a warning -- do not retry): an
+    einsum PREFILTER with fold-verify only inside a 1e-9 band around
+    the rounding-decision boundary (sound: einsum-vs-fold drift is
+    ~dim * eps ~ 1.4e-14 by Cauchy-Schwarz, five orders inside the
+    band; CASE WHEN evaluates the fold branch lazily) ran 0.55x --
+    8.2s exact-fold vs 15.0s prefiltered at sf0.1, identical 1191
+    survivors. The Arrow round trip ships both 64-dim arrays (128
+    doubles) per pair to the Python worker, which costs MORE than
+    interpreting the 64-term fold in the JVM; dot_pandas only wins
+    when the pair relation is consumed in Python anyway or arrays are
+    pre-batched. The r7->r8 bench delta on this query (1.22x
+    normalized) is the price of oracle-gated exactness, not a
+    recoverable einsum gap.
 
     Scale: one broadcast + one (cluster, dim) shuffle per k-means
     iteration, then ONE cluster-keyed self-join -- no all-pairs product
