@@ -53,6 +53,7 @@ PYTHON_EVAL_ALLOWED = {
 NON_EQUI_ALLOWED = {
     "q_ann_ivf",
     "q_approx_topk",
+    "q_bigram_lm",  # r8: scalar vocab-size V cross join (unigram path)
     "q_collocations",
     "q_cosine_topk",
     "q_embed_near_dup",
@@ -77,6 +78,7 @@ NON_EQUI_ALLOWED = {
 #: here consciously -- it is the audit blind spot.
 CHECKPOINTED_ALLOWED = {
     "q_approx_topk",
+    "q_bigram_lm",        # r8: pinned token/bigram streams (3 consumers)
     "q_collocations",
     "q_containment_sim",
     "q_decontaminate",
@@ -84,6 +86,7 @@ CHECKPOINTED_ALLOWED = {
     "q_dedup_clusters",
     "q_dedup_keep_one",
     "q_dedup_minhash",
+    "q_embed_outliers",   # r8: pinned flat (vec,pos,xq) feeds sums + join-back
     "q_hll_rollup",
     "q_interval_join_binned",
     "q_jaccard_sim",
@@ -100,6 +103,7 @@ CHECKPOINTED_ALLOWED = {
     "q_tfidf",
     "q_timeseries_gapfill",
     "q_tpch_q21",
+    "q_triangle_count",   # r8: pinned canonical edge list (3 join legs)
     "q_unigram_logprob",
     "q_wro_catalog_update",
     "q_wro_decode_ranges",

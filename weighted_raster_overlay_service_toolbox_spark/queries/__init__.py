@@ -145,7 +145,9 @@ from . import tpch  # noqa: F401,E402
 # enumeration, proving output-equivalence of the two plans), and
 # q_bigram_lm (223 -> 224, add-one-smoothed bigram LM mean conditional
 # logprob per doc -- the perplexity filter one rung above
-# q_unigram_logprob) were
+# q_unigram_logprob), and q_embed_outliers (224 -> 225, per-label
+# farthest-from-centroid embedding outliers, cleared-denominator
+# integer d2 so the shuffled aggregate is bit-exact) were
 # ADDED in r8
 # after the window froze; each is parity-verified at three SFs on arrival
 # (the r7-additions cadence) and must be graded in the r9 window along

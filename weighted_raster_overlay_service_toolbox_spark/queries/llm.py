@@ -2928,3 +2928,91 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("avg_bigram_lp"),
     )
+
+
+@query(
+    "q_embed_outliers",
+    oracle="""
+    WITH flat AS (
+        SELECT vec_id, label, u.pos,
+               CAST(ROUND(u.val * 100000) AS BIGINT) AS xq
+        FROM embeddings,
+             unnest([{'pos': i, 'val': CAST(embedding[i + 1] AS DOUBLE)}
+                     for i in range(0, len(embedding))]) AS t(u)
+    ),
+    sums AS (
+        SELECT label, pos, CAST(SUM(xq) AS BIGINT) AS s, COUNT(*) AS n
+        FROM flat GROUP BY label, pos
+    ),
+    d AS (
+        SELECT f.label, f.vec_id,
+               CAST(SUM((f.xq * s.n - s.s) * (f.xq * s.n - s.s)) AS BIGINT)
+                   AS d2
+        FROM flat f JOIN sums s ON s.label = f.label AND s.pos = f.pos
+        GROUP BY f.label, f.vec_id
+    )
+    SELECT label, vec_id, d2 FROM (
+        SELECT label, vec_id, d2,
+               ROW_NUMBER() OVER (PARTITION BY label
+                                  ORDER BY d2 DESC, vec_id) AS rk
+        FROM d
+    ) WHERE rk <= 5
+    """,
+)
+def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection (round 8): per label, the 5
+    vectors farthest from the label centroid -- the curation pass that
+    drops mislabeled / off-distribution samples before training (the
+    CLIP-filtering / isolation-by-distance move), and the quality check
+    run after any IVF/k-means build.
+
+    Exactness without a float in sight: dims are quantized to integer
+    1e-5 steps (duck_round mirror of the oracle's ROUND), the centroid
+    is carried as the exact integer per-dim SUM s with count n, and the
+    squared distance is computed in cleared-denominator form
+    d2 = sum_pos (xq * n - s)^2 -- pure int64 arithmetic, commutative
+    and partition-order independent, so Spark's shuffled groupBy and
+    DuckDB's serial aggregate agree bit-for-bit. n is constant within a
+    label, so ranking by d2 ranks by true centroid distance; d2's scale
+    (q^2 n^2) is label-relative by construction. Int64 envelope:
+    64 * (2 q_max n)^2 < 2^63 holds to n_label ~ 3e3 at |x| <= 0.6
+    (fixture n_label <= 200; 15x headroom at sf1) -- beyond that drop
+    the quantization step to 1e4, or rescale per label; DuckDB's
+    checked BIGINT multiply makes the oracle a built-in overflow canary.
+
+    Scale: one embeddings scan (pinned flat relation feeds the sums and
+    the join-back), a (label, pos)-keyed aggregation with map-side
+    partials, a BROADCAST of the 640-row sums table, one
+    (label, vec_id) aggregation, and a 10-partition window -- no
+    all-pairs distance matrix anywhere."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    flat = (
+        emb.select("vec_id", "label", F.posexplode("e").alias("pos", "val"))
+        .select(
+            "vec_id",
+            "label",
+            "pos",
+            duck_round(F.col("val") * 100000).cast("long").alias("xq"),
+        )
+        .transform(pin_corpus)
+    )
+    sums = flat.groupBy("label", "pos").agg(
+        F.sum("xq").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    dev = F.col("xq") * F.col("n") - F.col("s")
+    d = (
+        flat.join(broadcast(sums), ["label", "pos"])
+        .select("label", "vec_id", (dev * dev).alias("dd"))
+        .groupBy("label", "vec_id")
+        .agg(F.sum("dd").cast("long").alias("d2"))
+    )
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("label").orderBy(F.desc("d2"), F.asc("vec_id"))
+    )
+    return (
+        d.withColumn("rk", rk).filter(F.col("rk") <= 5).select("label", "vec_id", "d2")
+    )
