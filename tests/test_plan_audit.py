@@ -54,6 +54,7 @@ NON_EQUI_ALLOWED = {
     "q_ann_ivf",
     "q_approx_topk",
     "q_bigram_lm",  # r8: scalar vocab-size V cross join (unigram path)
+    "q_bm25",       # r8: scalar (N, sum_dl) stats cross join
     "q_collocations",
     "q_cosine_topk",
     "q_embed_near_dup",
@@ -61,6 +62,8 @@ NON_EQUI_ALLOWED = {
     "q_join_range",
     "q_kmeans",
     "q_logprob_strata",   # r8: scalar corpus-total cross join (unigram path)
+    "q_skew_keys",        # r8: scalar (total, n_keys) stats cross join
+    "q_source_drift",     # r8: scalar corpus-total cross join
     "q_str_levenshtein",
     "q_tfidf",
     "q_timeseries_gapfill",
@@ -79,6 +82,7 @@ NON_EQUI_ALLOWED = {
 CHECKPOINTED_ALLOWED = {
     "q_approx_topk",
     "q_bigram_lm",        # r8: pinned token/bigram streams (3 consumers)
+    "q_bm25",             # r8: pinned (doc_id, dl, toks) feeds stats + tf
     "q_collocations",
     "q_containment_sim",
     "q_decontaminate",
@@ -98,6 +102,8 @@ CHECKPOINTED_ALLOWED = {
     "q_rare_token_ratio",
     "q_semantic_dedup",
     "q_simhash",
+    "q_skew_keys",        # r8: pinned per-key counts feed stats + report
+    "q_source_drift",     # r8: pinned (source, word) counts feed 3 marginals
     "q_stream_agg_update",
     "q_stream_stateful_custom",
     "q_tfidf",

@@ -147,7 +147,13 @@ from . import tpch  # noqa: F401,E402
 # logprob per doc -- the perplexity filter one rung above
 # q_unigram_logprob), and q_embed_outliers (224 -> 225, per-label
 # farthest-from-centroid embedding outliers, cleared-denominator
-# integer d2 so the shuffled aggregate is bit-exact) were
+# integer d2 so the shuffled aggregate is bit-exact), and q_bm25
+# (225 -> 226, Okapi BM25 top-20 for a fixed term set -- the
+# decontamination / relevance-ranking retrieval scorer), and
+# q_source_drift (226 -> 227, per-source unigram KL divergence vs the
+# corpus distribution -- ingest-batch drift monitoring), and
+# q_skew_keys (227 -> 228, heavy-key shuffle-skew diagnostics with
+# share_bp / skew_x, the measurement half of the salting pair) were
 # ADDED in r8
 # after the window froze; each is parity-verified at three SFs on arrival
 # (the r7-additions cadence) and must be graded in the r9 window along

@@ -2076,3 +2076,76 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+@query(
+    "q_skew_keys",
+    oracle="""
+    WITH kc AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY user_id
+    ),
+    stats AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_keys
+        FROM kc
+    )
+    SELECT k.user_id, k.cnt,
+           CAST(ROUND(CAST(k.cnt AS DOUBLE) * 10000 / s.total) AS BIGINT)
+               AS share_bp,
+           CAST(ROUND(CAST(k.cnt AS DOUBLE) * s.n_keys / s.total, 4)
+                AS DOUBLE) AS skew_x
+    FROM kc k CROSS JOIN stats s
+    ORDER BY k.cnt DESC, k.user_id LIMIT 10
+    """,
+)
+def q_skew_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics (round 8): the top-10 heaviest values
+    of a prospective shuffle key (events.user_id) with their absolute
+    count, share of all rows in basis points, and skew factor relative
+    to the mean per-key load (cnt * n_keys / total; 1.0 = perfectly
+    uniform). This is the pre-flight a pipeline runs BEFORE a big join
+    or groupBy to decide whether the key needs salting / AQE skew-join
+    handling -- the measurement half of the q_join_salted /
+    q_agg_salted mitigation pair, and the planner input for choosing a
+    salt fan-out (ceil of max skew_x).
+
+    Cross-engine determinism: counts are exact integers; share_bp and
+    skew_x are single straight-line IEEE expressions written identically
+    in both engines, rounded with the bit-exact duck_round mirror; the
+    top-10 ties break on user_id.
+
+    Scale: one scan, one map-side-combined groupBy on the key (the
+    per-key count relation is |keys|, not |rows|); the scalar totals are
+    a re-aggregation OF that per-key relation (no second scan) joined
+    back as a broadcast; the top-10 is TakeOrdered (per-partition heaps,
+    driver merges 10-row heads) -- no global sort. Works unchanged on a
+    1000-executor cluster because nothing after the first groupBy is
+    row-cardinality-sized."""
+    kc = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .transform(pin_corpus)
+    )
+    stats = kc.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        kc.crossJoin(F.broadcast(stats))
+        .select(
+            "user_id",
+            "cnt",
+            duck_round(F.col("cnt").cast("double") * 10000 / F.col("total"))
+            .cast("long")
+            .alias("share_bp"),
+            duck_round(
+                F.col("cnt").cast("double") * F.col("n_keys") / F.col("total"),
+                4,
+            )
+            .cast("double")
+            .alias("skew_x"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("user_id"))
+        .limit(10)
+    )

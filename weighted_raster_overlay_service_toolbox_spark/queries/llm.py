@@ -3016,3 +3016,216 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.withColumn("rk", rk).filter(F.col("rk") <= 5).select("label", "vec_id", "d2")
     )
+
+
+@query(
+    "q_bm25",
+    oracle="""
+    WITH tk AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+               string_split(text, ' ') AS toks
+        FROM documents
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM tk
+    ),
+    tf AS (
+        SELECT doc_id, dl, w, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS w FROM tk)
+        WHERE w IN ('spark', 'table', 'hash')
+        GROUP BY doc_id, dl, w
+    ),
+    df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+    sc AS (
+        SELECT f.doc_id,
+               CAST(ROUND(
+                   ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5)
+                            / (d.df + 0.5))
+                   * ((CAST(f.tf AS DOUBLE) * 2.2)
+                      / (CAST(f.tf AS DOUBLE)
+                         + 1.2 * (0.25 + 0.75 * (CAST(f.dl AS DOUBLE)
+                             / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))))
+                   * 1000000) AS BIGINT) AS w_u6
+        FROM tf f JOIN df d USING (w) CROSS JOIN stats s
+    )
+    SELECT doc_id, CAST(COUNT(*) AS INT) AS n_terms,
+           CAST(SUM(w_u6) AS BIGINT) AS bm25_u6
+    FROM sc GROUP BY doc_id
+    ORDER BY bm25_u6 DESC, doc_id LIMIT 20
+    """,
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance scoring (round 8): top-20 documents for a
+    fixed 3-term query under BM25 (k1=1.2, b=0.75, Lucene's
+    ln(1 + (N - df + 0.5)/(df + 0.5)) IDF) -- the retrieval scorer a
+    training-data pipeline runs for benchmark decontamination (find the
+    corpus documents most relevant to an eval query) and
+    quality-by-query-relevance ranking; TF-IDF's q_tfidf is the
+    vector-space sibling, this is the probabilistic-relevance one.
+
+    Cross-engine determinism: the unigram-logprob convention -- each
+    (doc, term) BM25 weight is one straight-line IEEE expression written
+    identically in both engines, quantized to integer micro-units
+    (duck_round x 1e6), and the per-doc score is the commutative int64
+    SUM of those -- immune to partition order; ties in the top-20 break
+    on doc_id.
+
+    Scale: doc stats (N, total length) are one map-side-combined scalar
+    aggregate; the term-filtered explode keeps only query-term hits (the
+    IN filter is pushed into the explode's narrow stage, so the shuffled
+    tf relation is |matches|, not |tokens|); df is derived FROM tf (3
+    rows, broadcast) -- no second corpus pass; the final top-20 is
+    TakeOrdered (per-partition heaps + driver merge of 20-row heads),
+    never a global sort. The (doc_id, dl, toks) pin is the
+    q_unigram_logprob single-scan trade (stats + tf share one scan)."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id",
+        F.size(TOKS()).cast("long").alias("dl"),
+        TOKS().alias("toks"),
+    ).transform(pin_corpus)
+    stats = tk.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        tk.select("doc_id", "dl", F.explode("toks").alias("w"))
+        .filter(F.col("w").isin("spark", "table", "hash"))
+        .groupBy("doc_id", "dl", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    w_u6 = (
+        duck_round(
+            idf
+            * (
+                (F.col("tf").cast("double") * F.lit(2.2))
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(1.2)
+                    * (
+                        F.lit(0.25)
+                        + F.lit(0.75)
+                        * (
+                            F.col("dl").cast("double")
+                            / (
+                                F.col("sum_dl").cast("double")
+                                / F.col("n_docs")
+                            )
+                        )
+                    )
+                )
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("w_u6")
+    )
+    sc = (
+        tf.join(broadcast(df), "w")
+        .crossJoin(broadcast(stats))
+        .select("doc_id", w_u6)
+    )
+    return (
+        sc.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_terms"),
+            F.sum("w_u6").cast("long").alias("bm25_u6"),
+        )
+        .orderBy(F.desc("bm25_u6"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_source_drift",
+    oracle="""
+    WITH t AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    sw AS (
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c_sw
+        FROM t GROUP BY source, tok
+    ),
+    w AS (SELECT tok, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY tok),
+    ns AS (
+        SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s FROM sw GROUP BY source
+    ),
+    n AS (SELECT CAST(SUM(c_sw) AS BIGINT) AS total FROM sw),
+    contrib AS (
+        SELECT sw.source,
+               CAST(ROUND(
+                   (CAST(sw.c_sw AS DOUBLE) / ns.n_s)
+                   * ln((CAST(sw.c_sw AS DOUBLE) * n.total)
+                        / (CAST(w.c_w AS DOUBLE) * ns.n_s))
+                   * 1000000000) AS BIGINT) AS kl9
+        FROM sw JOIN w USING (tok) JOIN ns USING (source) CROSS JOIN n
+    )
+    SELECT c.source, ns.n_s AS n_tokens,
+           CAST(SUM(c.kl9) AS BIGINT) AS kl_n9
+    FROM contrib c JOIN ns USING (source)
+    GROUP BY c.source, ns.n_s
+    """,
+)
+def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift (round 8): KL divergence of each
+    source's unigram distribution from the corpus-wide distribution,
+    KL(P_s || P) = sum_w (c_sw/n_s) * ln((c_sw * n)/(c_w * n_s)) -- the
+    corpus-monitoring pass a training pipeline runs per ingest batch to
+    flag a crawl source whose language suddenly shifted (spam floods,
+    encoding breakage, topic drift) before it pollutes the mixture;
+    DoReMi-style domain reweighting reads the same statistic.
+
+    Cross-engine determinism: each (source, word) contribution is one
+    straight-line IEEE expression written identically in both engines,
+    quantized to integer nano-nats (duck_round x 1e9), and the per-source
+    KL is the commutative int64 SUM. Every P_s term also appears in P
+    (c_w >= c_sw > 0), so no log-of-zero smoothing is needed -- KL is
+    finite by construction.
+
+    Scale: ONE corpus scan and ONE (source, word)-keyed shuffle build
+    c_sw; the word-marginal c_w, source-marginal n_s, and scalar n are
+    all re-aggregations OF the pinned c_sw relation (vocab-x-sources
+    sized, far below corpus size) -- no second pass over the tokens. The
+    word-marginal join-back carries a vocab-size broadcast hint (the
+    q_unigram_logprob convention); the 20-row n_s and scalar n are
+    broadcast. At 100 TB the only corpus-sized traffic is the one
+    explode shuffle, which a pretrained vocabulary table would remove."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("source", F.explode(TOKS()).alias("tok"))
+    sw = (
+        t.groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c_sw"))
+        .transform(pin_corpus)
+    )
+    w = sw.groupBy("tok").agg(F.sum("c_sw").alias("c_w"))
+    ns = sw.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
+    n = sw.agg(F.sum("c_sw").alias("total"))
+    kl9 = (
+        duck_round(
+            (F.col("c_sw").cast("double") / F.col("n_s"))
+            * F.log(
+                (F.col("c_sw").cast("double") * F.col("total"))
+                / (F.col("c_w").cast("double") * F.col("n_s"))
+            )
+            * 1000000000
+        )
+        .cast("long")
+        .alias("kl9")
+    )
+    contrib = (
+        sw.join(broadcast(w), "tok")
+        .join(broadcast(ns), "source")
+        .crossJoin(broadcast(n))
+        .select("source", kl9)
+    )
+    return (
+        contrib.groupBy("source")
+        .agg(F.sum("kl9").cast("long").alias("kl_n9"))
+        .join(broadcast(ns), "source")
+        .select("source", F.col("n_s").alias("n_tokens"), "kl_n9")
+    )
