@@ -98,12 +98,15 @@ CHECKPOINTED_ALLOWED = {
     "q_kmeans",
     "q_logprob_strata",   # r8: pinned token stream (q_unigram_logprob trade)
     "q_ngram_jaccard",
+    "q_outliers_mad",     # r8: pinned non-null values feed both rank passes
     "q_pagerank",
     "q_rare_token_ratio",
     "q_semantic_dedup",
     "q_simhash",
     "q_skew_keys",        # r8: pinned per-key counts feed stats + report
     "q_source_drift",     # r8: pinned (source, word) counts feed 3 marginals
+    "q_source_overlap",   # r8: pinned (source, shingle) sets feed sizes + join
+    "q_vocab_coverage",   # r8: pinned (source, tok) counts feed vocab + join
     "q_stream_agg_update",
     "q_stream_stateful_custom",
     "q_tfidf",

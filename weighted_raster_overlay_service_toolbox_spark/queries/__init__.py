@@ -157,7 +157,14 @@ from . import tpch  # noqa: F401,E402
 # ADDED in r8
 # after the window froze; each is parity-verified at three SFs on arrival
 # (the r7-additions cadence) and must be graded in the r9 window along
-# with the remaining r1-only re-grades the r8 window could not fit
+# with the remaining r1-only re-grades the r8 window could not fit.
+# Also ADDED late-r8: q_prefix_dedup (228 -> 229, boilerplate-prefix
+# clustering -- first-8-token key, source-spread census), q_source_overlap
+# (229 -> 230, cross-source shingle-set Jaccard contamination matrix),
+# q_vocab_coverage (230 -> 231, induced top-16 vocab + per-source OOV
+# rate), and q_outliers_mad (231 -> 232, robust median/MAD 3-fence
+# outlier counts via explicit order-statistic selection); same cadence:
+# 3-SF parity on arrival, r9 window grades them.
 # (q_join_right/cross/theta/range/broadcast, q_win_lead_lag/running/
 # frame_rows/ntile_first_last, q_agg_global/distinct/having/filtered/
 # rollup/cube/argmax, q_union_*, q_intersect, q_str_funcs,

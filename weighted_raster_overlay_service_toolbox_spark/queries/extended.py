@@ -2149,3 +2149,137 @@ def q_skew_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("user_id"))
         .limit(10)
     )
+
+
+@query(
+    "q_outliers_mad",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, event_id, value
+        FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM v
+    ),
+    med AS (
+        SELECT event_type, SUM(value) / COUNT(*) AS med
+        FROM r WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+        GROUP BY event_type
+    ),
+    d AS (
+        SELECT v.event_type, v.event_id,
+               abs(v.value - m.med) AS dev, m.med
+        FROM v JOIN med m USING (event_type)
+    ),
+    rd AS (
+        SELECT event_type, dev,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY dev, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM d
+    ),
+    mad AS (
+        SELECT event_type, SUM(dev) / COUNT(*) AS mad
+        FROM rd WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+        GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(d.med) AS med,
+           MIN(a.mad) AS mad,
+           CAST(SUM(CASE WHEN d.dev > 3 * a.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM d JOIN mad a USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def q_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection (round 8): exact median and
+    median-absolute-deviation of events.value per event_type, plus the
+    count of rows beyond the 3-MAD fence. The robust complement of
+    q_outliers_zscore -- mean/stddev fences move with the outliers they
+    are supposed to catch (one flood of bad values inflates sigma and
+    hides itself), while median/MAD have a 50% breakdown point, which is
+    why data-quality monitors on ingest metrics use them.
+
+    Cross-engine determinism: the median is an explicit ORDER-STATISTIC
+    selection, not an engine quantile builtin (whose interpolation paths
+    may differ in the last ulp): rank rows by (value, event_id), select
+    positions (n+1)//2 and (n+2)//2 (equal when n is odd), and average
+    with SUM/COUNT over <= 2 rows -- every step a deterministic IEEE
+    operation written identically in both engines, so med/mad are emitted
+    as RAW doubles with no rounding convention needed. The MAD repeats
+    the selection on abs(value - med), itself an exact IEEE expression.
+
+    Scale: everything keys on event_type -- each ranking pass is one
+    exchange and the aggregate AFTER each window reuses that pass's
+    partitioning (no extra exchange for med/mad; 4 exchanges total in
+    the audited plan, med/mad join back as 5-row broadcasts). The
+    fixture form sorts within each key -- fine while per-key data fits a
+    partition spill; at 100 TB replace the exact median with
+    approx_percentile(value, 0.5) (t-digest partials, map-side combined)
+    and keep the same fence logic -- the docstring form IS the oracle
+    semantics, the approx form is the documented scale path. Low-
+    cardinality keys make whole-key windows the skew worst case; the
+    fence COUNT itself needs no window and stays map-side-combinable."""
+    v = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", "event_id", "value")
+        .transform(pin_corpus)  # one scan feeds both ranking passes
+    )
+    wv = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = v.select(
+        "event_type",
+        "value",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = (
+        r.where(
+            (F.col("rn") == F.expr("(n + 1) div 2"))
+            | (F.col("rn") == F.expr("(n + 2) div 2"))
+        )
+        .groupBy("event_type")
+        .agg((F.sum("value") / F.count(F.lit(1))).alias("med"))
+    )
+    d = v.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        F.abs(F.col("value") - F.col("med")).alias("dev"),
+        "med",
+    )
+    wd = Window.partitionBy("event_type").orderBy("dev", "event_id")
+    rd = d.select(
+        "event_type",
+        "dev",
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mad = (
+        rd.where(
+            (F.col("rn") == F.expr("(n + 1) div 2"))
+            | (F.col("rn") == F.expr("(n + 2) div 2"))
+        )
+        .groupBy("event_type")
+        .agg((F.sum("dev") / F.count(F.lit(1))).alias("mad"))
+    )
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )

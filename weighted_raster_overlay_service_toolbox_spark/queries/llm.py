@@ -3229,3 +3229,228 @@ def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(ns), "source")
         .select("source", F.col("n_s").alias("n_tokens"), "kl_n9")
     )
+
+
+@query(
+    "q_prefix_dedup",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, source,
+               array_to_string(string_split(text, ' ')[1:8], ' ') AS prefix
+        FROM documents
+    )
+    SELECT prefix,
+           CAST(COUNT(*) AS BIGINT)                AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT)  AS n_sources,
+           CAST(MIN(doc_id) AS BIGINT)             AS min_doc_id
+    FROM p GROUP BY prefix HAVING COUNT(*) >= 2
+    """,
+)
+def q_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-prefix clustering (round 8): group documents by their
+    first-8-token prefix and report every cluster shared by >= 2 docs
+    (size, distinct-source spread, representative min doc_id). Crawl
+    corpora are full of template families -- cookie banners, forum
+    headers, SEO spam -- that exact dedup misses (bodies differ) and
+    MinHash dilutes (long unique tails swamp the shared head); keying on
+    the document HEAD is the standard cheap detector, and the source
+    spread separates a site template (1 source) from a syndicated
+    boilerplate plague (many sources).
+
+    Cross-engine determinism: the prefix is a pure string expression
+    (slice + join, shorter docs keep their full token list on both
+    engines); all outputs are exact integers or the prefix string itself.
+
+    Scale: ONE corpus scan, ONE shuffle keyed on the prefix string (a
+    map-side-combined groupBy; COUNT(DISTINCT source) is Spark's two-
+    phase distinct aggregate on the same key -- no extra scan). Output is
+    cluster-cardinality-sized. A hot prefix only concentrates its own
+    GROUP -- the partial aggregate absorbs it map-side, so no salting is
+    needed at 100 TB. The prefix length is the recall/precision knob; 8
+    tokens matches the fixture's doc lengths (FIXTURES.md)."""
+    d = load_table(spark, sf_dir, "documents")
+    prefix = F.array_join(F.slice(TOKS(), 1, 8), " ").alias("prefix")
+    return (
+        d.select(prefix, "source", "doc_id")
+        .groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+@query(
+    "q_source_overlap",
+    oracle="""
+    WITH t AS (SELECT source, string_split(text, ' ') AS l FROM documents),
+    g0 AS (
+        SELECT source,
+               unnest([array_to_string(l[i+1:i+3], ' ')
+                       for i in range(0, len(l) - 2)]) AS gram
+        FROM t
+    ),
+    g AS (SELECT DISTINCT source, gram FROM g0),
+    ns AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh FROM g GROUP BY source
+    ),
+    pr AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT pr.src_a, pr.src_b, pr.n_shared,
+           CAST(ROUND(CAST(pr.n_shared AS DOUBLE)
+                      / (na.n_sh + nb.n_sh - pr.n_shared), 4) AS DOUBLE)
+               AS jaccard
+    FROM pr JOIN ns na ON na.source = pr.src_a
+            JOIN ns nb ON nb.source = pr.src_b
+    """,
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix (round 8): word-trigram
+    shingle-set Jaccard for every source pair that shares at least one
+    shingle. Mixture design needs this BEFORE weighting (q_corpus_mixture
+    treats sources as independent; two 0.4-Jaccard crawls are one source
+    wearing two names), and it is the cross-SOURCE analogue of the
+    per-pair q_ngram_jaccard / corpus-vs-benchmark q_contamination pair.
+
+    Cross-engine determinism: set sizes and intersections are exact
+    integers from DISTINCT aggregation; the Jaccard is one straight-line
+    IEEE division rounded with the bit-exact duck_round mirror.
+
+    Scale: ONE corpus scan builds the DISTINCT (source, shingle) relation
+    (pinned -- it feeds both the per-source set sizes and both self-join
+    sides; vocabulary-x-sources sized, far below corpus size). The
+    intersection is an equi-join ON THE SHINGLE: after DISTINCT each
+    shingle contributes <= S rows per side (S = source count, 20 here),
+    so the worst-case join fan-out is |shingles| * S^2 -- bounded by the
+    catalog, not the corpus. At thousands of sources, prefilter to
+    rare-ish shingles (drop shingles present in > K sources: they add
+    ~1.0 to every pair and carry no discrimination) -- the q_jaccard_sim
+    hot-shingle cap, one WHERE on the pinned relation."""
+    from ..operators.text import word_ngrams
+
+    d = load_table(spark, sf_dir, "documents")
+    g = (
+        d.select("source", F.explode(word_ngrams("text", 3)).alias("gram"))
+        .distinct()
+        .transform(pin_corpus)  # one scan feeds sizes + both join sides
+    )
+    ns = g.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    pr = (
+        g.select(F.col("source").alias("src_a"), "gram")
+        .join(g.select(F.col("source").alias("src_b"), "gram"), "gram")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        pr.join(
+            broadcast(ns.select(F.col("source").alias("src_a"), F.col("n_sh").alias("na"))),
+            "src_a",
+        )
+        .join(
+            broadcast(ns.select(F.col("source").alias("src_b"), F.col("n_sh").alias("nb"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            duck_round(
+                F.col("n_shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")),
+                4,
+            )
+            .cast("double")
+            .alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "q_vocab_coverage",
+    oracle="""
+    WITH t AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    per AS (
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c_sw
+        FROM t GROUP BY 1, 2
+    ),
+    c AS (SELECT tok, CAST(SUM(c_sw) AS BIGINT) AS c FROM per GROUP BY tok),
+    v AS (SELECT tok FROM c ORDER BY c DESC, tok ASC LIMIT 16),
+    agg AS (
+        SELECT per.source,
+               CAST(SUM(per.c_sw) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN v.tok IS NULL THEN per.c_sw ELSE 0 END)
+                    AS BIGINT) AS oov_tokens
+        FROM per LEFT JOIN v ON per.tok = v.tok
+        GROUP BY per.source
+    )
+    SELECT source, n_tokens, oov_tokens,
+           CAST(ROUND(CAST(oov_tokens AS DOUBLE) * 10000 / n_tokens)
+                AS BIGINT) AS oov_bp
+    FROM agg
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit (round 8): induce the top-16
+    corpus vocabulary (by frequency, ties lexicographic) and report each
+    source's out-of-vocabulary token rate in basis points. This is the
+    pre-flight for tokenizer training and reuse -- a source whose OOV
+    rate spikes against the corpus vocabulary is encoding-broken,
+    code-switched, or out-of-domain, and will fragment into rare tokens
+    (the q_rare_token_ratio symptom, measured here at the SOURCE grain
+    where the mixture decision is made). Top-16 of the fixture's 31-token
+    vocabulary keeps both classes populated (FIXTURES.md).
+
+    Cross-engine determinism: counts are exact integers; the vocabulary
+    cut is a fully-ordered LIMIT (count desc, token asc -- unique key);
+    oov_bp is one IEEE division through the bit-exact duck_round mirror.
+
+    Scale: ONE corpus scan, ONE (source, token) shuffle; the corpus
+    vocabulary and its top-16 cut are re-aggregations OF that pinned
+    relation (vocab-x-sources sized), so no second pass. The vocabulary
+    is a 16-row broadcast on the join-back; the top-K itself is
+    TakeOrdered (per-partition heaps), not a global sort. At a real
+    128k-entry BPE vocabulary the broadcast is still ~MB-scale."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("source", F.explode(TOKS()).alias("tok"))
+    per = (
+        t.groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c_sw"))
+        .transform(pin_corpus)  # feeds vocab induction AND coverage join
+    )
+    c = per.groupBy("tok").agg(F.sum("c_sw").alias("c"))
+    v = (
+        c.orderBy(F.desc("c"), F.asc("tok"))
+        .limit(16)
+        .select("tok", F.lit(1).alias("in_v"))
+    )
+    agg = (
+        per.join(broadcast(v), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.sum("c_sw").cast("long").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_v").isNull(), F.col("c_sw")).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("oov_tokens"),
+        )
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "oov_tokens",
+        duck_round(
+            F.col("oov_tokens").cast("double") * 10000 / F.col("n_tokens")
+        )
+        .cast("long")
+        .alias("oov_bp"),
+    )
