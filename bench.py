@@ -81,6 +81,8 @@ def main() -> None:
         "q_dedup_minhash",
         "q_dedup_clusters",
         "q_dedup_bloom",         # round-8: Bloom-prefiltered incremental dedup
+        "q_triangle_count",      # round-8: degree-ordered triangle counting
+        "q_source_drift",        # round-8: per-source unigram KL drift
         "q_semantic_dedup",      # round-7: SemDeDup cluster-then-compare
         "q_quality_classifier",  # round-7: model-based quality filter
         "q_block_dedup",

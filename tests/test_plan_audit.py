@@ -103,6 +103,7 @@ CHECKPOINTED_ALLOWED = {
     "q_rare_token_ratio",
     "q_semantic_dedup",
     "q_simhash",
+    "q_sketch_calibration",  # r8: pinned token sets feed sigs + exact verify
     "q_skew_keys",        # r8: pinned per-key counts feed stats + report
     "q_source_drift",     # r8: pinned (source, word) counts feed 3 marginals
     "q_source_overlap",   # r8: pinned (source, shingle) sets feed sizes + join

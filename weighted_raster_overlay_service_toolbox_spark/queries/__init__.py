@@ -163,8 +163,10 @@ from . import tpch  # noqa: F401,E402
 # (229 -> 230, cross-source shingle-set Jaccard contamination matrix),
 # q_vocab_coverage (230 -> 231, induced top-16 vocab + per-source OOV
 # rate), and q_outliers_mad (231 -> 232, robust median/MAD 3-fence
-# outlier counts via explicit order-statistic selection); same cadence:
-# 3-SF parity on arrival, r9 window grades them.
+# outlier counts via explicit order-statistic selection), and
+# q_sketch_calibration (232 -> 233, MinHash-agreement x exact-Jaccard
+# contingency table over the LSH candidate set -- integer-only output);
+# same cadence: 3-SF parity on arrival, r9 window grades them.
 # (q_join_right/cross/theta/range/broadcast, q_win_lead_lag/running/
 # frame_rows/ntile_first_last, q_agg_global/distinct/having/filtered/
 # rollup/cube/argmax, q_union_*, q_intersect, q_str_funcs,

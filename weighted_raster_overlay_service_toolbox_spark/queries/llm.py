@@ -3454,3 +3454,127 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("oov_bp"),
     )
+
+
+def _sketch_calibration_oracle() -> str:
+    """DuckDB oracle for q_sketch_calibration: rebuild the portable
+    16-lane MinHash signatures (md5-60 base, affine lanes -- identical
+    literals to the Spark side), enumerate the banded candidate pairs,
+    then count pairs per (signature-agreement, exact-Jaccard-decile)
+    cell. Mirrors _minhash_oracle; the exact leg uses list_intersect
+    on the distinct token sets and INTEGER decile division."""
+    from ..operators.dedup import minhash_affine_consts
+
+    lanes = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_affine_consts(16))
+    )
+    return f"""
+    WITH t AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents WHERE doc_id < 200
+    ),
+    bh AS (
+        SELECT doc_id,
+               CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT)
+                   % 2147483647 AS h
+        FROM t
+    ),
+    hs AS (
+        SELECT doc_id, s.seed, MIN((s.a * bh.h + s.b) % 2147483647) AS mh
+        FROM bh CROSS JOIN (
+            SELECT * FROM (VALUES {lanes}) AS lanes(seed, a, b)
+        ) s
+        GROUP BY doc_id, s.seed
+    ),
+    bandvals AS (
+        SELECT doc_id, seed // 2 AS band_idx,
+               string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS band_key
+        FROM hs GROUP BY doc_id, seed // 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bandvals a JOIN bandvals b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    m AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(SUM(CASE WHEN ha.mh = hb.mh THEN 1 ELSE 0 END)
+                    AS INTEGER) AS mh_matches
+        FROM cand c
+        JOIN hs ha ON ha.doc_id = c.doc_a
+        JOIN hs hb ON hb.doc_id = c.doc_b AND hb.seed = ha.seed
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    sets AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        FROM documents WHERE doc_id < 200
+    ),
+    ex AS (
+        SELECT m.mh_matches,
+               CAST((10 * len(list_intersect(sa.toks, sb.toks)))
+                    // (len(sa.toks) + len(sb.toks)
+                        - len(list_intersect(sa.toks, sb.toks)))
+                    AS INTEGER) AS exact_decile
+        FROM m JOIN sets sa ON sa.doc_id = m.doc_a
+               JOIN sets sb ON sb.doc_id = m.doc_b
+    )
+    SELECT mh_matches, exact_decile, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM ex GROUP BY mh_matches, exact_decile
+    """
+
+
+@query("q_sketch_calibration", oracle=_sketch_calibration_oracle())
+def q_sketch_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash sketch calibration (round 8): the joint histogram of
+    (signature agreement count, exact Jaccard decile) over every LSH
+    candidate pair -- the measurement you run BEFORE trusting a sketch
+    configuration at 100 TB. The q_dedup_minhash pipeline's precision
+    is governed by how tightly agreement/16 tracks true Jaccard; this
+    query materializes that tracking as a contingency table (off-
+    diagonal mass = sketch error; the k / bands knobs are tuned against
+    exactly this curve). Same fixed probe set (doc_id < 200) and
+    portable 16-lane signature family as q_dedup_minhash.
+
+    Cross-engine determinism: signature agreement is an exact integer
+    0..16 (est_jaccard is k_matches/16, a multiple of 1/16 -- binary-
+    AND 4dp-exact, so est * 16 round-trips to the integer losslessly);
+    the exact-Jaccard decile is INTEGER division (10 * |A&B|) div |AUB|
+    -- no float crosses the engine boundary anywhere in the output.
+
+    Scale: the pair space never materializes beyond the banded LSH
+    collision set (minhash_candidates: (band_idx, band_hash)-keyed
+    shuffle, pinned signatures); the exact leg verifies ONLY candidates
+    via two id-keyed equi-joins against the pinned token-set relation
+    (the minhash_verified_edges shape, operators/dedup.py:254). The
+    output is a <=17x11-cell table -- driver-sized by construction."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sets = d.select(
+        "doc_id", F.array_distinct(TOKS()).alias("toks")
+    ).transform(pin_corpus)  # one scan feeds signatures AND exact verify
+    cand = minhash_candidates(
+        sets, "doc_id", F.col("toks"), k=16, bands=8, portable=True
+    )
+    inter = F.size(F.array_intersect("ta", "tb"))
+    ex = (
+        cand.join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta")),
+            "doc_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb")),
+            "doc_b",
+        )
+        .select(
+            duck_round(F.col("est_jaccard") * 16).cast("int").alias("mh_matches"),
+            (F.lit(10) * inter).alias("ten_i"),
+            (F.size("ta") + F.size("tb") - inter).alias("uni"),
+        )
+        .select(
+            "mh_matches",
+            F.expr("ten_i div uni").cast("int").alias("exact_decile"),
+        )
+    )
+    return ex.groupBy("mh_matches", "exact_decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
