@@ -52,6 +52,7 @@ PYTHON_EVAL_ALLOWED = {
 #: operator itself (join_cross).
 NON_EQUI_ALLOWED = {
     "q_ann_ivf",
+    "q_ann_recall",  # r8: 25-probe broadcast x corpus -- the ground-truth leg
     "q_approx_topk",
     "q_bigram_lm",  # r8: scalar vocab-size V cross join (unigram path)
     "q_bm25",       # r8: scalar (N, sum_dl) stats cross join
@@ -80,6 +81,7 @@ NON_EQUI_ALLOWED = {
 #: iterative / catalog-staging design. A NEW checkpoint must be added
 #: here consciously -- it is the audit blind spot.
 CHECKPOINTED_ALLOWED = {
+    "q_ann_recall",       # r8: pinned bucketed vectors feed both legs
     "q_approx_topk",
     "q_bigram_lm",        # r8: pinned token/bigram streams (3 consumers)
     "q_bm25",             # r8: pinned (doc_id, dl, toks) feeds stats + tf

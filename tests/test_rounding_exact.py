@@ -204,6 +204,9 @@ _KNIFE_EXPLAINED = {
     "q_kmeans",             # 1e6-quantize of stored parquet doubles
     "q_semantic_dedup",     # same quantize + sequential-fold pair dots
     "q_cosine_topk",        # sequential-fold dots (bit-match list_dot_product)
+    "q_ann_recall",         # same fold (trips at sf0.1 only; sims are
+                            # bit-identical cross-engine, so the rank --
+                            # and hence the recall sets -- cannot flip)
 }
 
 

@@ -165,7 +165,9 @@ from . import tpch  # noqa: F401,E402
 # rate), and q_outliers_mad (231 -> 232, robust median/MAD 3-fence
 # outlier counts via explicit order-statistic selection), and
 # q_sketch_calibration (232 -> 233, MinHash-agreement x exact-Jaccard
-# contingency table over the LSH candidate set -- integer-only output);
+# contingency table over the LSH candidate set -- integer-only output),
+# and q_ann_recall (233 -> 234, per-probe recall@5 of the IVF
+# multi-probe search vs brute-force ground truth -- integer hit counts);
 # same cadence: 3-SF parity on arrival, r9 window grades them.
 # (q_join_right/cross/theta/range/broadcast, q_win_lead_lag/running/
 # frame_rows/ntile_first_last, q_agg_global/distinct/having/filtered/

@@ -3578,3 +3578,146 @@ def q_sketch_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.groupBy("mh_matches", "exact_decile").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs")
     )
+
+
+def _ann_recall_oracle() -> str:
+    """DuckDB oracle for q_ann_recall: both legs of the recall
+    measurement -- the bucket-restricted IVF top-5 (the _ann_ivf_oracle
+    construction, same inlined hyperplane literals) and the
+    unrestricted brute-force top-5 -- joined per probe. Rank convention
+    on both legs: (rounded sim DESC, cand_id ASC)."""
+    from ..operators.similarity import _plane
+
+    lits = [
+        "[" + ", ".join(repr(x) for x in _plane(64, s)) + "]" for s in range(4)
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {lits[i]}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(4)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    vb AS (
+        SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm,
+               {bucket} AS bucket
+        FROM v
+    ),
+    p AS (
+        SELECT vec_id AS probe_id, e AS pe, nrm AS pnrm, bucket AS pb
+        FROM vb WHERE vec_id < 25
+    ),
+    ji AS (
+        SELECT p.probe_id, c.vec_id AS cand_id,
+               CAST(ROUND(list_dot_product(p.pe, c.e) / (p.pnrm * c.nrm), 4)
+                    AS DOUBLE) AS sim
+        FROM vb c JOIN p
+          ON c.vec_id <> p.probe_id
+         AND c.bucket IN (p.pb, xor(p.pb, 1), xor(p.pb, 2),
+                          xor(p.pb, 4), xor(p.pb, 8))
+    ),
+    ivf5 AS (
+        SELECT probe_id, cand_id FROM (
+            SELECT probe_id, cand_id,
+                   row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY sim DESC, cand_id) AS rk
+            FROM ji
+        ) WHERE rk <= 5
+    ),
+    je AS (
+        SELECT p.probe_id, c.vec_id AS cand_id,
+               CAST(ROUND(list_dot_product(p.pe, c.e) / (p.pnrm * c.nrm), 4)
+                    AS DOUBLE) AS sim
+        FROM vb c JOIN p ON c.vec_id <> p.probe_id
+    ),
+    ex5 AS (
+        SELECT probe_id, cand_id FROM (
+            SELECT probe_id, cand_id,
+                   row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY sim DESC, cand_id) AS rk
+            FROM je
+        ) WHERE rk <= 5
+    )
+    SELECT e.probe_id,
+           CAST(SUM(CASE WHEN i.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS INTEGER) AS n_hits,
+           CAST(SUM(CASE WHEN i.cand_id IS NOT NULL THEN 1 ELSE 0 END) * 2000
+                AS INTEGER) AS recall_bp
+    FROM ex5 e LEFT JOIN ivf5 i
+      ON i.probe_id = e.probe_id AND i.cand_id = e.cand_id
+    GROUP BY e.probe_id
+    """
+
+
+@query("q_ann_recall", oracle=_ann_recall_oracle())
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall measurement (round 8): per-probe recall@5 of the
+    q_ann_ivf multi-probe bucket search against the brute-force cosine
+    top-5 ground truth -- the companion of q_sketch_calibration for the
+    embedding path. Recall@k on a sampled probe set is THE acceptance
+    metric for an ANN index configuration (bucket count, multi-probe
+    fan-out) before it replaces brute force at corpus scale; this query
+    IS that harness, with both legs inside one plan.
+
+    Cross-engine determinism: both legs rank on (duck_round-ed sim DESC,
+    cand_id ASC) -- the q_ann_ivf convention -- and the output is pure
+    integers (hit count and n_hits*2000 bp, exact since k=5 divides 1e4).
+
+    Scale: the shared bucketed+normed vector relation is pinned (ONE
+    embeddings scan feeds both legs). The IVF leg stays bucket-keyed as
+    in q_ann_ivf. The exact leg is O(|probes| x N) BY DESIGN -- the
+    ground-truth yardstick is bounded by the 25-probe sample, never
+    corpus x corpus; at 100 TB you sample probes exactly like this and
+    the yardstick cost stays |probes| x one-scan. Both top-5 selections
+    are per-probe window ranks over candidate sets that AQE coalesces;
+    the final per-probe join compares two 5-row-per-probe relations."""
+    vb = with_norm(
+        hyperplane_bucket(
+            load_table(spark, sf_dir, "embeddings").select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("e")
+            )
+        )
+    ).transform(pin_corpus)  # one scan feeds the IVF and exact legs
+    probe_buckets = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(4)],
+    )
+    p = vb.filter(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("e").alias("pe"),
+        probe_buckets.alias("pbs"),
+        F.col("nrm").alias("pnrm"),
+    )
+    sim = duck_round(
+        dot_expr(F.col("pe"), F.col("e")) / (F.col("pnrm") * F.col("nrm")), 4
+    ).cast("double")
+    ivf5 = topk_per_probe(
+        vb.join(
+            broadcast(p),
+            F.array_contains(F.col("pbs"), F.col("bucket"))
+            & (F.col("vec_id") != F.col("probe_id")),
+        ).select("probe_id", F.col("vec_id").alias("cand_id"), sim.alias("sim")),
+        k=5,
+    ).select("probe_id", "cand_id")
+    ex5 = topk_per_probe(
+        vb.join(broadcast(p), F.col("vec_id") != F.col("probe_id")).select(
+            "probe_id", F.col("vec_id").alias("cand_id"), sim.alias("sim")
+        ),
+        k=5,
+    ).select("probe_id", F.col("cand_id").alias("hit_cand"))
+    hits = ex5.join(
+        ivf5,
+        (ex5["probe_id"] == ivf5["probe_id"])
+        & (ex5["hit_cand"] == ivf5["cand_id"]),
+        "left",
+    ).select(ex5["probe_id"].alias("probe_id"), ivf5["cand_id"].alias("matched"))
+    return hits.groupBy("probe_id").agg(
+        F.sum(F.when(F.col("matched").isNotNull(), 1).otherwise(0))
+        .cast("int")
+        .alias("n_hits"),
+        (
+            F.sum(F.when(F.col("matched").isNotNull(), 1).otherwise(0)) * 2000
+        )
+        .cast("int")
+        .alias("recall_bp"),
+    )
