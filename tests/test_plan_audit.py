@@ -98,6 +98,7 @@ CHECKPOINTED_ALLOWED = {
     "q_jaccard_sim",
     "q_join_range",
     "q_kmeans",
+    "q_lang_entropy",     # r8: pinned (source, lang) counts feed totals + terms
     "q_logprob_strata",   # r8: pinned token stream (q_unigram_logprob trade)
     "q_ngram_jaccard",
     "q_outliers_mad",     # r8: pinned non-null values feed both rank passes

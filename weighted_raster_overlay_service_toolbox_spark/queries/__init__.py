@@ -167,7 +167,10 @@ from . import tpch  # noqa: F401,E402
 # q_sketch_calibration (232 -> 233, MinHash-agreement x exact-Jaccard
 # contingency table over the LSH candidate set -- integer-only output),
 # and q_ann_recall (233 -> 234, per-probe recall@5 of the IVF
-# multi-probe search vs brute-force ground truth -- integer hit counts);
+# multi-probe search vs brute-force ground truth -- integer hit counts),
+# and q_lang_entropy (234 -> 235, per-source language-mix Shannon
+# entropy in nano-nats + dominant-language share bp -- the mixture
+# purity monitor one level above q_source_drift's token KL);
 # same cadence: 3-SF parity on arrival, r9 window grades them.
 # (q_join_right/cross/theta/range/broadcast, q_win_lead_lag/running/
 # frame_rows/ntile_first_last, q_agg_global/distinct/having/filtered/

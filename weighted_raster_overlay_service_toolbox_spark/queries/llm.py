@@ -3721,3 +3721,88 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("recall_bp"),
     )
+
+
+@query(
+    "q_lang_entropy",
+    oracle="""
+    WITH c AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2
+    ),
+    t AS (SELECT source, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY source),
+    e AS (
+        SELECT c.source, c.n,
+               CAST(ROUND((CAST(c.n AS DOUBLE) / t.tot)
+                          * ln(CAST(t.tot AS DOUBLE) / c.n)
+                          * 1000000000) AS BIGINT) AS h9
+        FROM c JOIN t USING (source)
+    )
+    SELECT e.source, t.tot AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           CAST(SUM(e.h9) AS BIGINT) AS entropy_n9,
+           CAST(ROUND(CAST(MAX(e.n) AS DOUBLE) * 10000 / t.tot) AS BIGINT)
+               AS top_share_bp
+    FROM e JOIN t ON t.source = e.source
+    GROUP BY e.source, t.tot
+    """,
+)
+def q_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language-mix purity (round 8): Shannon entropy of each
+    source's language distribution in integer nano-nats, plus the
+    dominant-language share in basis points. The mixture-design input
+    one level above q_source_drift's token-level KL: a crawl source
+    whose language entropy jumps between ingest batches changed its
+    nature (new geo, spam flood, router misconfig) and needs re-weighing
+    before q_corpus_mixture trusts its token counts; the top-share is
+    the "is this source mono-lingual enough for the en-only mixture"
+    gate. Entropy ~0 = pure source; ln(5) = 1.609e9 n9 = uniform over
+    the fixture's 5 languages.
+
+    Cross-engine determinism: each (source, lang) term
+    (n/tot)*ln(tot/n) is one straight-line IEEE expression written
+    identically in both engines, quantized to integer nano-nats
+    (duck_round x 1e9), summed as int64 -- commutative-exact. The
+    top-share division is one duck_round bp quantization.
+
+    Scale: ONE corpus scan (projected to two metadata columns -- the
+    parquet reader prunes text), ONE (source, lang) shuffle; per-source
+    totals are a re-aggregation OF the pinned count relation and join
+    back as a broadcast (sources x langs sized). Nothing downstream is
+    row-cardinality-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    c = (
+        d.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .transform(pin_corpus)  # feeds totals AND the entropy terms
+    )
+    t = c.groupBy("source").agg(F.sum("n").alias("tot"))
+    e = c.join(broadcast(t), "source").select(
+        "source",
+        "n",
+        "tot",
+        duck_round(
+            (F.col("n").cast("double") / F.col("tot"))
+            * F.log(F.col("tot").cast("double") / F.col("n"))
+            * 1000000000
+        )
+        .cast("long")
+        .alias("h9"),
+    )
+    return (
+        e.groupBy("source", "tot")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            F.sum("h9").cast("long").alias("entropy_n9"),
+            duck_round(F.max("n").cast("double") * 10000 / F.col("tot"))
+            .cast("long")
+            .alias("top_share_bp"),
+        )
+        .select(
+            "source",
+            F.col("tot").alias("n_docs"),
+            "n_langs",
+            "entropy_n9",
+            "top_share_bp",
+        )
+    )
