@@ -98,6 +98,7 @@ CHECKPOINTED_ALLOWED = {
     "q_jaccard_sim",
     "q_join_range",
     "q_kmeans",
+    "q_knn_graph",        # r8: pinned bucketed vectors feed both join sides
     "q_lang_entropy",     # r8: pinned (source, lang) counts feed totals + terms
     "q_logprob_strata",   # r8: pinned token stream (q_unigram_logprob trade)
     "q_ngram_jaccard",

@@ -170,7 +170,10 @@ from . import tpch  # noqa: F401,E402
 # multi-probe search vs brute-force ground truth -- integer hit counts),
 # and q_lang_entropy (234 -> 235, per-source language-mix Shannon
 # entropy in nano-nats + dominant-language share bp -- the mixture
-# purity monitor one level above q_source_drift's token KL);
+# purity monitor one level above q_source_drift's token KL), and
+# q_knn_graph (235 -> 236, bucket-restricted mutual 3-NN graph --
+# the graph-clustering input; directed window top-k inside hyperplane
+# buckets, mutual filter via reversed-pair equi-join);
 # same cadence: 3-SF parity on arrival, r9 window grades them.
 # (q_join_right/cross/theta/range/broadcast, q_win_lead_lag/running/
 # frame_rows/ntile_first_last, q_agg_global/distinct/having/filtered/

@@ -3806,3 +3806,113 @@ def q_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_share_bp",
         )
     )
+
+
+def _knn_graph_oracle() -> str:
+    """DuckDB oracle for q_knn_graph: same inlined hyperplane bucket
+    literals as _ann_ivf_oracle, bucket-restricted directed 3-NN via
+    window rank, then the mutual filter as a reversed-pair self-join."""
+    from ..operators.similarity import _plane
+
+    lits = [
+        "[" + ", ".join(repr(x) for x in _plane(64, s)) + "]" for s in range(4)
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {lits[i]}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(4)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    vb AS (
+        SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm,
+               {bucket} AS bucket
+        FROM v
+    ),
+    j AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               CAST(ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4)
+                    AS DOUBLE) AS sim
+        FROM vb a JOIN vb b
+          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    r AS (
+        SELECT src, dst, sim,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY sim DESC, dst) AS rk
+        FROM j
+    ),
+    k AS (SELECT src, dst, sim FROM r WHERE rk <= 3)
+    SELECT x.src AS vec_a, x.dst AS vec_b, x.sim
+    FROM k x JOIN k y ON y.src = x.dst AND y.dst = x.src
+    WHERE x.src < x.dst
+    """
+
+
+@query("q_knn_graph", oracle=_knn_graph_oracle())
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual k-NN graph construction (round 8): bucket-restricted
+    directed 3-NN per vector, kept only where BOTH endpoints rank each
+    other (the mutual filter that strips hubness) -- the standard input
+    to graph-based clustering and to SemDeDup-style connected-component
+    grouping one level up from q_semantic_dedup's star-shaped
+    drop-higher-id rule. Every stage is the scale shape: candidates come
+    from the hyperplane bucket EQUI-join (never all pairs), ranking is a
+    per-source window inside the bucket partitions, and mutuality is an
+    equi-join of the directed edge list against its own reversed pair.
+
+    Cross-engine determinism: sims are duck_round-ed sequential-fold
+    dots (bit-matching list_dot_product; sim(a,b)=sim(b,a) bit-exact
+    because zip_with multiplies index-aligned and the fold order is
+    identical), rank ties break on neighbor id, and the mutual filter
+    is pure set logic on those deterministic top-3 sets.
+
+    Scale: ONE embeddings scan (pinned bucketed+normed relation feeds
+    both aliases). The self-join is keyed on bucket -- with B buckets
+    the pair space is ~N^2/B per skew-free bucket, and a hot bucket is
+    the q_semantic_dedup max-block story (salt oversized buckets, or
+    add planes: B doubles per plane). Directed edges are N*k rows; the
+    mutual join is (src, dst)-keyed -- uniform, broadcast-free."""
+    vb = with_norm(
+        hyperplane_bucket(
+            load_table(spark, sf_dir, "embeddings").select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("e")
+            )
+        )
+    ).transform(pin_corpus)  # one scan feeds both self-join sides
+    a = vb.select(
+        F.col("vec_id").alias("src"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+        "bucket",
+    )
+    b = vb.select(
+        F.col("vec_id").alias("dst"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+        "bucket",
+    )
+    sim = duck_round(
+        dot_expr(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4
+    ).cast("double")
+    j = (
+        a.join(b, "bucket")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst", sim.alias("sim"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
+    k = (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("src", "dst", "sim")
+    )
+    rev = k.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return (
+        k.join(rev, ["src", "dst"])
+        .where(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("vec_a"), F.col("dst").alias("vec_b"), "sim"
+        )
+    )
