@@ -1932,6 +1932,18 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("nb"),
     )
     dst = F.levenshtein("na", "nb")
+    # Pin the join parallelism: the block relation is BYTE-small but the
+    # pair enumeration is compute-huge, so AQE's byte-based coalescer
+    # would fold the shuffle read to ONE partition and run every
+    # levenshtein on one core (measured at 10x data: 574s single-task vs
+    # ~10s/decade expected -- the r8 sf1 spot-run's straggler). An
+    # explicit user repartition with a fixed partition count is exempt
+    # from AQE coalescing and keeps both sides co-partitioned on the
+    # block key, so the O(b^2) work spreads across the cluster; the
+    # downstream census groupBy reuses the same partitioning.
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    a = a.repartition(n_shuffle, "w1", "ln")
+    b = b.repartition(n_shuffle, "w1b", "lnb")
     pr = (
         a.join(
             b,
@@ -2282,4 +2294,84 @@ def q_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_outliers"),
         )
+    )
+
+
+@query(
+    "q_decay_agg",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, epoch_us(ts) AS t_us, value
+        FROM events WHERE value IS NOT NULL
+    ),
+    mx AS (SELECT CAST(MAX(t_us) AS BIGINT) AS tmax_us FROM v),
+    d AS (
+        SELECT v.event_type,
+               CAST(ROUND(v.value
+                          * exp(-(CAST(mx.tmax_us - v.t_us AS DOUBLE)
+                                  / 604800000000.0))
+                          * 1000000) AS BIGINT) AS w_u6
+        FROM v CROSS JOIN mx
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(w_u6) AS BIGINT) AS decayed_u6
+    FROM d GROUP BY event_type
+    """,
+)
+def q_decay_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decay weighted aggregation (round 8): per event_type, the
+    sum of values exponentially decayed toward the corpus's newest
+    timestamp (tau = 1 week) -- the feature-engineering staple behind
+    "recent activity" signals, where yesterday's event should count
+    ~e^-1/7 of today's. The same shape powers decayed source quality in
+    an ingest pipeline (recent crawl batches dominate the score).
+
+    Cross-engine determinism: timestamps go through INTEGER
+    microseconds (epoch_us / unix_micros -- no float time anywhere);
+    each row's decayed weight is one straight-line IEEE expression
+    written identically in both engines (exp of an exact integer-ratio
+    argument), quantized per ROW to integer micro-units with the
+    bit-exact duck_round mirror, then summed as int64 -- the
+    commutative-exact convention of q_source_drift/q_bigram_lm; a
+    last-ulp libm difference is 1e-10-scale at the quantizer, ~1e4x
+    inside the knife-edge audit margin.
+
+    Scale: one events scan (projected to 3 columns); the max-timestamp
+    scalar is a map-side-combined re-aggregation broadcast back
+    (crossJoin of a 1-row relation); the weighted sum is one
+    event_type-keyed map-side-combined groupBy. Nothing is
+    row-cardinality-sized after the scan. Incremental form at 100 TB:
+    decayed sums are associative under a known tmax shift
+    (multiply the old sum by exp(-dt/tau)), so per-batch partials
+    compose without rescanning history."""
+    v = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.unix_micros("ts").alias("t_us"),
+            "value",
+        )
+        .transform(pin_corpus)  # one scan feeds the max AND the weights
+    )
+    mx = v.agg(F.max("t_us").cast("long").alias("tmax_us"))
+    d = v.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        duck_round(
+            F.col("value")
+            * F.exp(
+                -(
+                    (F.col("tmax_us") - F.col("t_us")).cast("double")
+                    / F.lit(604800000000.0)
+                )
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("w_u6"),
+    )
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("w_u6").cast("long").alias("decayed_u6"),
     )

@@ -3895,14 +3895,31 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = duck_round(
         dot_expr(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4
     ).cast("double")
+    # Pin the join parallelism: the bucketed-vector relation is
+    # byte-small but the within-bucket pair space is compute-huge, so
+    # AQE's byte-based coalescer folds the shuffle read to ~1 task and
+    # serializes N^2/B dot products (measured at 10x data: 173s vs the
+    # ~16-way ideal -- the r8 sf1 spot-run). A user repartition with an
+    # explicit count is exempt from coalescing; parallelism is still
+    # capped at B non-empty partitions -- the documented knob is more
+    # planes (B doubles per plane), same as q_semantic_dedup's k.
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    a = a.repartition(n_shuffle, "bucket")
+    b = b.repartition(n_shuffle, "bucket")
     j = (
         a.join(b, "bucket")
         .where(F.col("src") != F.col("dst"))
-        .select("src", "dst", sim.alias("sim"))
+        .select("bucket", "src", "dst", sim.alias("sim"))
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
+    # Window keyed (bucket, src): src determines its bucket, so the
+    # groups are identical to partitionBy(src) -- but HashPartitioning
+    # on {bucket} already satisfies ClusteredDistribution({bucket, src})
+    # (subset rule), so the rank runs INSIDE the join partitions and the
+    # N^2/B-row candidate relation never re-shuffles; only the N*k
+    # directed edge list moves for the mutual join.
+    w = Window.partitionBy("bucket", "src").orderBy(F.desc("sim"), F.asc("dst"))
     k = (
         j.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
