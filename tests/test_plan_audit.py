@@ -58,6 +58,7 @@ NON_EQUI_ALLOWED = {
     "q_bm25",       # r8: scalar (N, sum_dl) stats cross join
     "q_collocations",
     "q_cosine_topk",
+    "q_decay_agg",  # r8: scalar max-timestamp cross join
     "q_embed_near_dup",
     "q_join_cross",
     "q_join_range",
@@ -87,6 +88,7 @@ CHECKPOINTED_ALLOWED = {
     "q_bm25",             # r8: pinned (doc_id, dl, toks) feeds stats + tf
     "q_collocations",
     "q_containment_sim",
+    "q_decay_agg",        # r8: pinned (type, t_us, value) feeds max + weights
     "q_decontaminate",
     "q_dedup_bloom",      # r8: pinned fp index + <=64-row Bloom word table
     "q_dedup_clusters",

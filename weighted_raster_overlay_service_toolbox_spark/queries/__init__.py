@@ -173,7 +173,10 @@ from . import tpch  # noqa: F401,E402
 # purity monitor one level above q_source_drift's token KL), and
 # q_knn_graph (235 -> 236, bucket-restricted mutual 3-NN graph --
 # the graph-clustering input; directed window top-k inside hyperplane
-# buckets, mutual filter via reversed-pair equi-join);
+# buckets, mutual filter via reversed-pair equi-join), and q_decay_agg
+# (236 -> 237, recency-decay weighted aggregation: exp-decayed value
+# sums per event_type via integer-microsecond deltas and per-row u6
+# quantization -- the "recent activity" feature shape);
 # same cadence: 3-SF parity on arrival, r9 window grades them.
 # (q_join_right/cross/theta/range/broadcast, q_win_lead_lag/running/
 # frame_rows/ntile_first_last, q_agg_global/distinct/having/filtered/
