@@ -176,7 +176,11 @@ from . import tpch  # noqa: F401,E402
 # buckets, mutual filter via reversed-pair equi-join), and q_decay_agg
 # (236 -> 237, recency-decay weighted aggregation: exp-decayed value
 # sums per event_type via integer-microsecond deltas and per-row u6
-# quantization -- the "recent activity" feature shape);
+# quantization -- the "recent activity" feature shape), and
+# q_stream_lang_mix (237 -> 238, ingest-time language-mix monitoring:
+# the stream maintains the catalog-sized (source, lang) count state,
+# the q_lang_entropy purity scorer reads that state batch-side --
+# batch==stream by construction, oracle is the batch SQL verbatim);
 # same cadence: 3-SF parity on arrival, r9 window grades them.
 # (q_join_right/cross/theta/range/broadcast, q_win_lead_lag/running/
 # frame_rows/ntile_first_last, q_agg_global/distinct/having/filtered/

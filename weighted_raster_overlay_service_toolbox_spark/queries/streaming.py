@@ -726,3 +726,99 @@ def q_stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("score") >= 0.5)
     )
     return run_to_memory(filtered, "sink_quality_filter", "append")
+
+
+@query(
+    "q_stream_lang_mix",
+    # the stream's final (source, lang) state equals the batch counts, so
+    # the oracle is q_lang_entropy's batch SQL verbatim -- batch==stream
+    # by construction for a complete-mode aggregate over a drained source
+    oracle="""
+    WITH c AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2
+    ),
+    t AS (SELECT source, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY source),
+    e AS (
+        SELECT c.source, c.n,
+               CAST(ROUND((CAST(c.n AS DOUBLE) / t.tot)
+                          * ln(CAST(t.tot AS DOUBLE) / c.n)
+                          * 1000000000) AS BIGINT) AS h9
+        FROM c JOIN t USING (source)
+    )
+    SELECT e.source, t.tot AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           CAST(SUM(e.h9) AS BIGINT) AS entropy_n9,
+           CAST(ROUND(CAST(MAX(e.n) AS DOUBLE) * 10000 / t.tot) AS BIGINT)
+               AS top_share_bp
+    FROM e JOIN t ON t.source = e.source
+    GROUP BY e.source, t.tot
+    """,
+)
+def q_stream_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INGEST-TIME language-mix monitoring (round 8): the stream
+    maintains the (source, lang) count state table (one stateful
+    complete-mode aggregate over the document file stream); the purity
+    monitor -- q_lang_entropy's nano-nat entropy + dominant-share
+    computation, identical convention -- is a BATCH read of that state.
+    This is the production split: the only thing that must be streaming
+    is the count maintenance (Structured Streaming cannot chain a
+    second aggregation after a stateful one anyway); scoring the
+    state table is a cheap batch pass the monitor runs on whatever
+    cadence it likes. The stream's drained state equals the batch
+    counts exactly, so the oracle is q_lang_entropy's SQL verbatim.
+
+    Scale: the streaming agg keys its state by (source, lang) --
+    catalog-sized, bounded regardless of stream length; complete-mode
+    re-emission is that same catalog-sized table per trigger. The
+    entropy pass is source-cardinality work. files_per_trigger=2:
+    complete-mode output is batch-count-invariant (the tumbling-window
+    convention), so backfill halves the per-batch commit overhead."""
+    staged = stage_document_files(spark, sf_dir, "lang_mix")
+    counts = (
+        read_document_stream(spark, staged, files_per_trigger=2)
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    c = run_to_memory(counts, "sink_lang_mix", "complete")
+    from ..functions.rounding import duck_round
+    from pyspark.sql.functions import broadcast
+
+    # both sides derive from the same memory-sink relation; rename the
+    # re-aggregated side's key or the self-join's attribute ids conflict
+    t = (
+        c.groupBy("source")
+        .agg(F.sum("n").alias("tot"))
+        .withColumnRenamed("source", "src_t")
+    )
+    e = c.join(
+        broadcast(t), F.col("source") == F.col("src_t")
+    ).drop("src_t").select(
+        "source",
+        "n",
+        "tot",
+        duck_round(
+            (F.col("n").cast("double") / F.col("tot"))
+            * F.log(F.col("tot").cast("double") / F.col("n"))
+            * 1000000000
+        )
+        .cast("long")
+        .alias("h9"),
+    )
+    return (
+        e.groupBy("source", "tot")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            F.sum("h9").cast("long").alias("entropy_n9"),
+            duck_round(F.max("n").cast("double") * 10000 / F.col("tot"))
+            .cast("long")
+            .alias("top_share_bp"),
+        )
+        .select(
+            "source",
+            F.col("tot").alias("n_docs"),
+            "n_langs",
+            "entropy_n9",
+            "top_share_bp",
+        )
+    )
