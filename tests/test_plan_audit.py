@@ -98,6 +98,7 @@ CHECKPOINTED_ALLOWED = {
     "q_hll_rollup",
     "q_interval_join_binned",
     "q_jaccard_sim",
+    "q_join_asof_nearest",  # r8: pinned events base feeds both asof legs
     "q_join_range",
     "q_kmeans",
     "q_knn_graph",        # r8: pinned bucketed vectors feed both join sides

@@ -180,7 +180,10 @@ from . import tpch  # noqa: F401,E402
 # q_stream_lang_mix (237 -> 238, ingest-time language-mix monitoring:
 # the stream maintains the catalog-sized (source, lang) count state,
 # the q_lang_entropy purity scorer reads that state batch-side --
-# batch==stream by construction, oracle is the batch SQL verbatim);
+# batch==stream by construction, oracle is the batch SQL verbatim), and
+# q_join_asof_nearest (238 -> 239, pandas merge_asof direction='nearest'
+# with 1h tolerance: backward+forward asof legs over one pinned events
+# base, integer-microsecond nearest pick, ties resolve backward);
 # same cadence: 3-SF parity on arrival, r9 window grades them.
 # (q_join_right/cross/theta/range/broadcast, q_win_lead_lag/running/
 # frame_rows/ntile_first_last, q_agg_global/distinct/having/filtered/

@@ -442,3 +442,118 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(broadcast(b), F.col("k").eqNullSafe(F.col("bk"))).select(
         "o_orderkey", "k", "n_dim"
     )
+
+
+@query(
+    "q_join_asof_nearest",
+    oracle="""
+    WITH ev AS (
+        SELECT event_id, user_id, ts, event_type, value FROM events
+    ),
+    r AS (
+        SELECT user_id, ts, MAX_BY(value, event_id) AS ref_value
+        FROM ev WHERE event_type = 'signup'
+        GROUP BY user_id, ts
+    ),
+    p AS (
+        SELECT event_id, user_id, ts FROM ev WHERE event_type = 'error'
+    ),
+    b AS (
+        SELECT p.event_id, MAX(r.ts) AS ts_b
+        FROM p JOIN r
+          ON r.user_id = p.user_id
+         AND r.ts <= p.ts AND r.ts >= p.ts - INTERVAL 1 HOUR
+        GROUP BY p.event_id
+    ),
+    f AS (
+        SELECT p.event_id, MIN(r.ts) AS ts_f
+        FROM p JOIN r
+          ON r.user_id = p.user_id
+         AND r.ts >= p.ts AND r.ts <= p.ts + INTERVAL 1 HOUR
+        GROUP BY p.event_id
+    ),
+    m AS (
+        SELECT p.event_id, p.user_id, p.ts,
+               CASE WHEN b.ts_b IS NOT NULL AND (f.ts_f IS NULL OR
+                         epoch_us(p.ts) - epoch_us(b.ts_b)
+                         <= epoch_us(f.ts_f) - epoch_us(p.ts))
+                    THEN b.ts_b ELSE f.ts_f END AS ts_ref
+        FROM p LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id)
+    )
+    SELECT m.event_id, m.user_id, m.ts, m.ts_ref,
+           r2.ref_value AS ref_value_ref
+    FROM m LEFT JOIN r r2
+      ON r2.user_id = m.user_id AND r2.ts = m.ts_ref
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join with tolerance: for each 'error' event, the
+    user's CLOSEST 'signup' within one hour on either side -- the
+    pandas merge_asof direction='nearest' surface, completing the
+    backward (q_join_asof) / forward (q_join_asof_forward) family.
+    Ties (equidistant matches) resolve BACKWARD -- documented, and
+    encoded identically in both engines as dt_back <= dt_forward.
+
+    Built as a composition: the backward and forward legs each run the
+    single-shuffle union+window asof operator (operators/asof.py), and
+    the nearest pick is a pure integer-microsecond comparison (no float
+    time anywhere) over two event_id-keyed left joins. The projected
+    events base is pinned once, so both legs (probe + reference on
+    each side) read ONE events scan.
+
+    Scale: each leg is the documented one-shuffle-per-leg asof plan
+    keyed on (user_id); the combine joins are keyed on event_id
+    (uniform); the final reference-value lookup is an equi-join on
+    (user_id, matched ts). Nothing exceeds the probe relation's
+    cardinality after the legs."""
+    from ..plans.pinning import pin_corpus
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "event_type", "value")
+        .transform(pin_corpus)  # one scan feeds probe + ref on both legs
+    )
+    ref = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("ref_value"))
+    )
+    probe = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    bk = asof_join(
+        probe, ref, on=["user_id"], ts="ts", ref_value_cols=["ref_value"],
+        direction="backward", tolerance_seconds=3600,
+    ).select(
+        "event_id",
+        F.col("ts_ref").alias("ts_b"),
+        F.col("ref_value_ref").alias("v_b"),
+    )
+    fw = asof_join(
+        probe, ref, on=["user_id"], ts="ts", ref_value_cols=["ref_value"],
+        direction="forward", tolerance_seconds=3600,
+    ).select(
+        "event_id",
+        F.col("ts_ref").alias("ts_f"),
+        F.col("ref_value_ref").alias("v_f"),
+    )
+    pick_b = F.col("ts_b").isNotNull() & (
+        F.col("ts_f").isNull()
+        | (
+            (F.unix_micros("ts") - F.unix_micros("ts_b"))
+            <= (F.unix_micros("ts_f") - F.unix_micros("ts"))
+        )
+    )
+    return (
+        probe.join(bk, "event_id", "left")
+        .join(fw, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(pick_b, F.col("ts_b")).otherwise(F.col("ts_f")).alias("ts_ref"),
+            F.when(pick_b, F.col("v_b")).otherwise(F.col("v_f")).alias(
+                "ref_value_ref"
+            ),
+        )
+    )
