@@ -108,6 +108,7 @@ CHECKPOINTED_ALLOWED = {
     "q_outliers_mad",     # r8: pinned non-null values feed both rank passes
     "q_pagerank",
     "q_rare_token_ratio",
+    "q_semantic_clusters",  # r8: pinned vectors + CC per-round state
     "q_semantic_dedup",
     "q_simhash",
     "q_sketch_calibration",  # r8: pinned token sets feed sigs + exact verify

@@ -183,7 +183,11 @@ from . import tpch  # noqa: F401,E402
 # batch==stream by construction, oracle is the batch SQL verbatim), and
 # q_join_asof_nearest (238 -> 239, pandas merge_asof direction='nearest'
 # with 1h tolerance: backward+forward asof legs over one pinned events
-# base, integer-microsecond nearest pick, ties resolve backward);
+# base, integer-microsecond nearest pick, ties resolve backward), and
+# q_semantic_clusters (239 -> 240, mutual-kNN connected components over
+# the vec_id<500 probe block -- q_knn_graph edges + pointer-jumping
+# min-label CC, the transitive semantic grouping; oracle = recursive
+# CTE closure over the same SQL-rebuilt edges);
 # same cadence: 3-SF parity on arrival, r9 window grades them.
 # (q_join_right/cross/theta/range/broadcast, q_win_lead_lag/running/
 # frame_rows/ntile_first_last, q_agg_global/distinct/having/filtered/

@@ -3849,37 +3849,22 @@ def _knn_graph_oracle() -> str:
     """
 
 
-@query("q_knn_graph", oracle=_knn_graph_oracle())
-def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mutual k-NN graph construction (round 8): bucket-restricted
-    directed 3-NN per vector, kept only where BOTH endpoints rank each
-    other (the mutual filter that strips hubness) -- the standard input
-    to graph-based clustering and to SemDeDup-style connected-component
-    grouping one level up from q_semantic_dedup's star-shaped
-    drop-higher-id rule. Every stage is the scale shape: candidates come
-    from the hyperplane bucket EQUI-join (never all pairs), ranking is a
-    per-source window inside the bucket partitions, and mutuality is an
-    equi-join of the directed edge list against its own reversed pair.
-
-    Cross-engine determinism: sims are duck_round-ed sequential-fold
-    dots (bit-matching list_dot_product; sim(a,b)=sim(b,a) bit-exact
-    because zip_with multiplies index-aligned and the fold order is
-    identical), rank ties break on neighbor id, and the mutual filter
-    is pure set logic on those deterministic top-3 sets.
-
-    Scale: ONE embeddings scan (pinned bucketed+normed relation feeds
-    both aliases). The self-join is keyed on bucket -- with B buckets
-    the pair space is ~N^2/B per skew-free bucket, and a hot bucket is
-    the q_semantic_dedup max-block story (salt oversized buckets, or
-    add planes: B doubles per plane). Directed edges are N*k rows; the
-    mutual join is (src, dst)-keyed -- uniform, broadcast-free."""
-    vb = with_norm(
-        hyperplane_bucket(
-            load_table(spark, sf_dir, "embeddings").select(
-                "vec_id", F.col("embedding").cast("array<double>").alias("e")
-            )
-        )
-    ).transform(pin_corpus)  # one scan feeds both self-join sides
+def _mutual_knn_edges(
+    spark: SparkSession, sf_dir: str, max_vec_id: int | None = None
+):
+    """Shared construction for q_knn_graph / q_semantic_clusters: the
+    mutual 3-NN edge list (vec_a < vec_b, sim) plus the node universe
+    (both derived from ONE pinned bucketed+normed embeddings scan).
+    ``max_vec_id`` bounds the block (the q_dedup_clusters probe-set
+    convention) for callers whose downstream cost is round-count-bound."""
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    if max_vec_id is not None:
+        base = base.filter(F.col("vec_id") < max_vec_id)
+    vb = with_norm(hyperplane_bucket(base)).transform(
+        pin_corpus
+    )  # one scan feeds both self-join sides
     a = vb.select(
         F.col("vec_id").alias("src"),
         F.col("e").alias("ea"),
@@ -3926,10 +3911,147 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst", "sim")
     )
     rev = k.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    return (
+    edges = (
         k.join(rev, ["src", "dst"])
         .where(F.col("src") < F.col("dst"))
         .select(
             F.col("src").alias("vec_a"), F.col("dst").alias("vec_b"), "sim"
+        )
+    )
+    return edges, vb.select("vec_id")
+
+
+@query("q_knn_graph", oracle=_knn_graph_oracle())
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual k-NN graph construction (round 8): bucket-restricted
+    directed 3-NN per vector, kept only where BOTH endpoints rank each
+    other (the mutual filter that strips hubness) -- the standard input
+    to graph-based clustering and to SemDeDup-style connected-component
+    grouping one level up from q_semantic_dedup's star-shaped
+    drop-higher-id rule. Every stage is the scale shape: candidates come
+    from the hyperplane bucket EQUI-join (never all pairs), ranking is a
+    per-source window inside the bucket partitions, and mutuality is an
+    equi-join of the directed edge list against its own reversed pair.
+
+    Cross-engine determinism: sims are duck_round-ed sequential-fold
+    dots (bit-matching list_dot_product; sim(a,b)=sim(b,a) bit-exact
+    because zip_with multiplies index-aligned and the fold order is
+    identical), rank ties break on neighbor id, and the mutual filter
+    is pure set logic on those deterministic top-3 sets.
+
+    Scale: ONE embeddings scan (pinned bucketed+normed relation feeds
+    both aliases). The self-join is keyed on bucket -- with B buckets
+    the pair space is ~N^2/B per skew-free bucket, and a hot bucket is
+    the q_semantic_dedup max-block story (salt oversized buckets, or
+    add planes: B doubles per plane). Directed edges are N*k rows; the
+    mutual join is (src, dst)-keyed -- uniform, broadcast-free."""
+    edges, _nodes = _mutual_knn_edges(spark, sf_dir)
+    return edges
+
+
+def _semantic_clusters_oracle() -> str:
+    """DuckDB oracle for q_semantic_clusters: the _knn_graph_oracle
+    construction for the mutual edge set, then the recursive-CTE
+    transitive closure (the q_dedup_clusters pattern) with self-edges so
+    isolated vectors are singleton components."""
+    from ..operators.similarity import _plane
+
+    lits = [
+        "[" + ", ".join(repr(x) for x in _plane(64, s)) + "]" for s in range(4)
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {lits[i]}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(4)
+    )
+    return f"""
+    WITH RECURSIVE
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+          WHERE vec_id < 500),
+    vb AS (
+        SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm,
+               {bucket} AS bucket
+        FROM v
+    ),
+    j AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               CAST(ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4)
+                    AS DOUBLE) AS sim
+        FROM vb a JOIN vb b
+          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    r AS (
+        SELECT src, dst, sim,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY sim DESC, dst) AS rk
+        FROM j
+    ),
+    k AS (SELECT src, dst FROM r WHERE rk <= 3),
+    mut AS (
+        SELECT x.src AS a, x.dst AS b
+        FROM k x JOIN k y ON y.src = x.dst AND y.dst = x.src
+        WHERE x.src < x.dst
+    ),
+    sym AS (
+        SELECT a AS src, b AS dst FROM mut
+        UNION SELECT b, a FROM mut
+        UNION SELECT vec_id, vec_id FROM vb
+    ),
+    walk(node, lbl) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT w.node, s.dst FROM walk w JOIN sym s ON w.lbl = s.src
+    )
+    SELECT node AS vec_id, CAST(MIN(lbl) AS BIGINT) AS component
+    FROM walk GROUP BY node
+    """
+
+
+@query("q_semantic_clusters", oracle=_semantic_clusters_oracle())
+def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering via mutual-kNN components (round 8): the
+    capstone composition of the embedding pipeline -- q_knn_graph's
+    mutual 3-NN edges merged into connected components (component = MIN
+    vec_id reachable; vectors with no mutual neighbor are singletons).
+    This is the SemDeDup paper's grouping taken to its graph-native
+    conclusion: where q_semantic_dedup drops within-cluster neighbors
+    star-wise, components give the transitive semantic groups a curation
+    pipeline keeps one representative of -- and the same output doubles
+    as coarse topic assignment for mixture design.
+
+    Cross-engine determinism: the edge set is q_knn_graph's (bit-exact
+    rank on sequential-fold sims); component labels are pure min-label
+    reachability -- integers only. The oracle is the recursive-CTE
+    transitive closure over the same SQL-rebuilt edges, tractable
+    because the fixture's mutual graph is sparse; the Spark side runs
+    pointer-jumping min-label propagation (operators/graph.py) --
+    O(log diameter) rounds of node-keyed shuffles, never materializing
+    reachability.
+
+    Scale: edge construction is the q_knn_graph plan (one pinned
+    embeddings scan, bucket-keyed pair space, rank-in-place); components
+    are the q_dedup_clusters machinery with per-node state; the node
+    universe joins back from the SAME pinned relation -- no second
+    embeddings scan (plan-audited). Bounded probe block (vec_id < 500,
+    the q_dedup_clusters convention): the min-label rounds cost
+    O(log diameter) JOBS regardless of data size, and the fixture's
+    mutual 3-NN graph is chain-like (~10 pointer-jump rounds at 2000
+    nodes), so the unbounded form is pure scheduling overhead at test
+    scale while the plan is identical; an unbounded caller uses the
+    operator directly with data-sized num_partitions."""
+    edges, nodes = _mutual_knn_edges(spark, sf_dir, max_vec_id=500)
+    comp = connected_components(
+        edges.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")),
+        "src",
+        "dst",
+        num_partitions=8,
+    )
+    return (
+        nodes.join(
+            comp.withColumnRenamed("node", "vec_id"), "vec_id", "left"
+        )
+        .select(
+            "vec_id",
+            F.coalesce("component", F.col("vec_id")).cast("long").alias("component"),
         )
     )
