@@ -147,12 +147,26 @@ def hyperplane_bucket(
     return vectors.withColumn(out, bucket)
 
 
+# Bounds for the "auto" max_block derivation: the cap follows balanced
+# occupancy (2 * n / k -- clusters within 2x of balanced never stripe, so
+# the benign regime keeps full within-cluster recall) but is CLAMPED to an
+# absolute ceiling, because only an absolute block bound guarantees the
+# pair work is linear: sum(c_i^2) <= n * AUTO_BLOCK_MAX once every block
+# is <= AUTO_BLOCK_MAX rows. A census-relative cap alone provably fails
+# the bounded-occupancy corpus (r8 sf1: ~2k natural directions, so every
+# cluster is "typical" AND huge -- k-growth measured 116s, no help;
+# PLANS.md sf1 table), which is exactly when the straggler guarantee
+# matters most.
+AUTO_BLOCK_MIN = 256
+AUTO_BLOCK_MAX = 1024
+
+
 def semantic_dedup(
     vectors: DataFrame,
     k: int = 8,
     iterations: int = 3,
     threshold: float = 0.35,
-    max_block: int | None = None,
+    max_block: int | str | None = "auto",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means cluster the embedding space, then compare
@@ -177,8 +191,23 @@ def semantic_dedup(
     recall: cross-lane near-dups inside an oversize cluster are missed --
     the same documented under-detection trade as the salted corpus-mixture
     lanes; production sizing should prefer growing k (the paper's regime)
-    and use the cap as a straggler backstop. Default None = off, which is
-    the oracle-checked registry configuration.
+    and treat the cap as the straggler backstop.
+
+    Default ``"auto"`` (round 9, VERDICT r8 #1) derives the cap from the
+    occupancy census: ``clamp(ceil(2 * n / k), AUTO_BLOCK_MIN,
+    AUTO_BLOCK_MAX)`` where ``n`` is the corpus size (one extra COUNT
+    over the already-pinned assignment, broadcast as a 1-row relation).
+    Clusters within 2x of balanced occupancy never stripe (full recall in
+    the benign regime); the absolute ceiling makes total pair work
+    <= n * AUTO_BLOCK_MAX / 2 -- LINEAR in n, which the relative term
+    alone cannot guarantee (see the AUTO_BLOCK_* comment). The r8 sf1
+    measurement motivating this: uncapped 93.1s on 10x data (14.8x,
+    super-linear); a 250-row cap restored 22.5s (4.6x, ~linear).
+    ``None`` = uncapped is the explicit opt-in for recall-critical runs
+    on corpora whose cluster occupancy is bounded upstream; an ``int``
+    pins the cap directly. The cap is deterministic either way, so the
+    operator stays exactly SQL-expressible (scalar-subquery COUNT in the
+    DuckDB oracle).
 
     Returns the SURVIVORS as ``(vec_id, cluster)``.
 
@@ -226,18 +255,32 @@ def semantic_dedup(
     assigned = assigned.transform(pin_corpus)
     sides = with_norm(assigned)
     if max_block is not None:
+        if max_block == "auto":
+            # Occupancy-census cap: one COUNT over the pinned assignment,
+            # broadcast as a single row -- fully declarative, no driver
+            # read, and the same scalar a DuckDB subquery computes.
+            total = assigned.agg(F.count(F.lit(1)).alias("_tot"))
+            cap = F.least(
+                F.lit(AUTO_BLOCK_MAX),
+                F.greatest(
+                    F.lit(AUTO_BLOCK_MIN),
+                    F.ceil(F.lit(2.0) * F.col("_tot") / F.lit(k)),
+                ),
+            )
+            sides = sides.crossJoin(broadcast(total))
+        else:
+            cap = F.lit(int(max_block))
         # id-ordered round-robin striping: lane sizes differ by at most 1
-        # and never exceed max_block (n_lanes = ceil(c_n / max_block)).
+        # and never exceed the cap (n_lanes = ceil(c_n / cap)).
         wc = Window.partitionBy("cluster").orderBy("vec_id")
         sides = (
             sides.withColumn("_rn", F.row_number().over(wc))
             .withColumn("_c_n", F.count(F.lit(1)).over(Window.partitionBy("cluster")))
             .withColumn(
                 "_lane",
-                (F.col("_rn") - 1)
-                % F.ceil(F.col("_c_n") / F.lit(max_block)).cast("int"),
+                (F.col("_rn") - 1) % F.ceil(F.col("_c_n") / cap).cast("int"),
             )
-            .drop("_rn", "_c_n")
+            .drop("_rn", "_c_n", "_tot")
         )
     else:
         sides = sides.withColumn("_lane", F.lit(0))

@@ -39,6 +39,34 @@ _ENV = "SPARK_GRAFT_PIN_STORAGE"
 _MODES = ("checkpoint", "disk", "none")
 
 
+def pin_parallelism(df: DataFrame, *keys: str) -> DataFrame:
+    """Explicit-count key repartition that AQE cannot coalesce away --
+    for COMPUTE-heavy self-joins over BYTE-small relations.
+
+    AQE's partition coalescer is byte-based: when the shuffle write is a
+    few hundred KB it folds the read side to ~1 task, which is right for
+    I/O-bound plans and catastrophically wrong when each row pair costs
+    real CPU (blocked levenshtein, within-bucket dot products) -- the
+    O(b^2) work then serializes on one core. Measured in the r8 sf1
+    spot-run: entity resolution 574s single-task vs 43s with this pin;
+    the mutual-kNN bucket join showed the same class. A user
+    ``repartition(n, keys...)`` with an explicit count is exempt from
+    AQE coalescing (Spark only coalesces its own statistics-derived
+    partitioning), and keying it keeps both join sides co-partitioned so
+    the join itself adds no extra exchange. ``n`` follows the session's
+    ``spark.sql.shuffle.partitions`` so the pin scales with deployment
+    sizing instead of hard-coding a local[32] constant.
+
+    Shared helper per ADVICE r8 (was duplicated in _mutual_knn_edges and
+    q_entity_resolution with near-identical comments). Parallelism
+    remains capped at the number of non-empty key groups -- the
+    documented knob for more parallelism is finer keys (more LSH planes,
+    tighter blocks), not a bigger n.
+    """
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(n, *keys)
+
+
 def pin_corpus(df: DataFrame) -> DataFrame:
     """Pin a corpus-sized relation for multi-consumer single-scan reuse.
 

@@ -194,50 +194,51 @@ from . import tpch  # noqa: F401,E402
 # rollup/cube/argmax, q_union_*, q_intersect, q_str_funcs,
 # q_str_split_index, q_str_regex, q_scan_full, q_filter_*).
 _DRIVER_WINDOW = [
-    # == ROUND-8 WINDOW ==
-    # After r7's grading, every pre-r7 name has a driver hash row.
-    # This window = flagships + the 4 never-driver-graded r7 additions +
-    # EVERY query whose code or oracle changed in r8 (the duck_round
-    # cross-engine rounding mirror, the -0.0 folds, the dot_expr gate
-    # switches -- all parity-verified value-preserving at sf0.01 before
-    # shipping, but changed code must be driver-witnessed) + r1-only
-    # re-grade fills. The remaining r1-only re-grades continue in r9.
+    # == ROUND-9 WINDOW ==
+    # Executes VERDICT r8 'Next round' #1 exactly: flagships + ALL 22
+    # never-driver-graded r8 additions (each 3-SF parity-exact on
+    # arrival and independently judge-verified 22/22 at sf0.01 in the
+    # r8 session) + the queries whose code changed in r9
+    # (q_semantic_dedup: bounded auto-cap default, VERDICT r8 #1;
+    # q_triangle_count: degree-broadcast hints dropped, VERDICT r8 #2;
+    # q_lang_entropy/q_stream_lang_mix: shared scorer extraction,
+    # ADVICE r9; q_ann_recall: K constant; q_knn_graph /
+    # q_entity_resolution / q_semantic_clusters: pin_parallelism helper
+    # -- all already inside the 22) + r1-only re-grade fills. Done =
+    # CORRECTNESS_r09 50/50 green => cumulative driver-green 240/240,
+    # evidence end-state v2. The remaining r1-only re-grades
+    # (q_union_*, q_intersect, q_str_split_index, q_str_regex,
+    # q_filter_*) continue in r10.
     #
     # -- permanent flagships (q_sink_partitioned keeps the
     #    every-window-exercises-a-sink invariant of tests/test_registry.py)
     "q_wro_overlay", "q_sink_partitioned",
     "q_dedup_exact", "q_cosine_topk", "q_tfidf", "q_corpus_pipeline",
     "q_sql_api", "q_agg_group", "q_win_rank",
-    # (q_cosine_topk / q_tfidf / q_corpus_pipeline also changed in r8:
-    #  dot_expr gate switch, duck_round tfidf, est_jaccard path)
     #
-    # -- the 4 r7 additions: first driver grade --
-    "q_corpus_mixture_salted",
-    "q_semantic_dedup",       # + r8: dot_expr gate, max_block lane cap
-    "q_quality_classifier",   # + r8: duck_round sigmoid
-    "q_stream_quality_filter",  # + r8: same shared scorer
+    # -- changed in r9: bounded occupancy-census cap is now the default
+    #    (operators/similarity.py semantic_dedup + mirrored oracle) --
+    "q_semantic_dedup",
     #
-    # -- r8's one red-row fix: DuckDB ROUND emits -0.0 where BigDecimal
-    #    emits +0.0; now folded + 0.0 on BOTH sides (VERDICT r7 #1) --
-    "q_collocations",
-    "q_udf_grouped_map",      # the other -0.0 emitter, same fold
-    #
-    # -- changed in r8: duck_round mirror on rounded-double outputs --
-    "q_embed_near_dup",       # + dot_expr gate (ADVICE r7 #1)
-    "q_kmeans", "q_repetition_ratio", "q_dedup_minhash",
-    "q_jaccard_sim", "q_ngram_jaccard", "q_ann_ivf",
-    "q_text_quality", "q_lang_id", "q_contamination",
-    "q_rare_token_ratio", "q_embed_quantize", "q_dedup_rate",
-    "q_ann_filtered", "q_containment_sim", "q_unigram_logprob",
-    "q_win_percent_rank", "q_agg_stats", "q_math_funcs",
-    "q_udaf_grouped", "q_project_expr", "q_wro_stats",
-    "q_agg_corr", "q_embed_centroid", "q_outliers_zscore",
-    "q_dq_checks", "q_tpch_q14", "q_tpch_q8", "q_tpch_q17",
+    # -- the 22 r8 additions: first driver grade --
+    "q_dedup_bloom", "q_logprob_strata", "q_weighted_sample",
+    "q_entity_resolution",
+    "q_triangle_count",       # + r9: degree-broadcast hints dropped
+    "q_bigram_lm", "q_embed_outliers", "q_bm25", "q_source_drift",
+    "q_skew_keys", "q_prefix_dedup", "q_source_overlap",
+    "q_vocab_coverage", "q_outliers_mad", "q_sketch_calibration",
+    "q_ann_recall", "q_lang_entropy", "q_knn_graph", "q_decay_agg",
+    "q_stream_lang_mix", "q_join_asof_nearest", "q_semantic_clusters",
     #
     # -- fills: family coverage + oldest r1-only re-grades --
-    "q_scan_prune",          # scan family (r1-only)
-    "q_join_left", "q_join_semi", "q_join_anti",   # r1-only re-grades
-    "q_sort_multi", "q_topk",                      # r1-only re-grades
+    "q_scan_full",                                  # scan family (r1-only)
+    "q_join_right", "q_join_cross", "q_join_theta",
+    "q_join_range", "q_join_broadcast",
+    "q_win_lead_lag", "q_win_running", "q_win_frame_rows",
+    "q_win_ntile_first_last",
+    "q_agg_global", "q_agg_distinct", "q_agg_having", "q_agg_filtered",
+    "q_agg_rollup", "q_agg_cube", "q_agg_argmax",
+    "q_str_funcs",
 ]
 
 

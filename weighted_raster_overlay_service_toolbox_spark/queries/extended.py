@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..plans.pinning import pin_corpus
+from ..plans.pinning import pin_corpus, pin_parallelism
 
 from ..functions.rounding import duck_round
 
@@ -1932,18 +1932,15 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("nb"),
     )
     dst = F.levenshtein("na", "nb")
-    # Pin the join parallelism: the block relation is BYTE-small but the
-    # pair enumeration is compute-huge, so AQE's byte-based coalescer
-    # would fold the shuffle read to ONE partition and run every
-    # levenshtein on one core (measured at 10x data: 574s single-task vs
-    # ~10s/decade expected -- the r8 sf1 spot-run's straggler). An
-    # explicit user repartition with a fixed partition count is exempt
-    # from AQE coalescing and keeps both sides co-partitioned on the
-    # block key, so the O(b^2) work spreads across the cluster; the
-    # downstream census groupBy reuses the same partitioning.
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    a = a.repartition(n_shuffle, "w1", "ln")
-    b = b.repartition(n_shuffle, "w1b", "lnb")
+    # Byte-small block relation, compute-huge pair enumeration: without
+    # the pin AQE coalesces the shuffle read to ONE partition and runs
+    # every levenshtein on one core (measured 574s single-task at 10x
+    # data vs 43s pinned, r8 sf1 spot-run). Keyed, so both sides stay
+    # co-partitioned on the block key and the census groupBy reuses the
+    # partitioning. Shared audited implementation: plans/pinning.py
+    # pin_parallelism.
+    a = pin_parallelism(a, "w1", "ln")
+    b = pin_parallelism(b, "w1b", "lnb")
     pr = (
         a.join(
             b,
@@ -2017,14 +2014,20 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: distinct + pair-enumeration shuffle on l_orderkey (order
     baskets are small, so partition-local C(k,2)), one groupBy for
-    support, one for degrees (broadcast back -- vertex-count sized),
-    wedge join + closing join both hash joins on edge keys. The support-
-    filtered edge list and the oriented edge list are each consumed by
-    THREE downstream relations (degrees + both orientation sides; both
-    wedge sides + the closing probe), so both are pinned (pin_corpus):
-    without the pin Spark re-derives the whole fact-scan subtree per
-    consumer -- the unpinned plan audits at 30 lineitem scans, the
-    pinned one at 1."""
+    support, one for degrees, wedge join + closing join both hash joins
+    on edge keys. The degree table carries NO broadcast hint (round 9,
+    VERDICT r8 #2): its cardinality is the distinct co-purchased part
+    count, which grows linearly with the catalog -- the r5/r7 hint rule
+    ("user/doc-keyed sides grow linearly and must stay size-adaptive")
+    applies, so sizing is left to AQE, which broadcasts it at fixture
+    scale and shuffle-joins it at 100 TB instead of OOMing an executor
+    on a multi-GB forced broadcast; tests/test_plans.py pins the hint's
+    ABSENCE next to the dedup-path pin. The support-filtered edge list
+    and the oriented edge list are each consumed by THREE downstream
+    relations (degrees + both orientation sides; both wedge sides + the
+    closing probe), so both are pinned (pin_corpus): without the pin
+    Spark re-derives the whole fact-scan subtree per consumer -- the
+    unpinned plan audits at 30 lineitem scans, the pinned one at 1."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pk"))
@@ -2040,19 +2043,20 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
         .transform(pin_corpus)
     )
-    # Degree table is vertex-sized (small); broadcast it onto the edges.
+    # Degree table: vertex-cardinality, i.e. it grows with the catalog --
+    # NO broadcast hint (VERDICT r8 #2); AQE picks broadcast at fixture
+    # scale and a shuffle join at 100 TB. Absence pinned in
+    # tests/test_plans.py.
     deg = (
         e.select(F.col("u").alias("x"))
         .unionAll(e.select(F.col("v").alias("x")))
         .groupBy("x")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    from pyspark.sql.functions import broadcast as _bc
-
     ed = (
-        e.join(_bc(deg.select(F.col("x"), F.col("d").alias("du"))), F.col("u") == F.col("x"))
+        e.join(deg.select(F.col("x"), F.col("d").alias("du")), F.col("u") == F.col("x"))
         .drop("x")
-        .join(_bc(deg.select(F.col("x"), F.col("d").alias("dv"))), F.col("v") == F.col("x"))
+        .join(deg.select(F.col("x"), F.col("d").alias("dv")), F.col("v") == F.col("x"))
         .drop("x")
     )
     # Orient each edge lower-(degree, id) -> higher-(degree, id).

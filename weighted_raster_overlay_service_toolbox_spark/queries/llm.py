@@ -24,8 +24,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.pinning import pin_corpus
+from ..plans.pinning import pin_corpus, pin_parallelism
 
+from ..functions.langmix import LANG_MIX_ORACLE
 from ..functions.rounding import duck_round
 from pyspark.sql.functions import broadcast
 
@@ -1171,19 +1172,39 @@ def _semantic_dedup_oracle(
     k: int = 8, iterations: int = 3, dim: int = 64, threshold: float = 0.35
 ) -> str:
     """DuckDB oracle for q_semantic_dedup: the shared unrolled-k-means
-    CTE chain, then ONE within-cluster self-join dropping the higher id
-    of every pair whose rounded-4dp cosine reaches the threshold --
-    the same pair-cosine SQL q_embed_near_dup pins."""
+    CTE chain, then the auto-capped lane striping (round 9: the bounded
+    path is the DEFAULT, VERDICT r8 #1), then ONE within-cluster
+    same-lane self-join dropping the higher id of every pair whose
+    rounded-4dp cosine reaches the threshold -- the same pair-cosine SQL
+    q_embed_near_dup pins. The cap mirrors operators/similarity.py
+    exactly: clamp(ceil(2 * n / k), 256, 1024) with n from a scalar
+    COUNT subquery, so the oracle string stays SF-independent."""
+    from ..operators.similarity import AUTO_BLOCK_MAX, AUTO_BLOCK_MIN
+
     ctes = _kmeans_ctes(k, iterations, dim)
     a = f"a{iterations}"
+    cap = (
+        f"LEAST({AUTO_BLOCK_MAX}, GREATEST({AUTO_BLOCK_MIN},"
+        f" CAST(CEIL(2.0 * (SELECT COUNT(*) FROM v) / {k}) AS BIGINT)))"
+    )
+    ctes.append(
+        f"st AS (SELECT vec_id, e, cluster,"
+        f" ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY vec_id) AS rn,"
+        f" COUNT(*) OVER (PARTITION BY cluster) AS c_n FROM {a})"
+    )
+    ctes.append(
+        f"ln AS (SELECT vec_id, e, cluster,"
+        f" (rn - 1) % CAST(CEIL(c_n / {cap}) AS BIGINT) AS lane FROM st)"
+    )
     cos = (
         "ROUND(list_dot_product(x.e, y.e)"
         " / (sqrt(list_dot_product(x.e, x.e))"
         " * sqrt(list_dot_product(y.e, y.e))), 4)"
     )
     ctes.append(
-        f"dropped AS (SELECT DISTINCT y.vec_id FROM {a} x JOIN {a} y"
-        f" ON x.cluster = y.cluster AND x.vec_id < y.vec_id"
+        f"dropped AS (SELECT DISTINCT y.vec_id FROM ln x JOIN ln y"
+        f" ON x.cluster = y.cluster AND x.lane = y.lane"
+        f" AND x.vec_id < y.vec_id"
         f" WHERE {cos} >= {threshold})"
     )
     return (
@@ -1229,12 +1250,16 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground truth, exactly as q_dedup_minhash's banded path pairs with
     q_jaccard_sim.
 
-    Scale: the pair space is ~n^2/(2k) instead of n^2/2, and k grows
-    with corpus size so the per-cluster block stays bounded (SemDeDup
-    runs 11k clusters over LAION); pair dots go through the
-    Arrow-batched numpy path, norms are precomputed per vector, and no
-    all-pairs product ever forms (operators/similarity.py
-    semantic_dedup).
+    Scale (round 9 -- the BOUNDED path is now the registry default,
+    VERDICT r8 #1): the pair space is ~n^2/(2k) instead of n^2/2, and
+    the default ``max_block="auto"`` cap -- clamp(ceil(2n/k), 256, 1024)
+    from a one-row occupancy census -- stripes any cluster above 2x
+    balanced occupancy into bounded lanes, making total pair work
+    <= n * 1024 / 2, LINEAR in n (the r8 sf1 run measured the uncapped
+    form at 14.8x on 10x data; a fixed cap restored ~linear 4.6x).
+    Norms are precomputed per vector and no all-pairs product ever
+    forms (operators/similarity.py semantic_dedup). Uncapped is the
+    explicit ``max_block=None`` opt-in for recall-critical corpora.
 
     Oracle-exact: the clustering inherits q_kmeans' integer-exact
     unrolled-CTE replay, and the pair cosine uses the rounded-4dp
@@ -1245,7 +1270,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    return semantic_dedup(v, k=8, iterations=3, threshold=0.35)
+    return semantic_dedup(v, k=8, iterations=3, threshold=0.35, max_block="auto")
 
 
 @query(
@@ -3580,12 +3605,20 @@ def q_sketch_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Recall@K for q_ann_recall. K=5 divides 10000 exactly, so recall_bp =
+# n_hits * (10000 // K) is an integer with no rounding; defining K once
+# and deriving the factor in BOTH the Spark agg and the oracle keeps a
+# future retune from silently skewing recall_bp (ADVICE r8).
+_ANN_RECALL_K = 5
+assert 10000 % _ANN_RECALL_K == 0, "recall_bp must stay integer-exact"
+
+
 def _ann_recall_oracle() -> str:
     """DuckDB oracle for q_ann_recall: both legs of the recall
-    measurement -- the bucket-restricted IVF top-5 (the _ann_ivf_oracle
+    measurement -- the bucket-restricted IVF top-K (the _ann_ivf_oracle
     construction, same inlined hyperplane literals) and the
-    unrestricted brute-force top-5 -- joined per probe. Rank convention
-    on both legs: (rounded sim DESC, cand_id ASC)."""
+    unrestricted brute-force top-K -- joined per probe, K=_ANN_RECALL_K.
+    Rank convention on both legs: (rounded sim DESC, cand_id ASC)."""
     from ..operators.similarity import _plane
 
     lits = [
@@ -3622,7 +3655,7 @@ def _ann_recall_oracle() -> str:
                    row_number() OVER (PARTITION BY probe_id
                                       ORDER BY sim DESC, cand_id) AS rk
             FROM ji
-        ) WHERE rk <= 5
+        ) WHERE rk <= {_ANN_RECALL_K}
     ),
     je AS (
         SELECT p.probe_id, c.vec_id AS cand_id,
@@ -3636,13 +3669,13 @@ def _ann_recall_oracle() -> str:
                    row_number() OVER (PARTITION BY probe_id
                                       ORDER BY sim DESC, cand_id) AS rk
             FROM je
-        ) WHERE rk <= 5
+        ) WHERE rk <= {_ANN_RECALL_K}
     )
     SELECT e.probe_id,
            CAST(SUM(CASE WHEN i.cand_id IS NOT NULL THEN 1 ELSE 0 END)
                 AS INTEGER) AS n_hits,
-           CAST(SUM(CASE WHEN i.cand_id IS NOT NULL THEN 1 ELSE 0 END) * 2000
-                AS INTEGER) AS recall_bp
+           CAST(SUM(CASE WHEN i.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+                * {10000 // _ANN_RECALL_K} AS INTEGER) AS recall_bp
     FROM ex5 e LEFT JOIN ivf5 i
       ON i.probe_id = e.probe_id AND i.cand_id = e.cand_id
     GROUP BY e.probe_id
@@ -3661,7 +3694,9 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cross-engine determinism: both legs rank on (duck_round-ed sim DESC,
     cand_id ASC) -- the q_ann_ivf convention -- and the output is pure
-    integers (hit count and n_hits*2000 bp, exact since k=5 divides 1e4).
+    integers: n_hits and n_hits * (10000 // K) bp, with K defined ONCE
+    (_ANN_RECALL_K, asserted to divide 1e4) and the factor derived in
+    both the Spark agg and the oracle (ADVICE r8).
 
     Scale: the shared bucketed+normed vector relation is pinned (ONE
     embeddings scan feeds both legs). The IVF leg stays bucket-keyed as
@@ -3697,13 +3732,13 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_contains(F.col("pbs"), F.col("bucket"))
             & (F.col("vec_id") != F.col("probe_id")),
         ).select("probe_id", F.col("vec_id").alias("cand_id"), sim.alias("sim")),
-        k=5,
+        k=_ANN_RECALL_K,
     ).select("probe_id", "cand_id")
     ex5 = topk_per_probe(
         vb.join(broadcast(p), F.col("vec_id") != F.col("probe_id")).select(
             "probe_id", F.col("vec_id").alias("cand_id"), sim.alias("sim")
         ),
-        k=5,
+        k=_ANN_RECALL_K,
     ).select("probe_id", F.col("cand_id").alias("hit_cand"))
     hits = ex5.join(
         ivf5,
@@ -3716,37 +3751,15 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_hits"),
         (
-            F.sum(F.when(F.col("matched").isNotNull(), 1).otherwise(0)) * 2000
+            F.sum(F.when(F.col("matched").isNotNull(), 1).otherwise(0))
+            * (10000 // _ANN_RECALL_K)
         )
         .cast("int")
         .alias("recall_bp"),
     )
 
 
-@query(
-    "q_lang_entropy",
-    oracle="""
-    WITH c AS (
-        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
-        FROM documents GROUP BY 1, 2
-    ),
-    t AS (SELECT source, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY source),
-    e AS (
-        SELECT c.source, c.n,
-               CAST(ROUND((CAST(c.n AS DOUBLE) / t.tot)
-                          * ln(CAST(t.tot AS DOUBLE) / c.n)
-                          * 1000000000) AS BIGINT) AS h9
-        FROM c JOIN t USING (source)
-    )
-    SELECT e.source, t.tot AS n_docs,
-           CAST(COUNT(*) AS BIGINT) AS n_langs,
-           CAST(SUM(e.h9) AS BIGINT) AS entropy_n9,
-           CAST(ROUND(CAST(MAX(e.n) AS DOUBLE) * 10000 / t.tot) AS BIGINT)
-               AS top_share_bp
-    FROM e JOIN t ON t.source = e.source
-    GROUP BY e.source, t.tot
-    """,
-)
+@query("q_lang_entropy", oracle=LANG_MIX_ORACLE)
 def q_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source language-mix purity (round 8): Shannon entropy of each
     source's language distribution in integer nano-nats, plus the
@@ -3759,53 +3772,25 @@ def q_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate. Entropy ~0 = pure source; ln(5) = 1.609e9 n9 = uniform over
     the fixture's 5 languages.
 
-    Cross-engine determinism: each (source, lang) term
-    (n/tot)*ln(tot/n) is one straight-line IEEE expression written
-    identically in both engines, quantized to integer nano-nats
-    (duck_round x 1e9), summed as int64 -- commutative-exact. The
-    top-share division is one duck_round bp quantization.
+    Cross-engine determinism + the scoring block itself live in
+    functions/langmix.py (lang_mix_scores / LANG_MIX_ORACLE), shared
+    verbatim with q_stream_lang_mix so the nano-nat and bp conventions
+    cannot drift between the batch and ingest-time variants (ADVICE r8).
 
     Scale: ONE corpus scan (projected to two metadata columns -- the
     parquet reader prunes text), ONE (source, lang) shuffle; per-source
     totals are a re-aggregation OF the pinned count relation and join
     back as a broadcast (sources x langs sized). Nothing downstream is
     row-cardinality-sized."""
+    from ..functions.langmix import lang_mix_scores
+
     d = load_table(spark, sf_dir, "documents")
     c = (
         d.groupBy("source", "lang")
         .agg(F.count(F.lit(1)).alias("n"))
         .transform(pin_corpus)  # feeds totals AND the entropy terms
     )
-    t = c.groupBy("source").agg(F.sum("n").alias("tot"))
-    e = c.join(broadcast(t), "source").select(
-        "source",
-        "n",
-        "tot",
-        duck_round(
-            (F.col("n").cast("double") / F.col("tot"))
-            * F.log(F.col("tot").cast("double") / F.col("n"))
-            * 1000000000
-        )
-        .cast("long")
-        .alias("h9"),
-    )
-    return (
-        e.groupBy("source", "tot")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_langs"),
-            F.sum("h9").cast("long").alias("entropy_n9"),
-            duck_round(F.max("n").cast("double") * 10000 / F.col("tot"))
-            .cast("long")
-            .alias("top_share_bp"),
-        )
-        .select(
-            "source",
-            F.col("tot").alias("n_docs"),
-            "n_langs",
-            "entropy_n9",
-            "top_share_bp",
-        )
-    )
+    return lang_mix_scores(c)
 
 
 def _knn_graph_oracle() -> str:
@@ -3880,17 +3865,12 @@ def _mutual_knn_edges(
     sim = duck_round(
         dot_expr(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4
     ).cast("double")
-    # Pin the join parallelism: the bucketed-vector relation is
-    # byte-small but the within-bucket pair space is compute-huge, so
-    # AQE's byte-based coalescer folds the shuffle read to ~1 task and
-    # serializes N^2/B dot products (measured at 10x data: 173s vs the
-    # ~16-way ideal -- the r8 sf1 spot-run). A user repartition with an
-    # explicit count is exempt from coalescing; parallelism is still
-    # capped at B non-empty partitions -- the documented knob is more
-    # planes (B doubles per plane), same as q_semantic_dedup's k.
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    a = a.repartition(n_shuffle, "bucket")
-    b = b.repartition(n_shuffle, "bucket")
+    # Byte-small relation, compute-huge within-bucket pair space: without
+    # the pin AQE coalesces the shuffle read to ~1 task and serializes
+    # N^2/B dot products (measured 173s at 10x data, r8 sf1 spot-run).
+    # Shared audited implementation: plans/pinning.py pin_parallelism.
+    a = pin_parallelism(a, "bucket")
+    b = pin_parallelism(b, "bucket")
     j = (
         a.join(b, "bucket")
         .where(F.col("src") != F.col("dst"))

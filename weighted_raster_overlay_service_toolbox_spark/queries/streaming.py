@@ -34,6 +34,7 @@ from ..streaming.engine import (
     stage_event_files,
     stage_with_sentinel,
 )
+from ..functions.langmix import LANG_MIX_ORACLE
 from .llm import qc_oracle_cte
 from .registry import query
 
@@ -731,36 +732,18 @@ def q_stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_stream_lang_mix",
     # the stream's final (source, lang) state equals the batch counts, so
-    # the oracle is q_lang_entropy's batch SQL verbatim -- batch==stream
-    # by construction for a complete-mode aggregate over a drained source
-    oracle="""
-    WITH c AS (
-        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
-        FROM documents GROUP BY 1, 2
-    ),
-    t AS (SELECT source, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY source),
-    e AS (
-        SELECT c.source, c.n,
-               CAST(ROUND((CAST(c.n AS DOUBLE) / t.tot)
-                          * ln(CAST(t.tot AS DOUBLE) / c.n)
-                          * 1000000000) AS BIGINT) AS h9
-        FROM c JOIN t USING (source)
-    )
-    SELECT e.source, t.tot AS n_docs,
-           CAST(COUNT(*) AS BIGINT) AS n_langs,
-           CAST(SUM(e.h9) AS BIGINT) AS entropy_n9,
-           CAST(ROUND(CAST(MAX(e.n) AS DOUBLE) * 10000 / t.tot) AS BIGINT)
-               AS top_share_bp
-    FROM e JOIN t ON t.source = e.source
-    GROUP BY e.source, t.tot
-    """,
+    # the oracle is q_lang_entropy's batch SQL -- the SAME shared constant
+    # (functions/langmix.py, ADVICE r8) -- batch==stream by construction
+    # for a complete-mode aggregate over a drained source
+    oracle=LANG_MIX_ORACLE,
 )
 def q_stream_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INGEST-TIME language-mix monitoring (round 8): the stream
     maintains the (source, lang) count state table (one stateful
     complete-mode aggregate over the document file stream); the purity
-    monitor -- q_lang_entropy's nano-nat entropy + dominant-share
-    computation, identical convention -- is a BATCH read of that state.
+    monitor -- the SAME lang_mix_scores helper q_lang_entropy calls
+    (functions/langmix.py, shared so the nano-nat/bp conventions cannot
+    drift, ADVICE r8) -- is a BATCH read of that state.
     This is the production split: the only thing that must be streaming
     is the count maintenance (Structured Streaming cannot chain a
     second aggregation after a stateful one anyway); scoring the
@@ -781,44 +764,6 @@ def q_stream_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     c = run_to_memory(counts, "sink_lang_mix", "complete")
-    from ..functions.rounding import duck_round
-    from pyspark.sql.functions import broadcast
+    from ..functions.langmix import lang_mix_scores
 
-    # both sides derive from the same memory-sink relation; rename the
-    # re-aggregated side's key or the self-join's attribute ids conflict
-    t = (
-        c.groupBy("source")
-        .agg(F.sum("n").alias("tot"))
-        .withColumnRenamed("source", "src_t")
-    )
-    e = c.join(
-        broadcast(t), F.col("source") == F.col("src_t")
-    ).drop("src_t").select(
-        "source",
-        "n",
-        "tot",
-        duck_round(
-            (F.col("n").cast("double") / F.col("tot"))
-            * F.log(F.col("tot").cast("double") / F.col("n"))
-            * 1000000000
-        )
-        .cast("long")
-        .alias("h9"),
-    )
-    return (
-        e.groupBy("source", "tot")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_langs"),
-            F.sum("h9").cast("long").alias("entropy_n9"),
-            duck_round(F.max("n").cast("double") * 10000 / F.col("tot"))
-            .cast("long")
-            .alias("top_share_bp"),
-        )
-        .select(
-            "source",
-            F.col("tot").alias("n_docs"),
-            "n_langs",
-            "entropy_n9",
-            "top_share_bp",
-        )
-    )
+    return lang_mix_scores(c)
