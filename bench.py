@@ -98,6 +98,13 @@ def main() -> None:
         "q_unigram_logprob",
         # time series
         "q_sessionize",
+        # heavy round-8 additions (VERDICT r8 #7: track their cost
+        # round-over-round like the rest of the top end)
+        "q_entity_resolution",   # blocked levenshtein linkage
+        "q_knn_graph",           # bucket-restricted mutual 3-NN
+        "q_semantic_clusters",   # mutual-kNN connected components
+        "q_bm25",                # Okapi BM25 retrieval scorer
+        "q_sketch_calibration",  # MinHash-vs-exact contingency
     ]
 
     def materialize(df) -> None:

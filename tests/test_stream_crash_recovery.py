@@ -1,0 +1,153 @@
+"""Streaming crash-recovery witness (VERDICT r8 'Next round' #6).
+
+The upsert sink's exactly-once story is claimed but was never
+failure-tested: offsets are WAL-ed to the checkpoint at batch START and
+the commit marker is written only after ``foreachBatch`` returns, so a
+crash between "state merged" and "commit recorded" forces Structured
+Streaming to REPLAY that batch on restart -- exactly-once output then
+rests entirely on the merge being idempotent per (batch content, state).
+
+This test runs the q_stream_upsert merge (same groupBy-max_by + anti-join
++ crash-safe snapshot swap, plus a checkpointLocation) in a CHILD process
+that SIGKILLs its whole process group -- Python driver AND the JVM --
+right after batch 1's merge completes, i.e. in the redelivery window
+after the state swap but before the commit marker. A second child resumes
+from the same checkpoint: Spark replays batch 1 from its offset WAL (same
+files, deterministic), the merge re-applies as a no-op, batches 2..3
+complete, and the final state must hash-match the batch oracle
+(latest-per-user over ALL events) in DuckDB.
+
+Subprocesses run SEQUENTIALLY and stage into their own content-addressed
+dir, so this respects the no-two-concurrent-Spark-processes rule; the
+parent never opens a Spark session (DuckDB reads the state parquet
+directly).
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import shutil
+import signal
+import subprocess
+import sys
+
+import duckdb
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+SF_SMOKE = "/root/testdata/sf0.001"
+SCRATCH = REPO / ".scratch"
+STATE = SCRATCH / "crashrec_state"
+CKPT = SCRATCH / "crashrec_ckpt"
+
+# The child: the q_stream_upsert merge with a checkpoint, killing the
+# whole process group after batch CRASH_AT's merge (swap done, commit
+# marker not yet written). crash_at < 0 = run to completion.
+_CHILD = r"""
+import os, signal, sys
+sf_dir, state, ckpt, crash_at = sys.argv[1], sys.argv[2], sys.argv[3], int(sys.argv[4])
+from pyspark.sql import functions as F
+from weighted_raster_overlay_service_toolbox_spark.session import get_spark
+from weighted_raster_overlay_service_toolbox_spark.sources.catalog_store import (
+    replace_catalog,
+)
+from weighted_raster_overlay_service_toolbox_spark.streaming.engine import (
+    read_event_stream,
+    stage_event_files,
+)
+
+spark = get_spark("crashrec-child", cpus=4)
+staged = stage_event_files(spark, sf_dir, "crashrec")
+stream = read_event_stream(spark, staged, files_per_trigger=1)
+
+def upsert(batch_df, batch_id):
+    latest = (
+        batch_df.groupBy("user_id")
+        .agg(
+            F.max_by("ts", F.struct("ts", "event_id")).alias("last_ts"),
+            F.max_by("event_type", F.struct("ts", "event_id")).alias("last_type"),
+            F.max_by("value", F.struct("ts", "event_id")).alias("last_value"),
+        )
+    )
+    if not os.path.isdir(state):
+        latest.write.parquet(state)
+    else:
+        current = batch_df.sparkSession.read.parquet(state)
+        keep = current.join(latest, "user_id", "left_anti")
+        replace_catalog(state, keep.unionByName(latest))
+    if batch_id == crash_at:
+        # merge applied, commit marker NOT yet written: the redelivery
+        # window. Kill driver + JVM together (own process group).
+        os.killpg(0, signal.SIGKILL)
+
+q = (
+    stream.writeStream.foreachBatch(upsert)
+    .outputMode("update")
+    .option("checkpointLocation", ckpt)
+    .trigger(availableNow=True)
+    .start()
+)
+q.awaitTermination()
+"""
+
+
+def _run_child(crash_at: int) -> subprocess.CompletedProcess:
+    env = dict(os.environ, PYTHONPATH=str(REPO))
+    return subprocess.run(
+        [sys.executable, "-c", _CHILD, SF_SMOKE, str(STATE), str(CKPT),
+         str(crash_at)],
+        cwd=str(REPO),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+        start_new_session=True,  # own pgid so killpg(0) is self-contained
+    )
+
+
+def test_sigkill_between_merge_and_commit_still_matches_oracle():
+    for p in (STATE, CKPT):
+        shutil.rmtree(p, ignore_errors=True)
+    for suffix in (".tmp", ".old"):
+        shutil.rmtree(str(STATE) + suffix, ignore_errors=True)
+
+    # Run 1: SIGKILL after batch 1's merge. availableNow over 4 staged
+    # files at maxFilesPerTrigger=1 would run batches 0..3; we die at 1.
+    r1 = _run_child(crash_at=1)
+    assert r1.returncode == -signal.SIGKILL, (r1.returncode, r1.stderr[-2000:])
+    # The crash window is real: batch 1's offset is WAL-ed but its commit
+    # marker is absent, so the resume MUST replay batch 1.
+    offsets = {f for f in os.listdir(CKPT / "offsets") if not f.startswith(".")}
+    commits = {f for f in os.listdir(CKPT / "commits") if not f.startswith(".")}
+    assert "1" in offsets and "1" not in commits, (offsets, commits)
+    # State already holds batch 1's merge -- the double-apply hazard.
+    assert os.path.isdir(STATE)
+
+    # Run 2: resume from the same checkpoint; replay + remaining batches.
+    r2 = _run_child(crash_at=-1)
+    assert r2.returncode == 0, r2.stderr[-4000:]
+    commits = {f for f in os.listdir(CKPT / "commits") if not f.startswith(".")}
+    assert {"0", "1", "2", "3"} <= commits, commits
+
+    # Exactly-once check: final state == latest-per-user over ALL events,
+    # bit-for-bit (the q_stream_upsert oracle), despite batch 1 having
+    # been merged twice.
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT user_id, last_ts, last_type, last_value"
+        f" FROM '{STATE}/*.parquet' ORDER BY user_id"
+    ).fetchall()
+    want = con.execute(
+        f"""
+        WITH r AS (
+            SELECT user_id, ts, event_type, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM '{SF_SMOKE}/events.parquet'
+        )
+        SELECT user_id, ts AS last_ts, event_type AS last_type,
+               value AS last_value
+        FROM r WHERE rn = 1 ORDER BY user_id
+        """
+    ).fetchall()
+    assert got == want, (len(got), len(want), got[:3], want[:3])

@@ -1,0 +1,172 @@
+"""The 100 TB storage layout, stood up end-to-end (VERDICT r8 #5).
+
+SURVEY section 4's posture -- partition the event stream by date, bucket
+the fact tables on their repeated join key, cluster the corpus on its
+filter columns -- previously existed only as per-operator demonstrations
+(q_sink_partitioned, q_join_bucketed, q_scan_dpp, q_zorder_layout). This
+module makes it a STANDING layout the whole engine can run against:
+
+- :func:`write_layout` writes a fixture SF once in the posture and drops
+  a ``_layout.json`` manifest beside it;
+- ``sources.tables.load_table`` consults the manifest, so EVERY registry
+  query transparently resolves tables from the laid-out storage -- no
+  query changes, which is exactly the point: the layout must pay for
+  itself on the existing workload, not on queries written for it.
+
+The posture (and why each piece matters at 100 TB):
+
+- ``events``: hive-partitioned by ``(event_date, event_type)``.
+  event_date is the derived operational partition (retention, backfill,
+  time-bounded scans); event_type is a 5-value enum that several
+  standing queries filter literally (the asof family's signup/error
+  legs) -- those get directory-level PartitionFilters for free. The
+  derived event_date is dropped on read, so the table contract is
+  byte-identical to the flat fixture.
+- ``lineitem`` + ``orders``: bucketed INTO 32 BUCKETS on the order key,
+  sorted within buckets. Order-key joins (TPC-H q3/q4/q12/q18, the q21
+  lineitem self-joins) and order-key aggregations read pre-shuffled
+  data: the exchanges those plans pay on flat storage disappear
+  (SortMergeJoin over bucketed scans, SelectedBucketsCount in the scan).
+  Bucket metadata lives in the session catalog; the manifest carries the
+  DDL so any session re-registers the SAME files as an external bucketed
+  table -- nothing is rewritten per session.
+- ``documents``: Z-ordered on (lang, source) via operators/layout.py --
+  both enums are standing filter columns (en-only paths, the src0
+  contamination pair); Morton interleaving keeps row-group min/max
+  selective for EITHER column alone, where a plain compound sort serves
+  only its leading column.
+- dimensions + embeddings: flat copies (small; nation/region broadcast
+  anyway, embeddings are consumed whole by design).
+
+Non-goal: date-derived pruning for filters written against raw ``ts``.
+Spark cannot infer ``event_date = date(ts)``; queries that want date
+pruning at 100 TB filter the partition column -- that is a QUERY
+convention, documented here rather than faked with a rewrite rule.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST = "_layout.json"
+
+_LANGS = ["en", "zh", "es", "fr", "de"]
+
+
+def _doc_zkey():
+    from ..operators.layout import zorder_key_nd
+
+    lang_code = F.lit(None).cast("int")
+    for i, lg in enumerate(_LANGS):
+        lang_code = F.when(F.col("lang") == lg, i).otherwise(lang_code)
+    src_code = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    return zorder_key_nd([F.coalesce(lang_code, F.lit(31)), src_code], bits=5)
+
+
+def write_layout(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
+    """Write ``sf_dir``'s tables into ``out_dir`` in the SURVEY section-4
+    posture and return the manifest (also persisted as _layout.json)."""
+    from .tables import TABLES, load_table
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest: dict = {}
+
+    ev = load_table(spark, sf_dir, "events")
+    (
+        ev.withColumn("event_date", F.to_date("ts"))
+        .repartition("event_date", "event_type")
+        .write.mode("overwrite")
+        .partitionBy("event_date", "event_type")
+        .parquet(f"{out_dir}/events")
+    )
+    manifest["events"] = {
+        "kind": "partitioned",
+        "derived": ["event_date"],
+        "columns": ev.columns,
+    }
+
+    for name, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        df = load_table(spark, sf_dir, name)
+        loc = os.path.abspath(f"{out_dir}/{name}")
+        shutil.rmtree(loc, ignore_errors=True)
+        tag = hashlib.md5(loc.encode()).hexdigest()[:8]
+        tbl = f"layout_{name}_{tag}"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            df.write.bucketBy(32, key)
+            .sortBy(key)
+            .option("path", loc)
+            .mode("overwrite")
+            .saveAsTable(tbl, format="parquet")
+        )
+        ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+        manifest[name] = {
+            "kind": "bucketed",
+            "table": tbl,
+            "key": key,
+            "buckets": 32,
+            "location": loc,
+            "ddl": ddl,
+        }
+
+    from ..operators.layout import write_zordered
+
+    docs = load_table(spark, sf_dir, "documents")
+    write_zordered(docs, f"{out_dir}/documents", _doc_zkey(), n_files=8)
+    manifest["documents"] = {"kind": "zorder", "cluster": ["lang", "source"]}
+
+    for name in TABLES:
+        if name in manifest:
+            continue
+        shutil.copyfile(f"{sf_dir}/{name}.parquet", f"{out_dir}/{name}.parquet")
+        manifest[name] = {"kind": "flat"}
+
+    with open(os.path.join(out_dir, MANIFEST), "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    return manifest
+
+
+_MANIFESTS: dict[str, dict | None] = {}
+
+
+def layout_manifest(sf_dir: str) -> dict | None:
+    """The dir's layout manifest, or None for a flat fixture dir.
+    Cached per path -- fixture dirs are immutable once written."""
+    if sf_dir not in _MANIFESTS:
+        p = os.path.join(sf_dir, MANIFEST)
+        _MANIFESTS[sf_dir] = json.load(open(p)) if os.path.isfile(p) else None
+    return _MANIFESTS[sf_dir]
+
+
+def load_layout_table(
+    spark: SparkSession, sf_dir: str, name: str, spec: dict
+) -> DataFrame:
+    """Resolve one table from a laid-out dir per its manifest entry.
+    Returns the SAME logical contract (columns, order, types) as the
+    flat fixture read -- the layout changes plans, never data."""
+    if spec["kind"] == "partitioned":
+        df = spark.read.parquet(f"{sf_dir}/{name}")
+        if name == "events":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df.select(*spec["columns"])
+    if spec["kind"] == "bucketed":
+        tbl = spec["table"]
+        if not spark.catalog.tableExists(tbl):
+            # Re-register the SAME files as an external bucketed table:
+            # bucket ids are parsed from the bucketBy-written filenames,
+            # so a fresh session pays one DDL, zero rewrites.
+            spark.sql(
+                f"CREATE TABLE {tbl} ({spec['ddl']}) USING PARQUET"
+                f" CLUSTERED BY ({spec['key']}) SORTED BY ({spec['key']})"
+                f" INTO {spec['buckets']} BUCKETS"
+                f" LOCATION '{spec['location']}'"
+            )
+        return spark.table(tbl)
+    # zorder: plain dir read -- clustering lives in row-group stats
+    return spark.read.parquet(f"{sf_dir}/{name}")

@@ -43,10 +43,22 @@ def _ensure_session_confs(spark: SparkSession) -> None:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Plain parquet scan -- column pruning and
-    predicate pushdown are applied by Catalyst at the call sites."""
+    predicate pushdown are applied by Catalyst at the call sites.
+
+    If ``sf_dir`` carries a ``_layout.json`` manifest (written by
+    sources/layout.py write_layout -- the SURVEY section-4 100 TB
+    posture: date/type-partitioned events, order-key-bucketed
+    lineitem/orders, Z-ordered documents), the table resolves from that
+    layout instead: same data contract, different physical plan. Every
+    registry query runs unchanged against either storage."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     _ensure_session_confs(spark)
+    from .layout import layout_manifest, load_layout_table
+
+    manifest = layout_manifest(sf_dir)
+    if manifest is not None and manifest.get(name, {}).get("kind", "flat") != "flat":
+        return load_layout_table(spark, sf_dir, name, manifest[name])
     if name == "events":
         # ts encoding differs across fixture generations: TIMESTAMP(NANOS)
         # (no Spark type -- read nanos-as-long, truncate to micros the way
