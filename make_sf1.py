@@ -133,7 +133,21 @@ def embeddings(rng, n, dim=64, n_labels=10):
     )
 
 
-def star_schema(rng, mult=10):
+def star_schema(rng, mult=10, grow_pools=False):
+    """``grow_pools`` scales the part-name pools ~sqrt(mult): the two
+    blocking-data regimes for entity resolution. FIXED pools (the
+    driver's own cross-SF convention -- 64 names at every SF) mean block
+    occupancy grows linearly with the catalog and the blocked pair work
+    grows quadratically; GROWN pools hold the block-size distribution
+    ~stationary (a catalog with more products has more name variety).
+    Both are real regimes; make_sf1.py generates either so the r9
+    scaling table can price them separately instead of letting the
+    generator silently pick the conclusion (the r8 replication trap)."""
+    adj, noun = list(ADJ), list(NOUN)
+    if grow_pools:
+        k = max(1, round(len(ADJ) * (mult ** 0.5))) - len(ADJ)
+        adj += [f"adj{i}" for i in range(k)]
+        noun += [f"noun{i}" for i in range(k)]
     n_supp, n_cust, n_part, n_ord = 1000 * mult, 15000 * mult, 20000 * mult, 150000 * mult
     supplier = pa.table(
         {
@@ -157,9 +171,10 @@ def star_schema(rng, mult=10):
             "p_partkey": pa.array(np.arange(n_part), pa.int64()),
             "p_name": pa.array(
                 [
-                    f"{ADJ[a]} {NOUN[b]}"
+                    f"{adj[a]} {noun[b]}"
                     for a, b in zip(
-                        rng.integers(0, 8, n_part), rng.integers(0, 8, n_part)
+                        rng.integers(0, len(adj), n_part),
+                        rng.integers(0, len(noun), n_part),
                     )
                 ]
             ),
@@ -223,8 +238,11 @@ def events(rng, n, n_users):
 
 
 def main() -> None:
-    out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".scratch", "sf1r"
+    grow = "--grow-pools" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    out = args[0] if args else os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".scratch",
+        "sf1rg" if grow else "sf1r",
     )
     os.makedirs(out, exist_ok=True)
     rng = np.random.default_rng(SEED)
@@ -232,7 +250,9 @@ def main() -> None:
         shutil.copyfile(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
     pq.write_table(documents(rng, 50_000), f"{out}/documents.parquet")
     pq.write_table(embeddings(rng, 20_000), f"{out}/embeddings.parquet")
-    supplier, customer, part, orders, lineitem = star_schema(rng, mult=10)
+    supplier, customer, part, orders, lineitem = star_schema(
+        rng, mult=10, grow_pools=grow
+    )
     for name, tbl in (
         ("supplier", supplier), ("customer", customer), ("part", part),
         ("orders", orders), ("lineitem", lineitem),

@@ -3835,19 +3835,26 @@ def _knn_graph_oracle() -> str:
 
 
 def _mutual_knn_edges(
-    spark: SparkSession, sf_dir: str, max_vec_id: int | None = None
+    spark: SparkSession, sf_dir: str, max_vec_id: int | None = None,
+    n_planes: int = 4,
 ):
     """Shared construction for q_knn_graph / q_semantic_clusters: the
     mutual 3-NN edge list (vec_a < vec_b, sim) plus the node universe
     (both derived from ONE pinned bucketed+normed embeddings scan).
     ``max_vec_id`` bounds the block (the q_dedup_clusters probe-set
-    convention) for callers whose downstream cost is round-count-bound."""
+    convention) for callers whose downstream cost is round-count-bound.
+    ``n_planes`` is the production occupancy knob: per-bucket pair work
+    is ~(n/2^planes)^2, so planes must grow ~log2(n) to hold per-bucket
+    cost flat (r9 sf1r measurement in PLANS.md: 4 -> 7 planes at 20k
+    vectors). The registry config stays 4 (the oracle inlines those
+    plane literals); recall falls with bucket size exactly as
+    q_ann_recall measures."""
     base = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     if max_vec_id is not None:
         base = base.filter(F.col("vec_id") < max_vec_id)
-    vb = with_norm(hyperplane_bucket(base)).transform(
+    vb = with_norm(hyperplane_bucket(base, n_planes=n_planes)).transform(
         pin_corpus
     )  # one scan feeds both self-join sides
     a = vb.select(
