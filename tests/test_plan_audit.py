@@ -67,6 +67,8 @@ NON_EQUI_ALLOWED = {
     "q_semantic_dedup",   # r9: scalar occupancy-census cross join (auto cap)
     "q_skew_keys",        # r8: scalar (total, n_keys) stats cross join
     "q_source_drift",     # r8: scalar corpus-total cross join
+    "q_source_overlap_sketch",  # r9: src_a < src_b pair matrix over the
+                                # source enum (S^2/2 rows, catalog-sized)
     "q_str_levenshtein",
     "q_tfidf",
     "q_timeseries_gapfill",
@@ -108,6 +110,9 @@ CHECKPOINTED_ALLOWED = {
     "q_ngram_jaccard",
     "q_outliers_mad",     # r8: pinned non-null values feed both rank passes
     "q_pagerank",
+    "q_source_overlap_sketch",  # r9: pinned (source, gram) distinct feeds
+                                # signatures + source list; pinned S*K
+                                # melted signature feeds both agree sides
     "q_rare_token_ratio",
     "q_semantic_clusters",  # r8: pinned vectors + CC per-round state
     "q_semantic_dedup",

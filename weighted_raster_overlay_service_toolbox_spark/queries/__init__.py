@@ -195,12 +195,15 @@ from . import tpch  # noqa: F401,E402
 # q_str_split_index, q_str_regex, q_scan_full, q_filter_*).
 #
 # ROUND-10 ROTATION PLAN: after the r9 window grades, cumulative
-# driver-green should be 240/240 (evidence end-state v2). The re-grade
-# tail the r9 window could not fit: q_union_all / q_union_distinct /
-# q_union_by_name, q_intersect, q_intersect_all, q_except /
-# q_except_distinct, q_str_split_index, q_str_regex, q_filter_* --
-# those fill the r10 window alongside flagships, any r10-changed
-# queries, and any r10 additions (3-SF parity on arrival, as always).
+# driver-green should be 240/240 of the pre-r9 registry (evidence
+# end-state v2). The r10 window = flagships + the late-r9 ADDITION
+# q_source_overlap_sketch (registry 240 -> 241: slot-wise MinHash
+# agreement contamination matrix, the at-scale path for
+# q_source_overlap -- 3-SF parity-verified on arrival, llm.py) + any
+# r10-changed queries + the re-grade tail the r9 window could not fit:
+# q_union_all / q_union_distinct / q_union_by_name, q_intersect,
+# q_intersect_all, q_except / q_except_distinct, q_str_split_index,
+# q_str_regex, q_filter_* (3-SF parity on arrival, as always).
 _DRIVER_WINDOW = [
     # == ROUND-9 WINDOW ==
     # Executes VERDICT r8 'Next round' #1 exactly: flagships + ALL 22
