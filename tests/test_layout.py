@@ -56,6 +56,24 @@ def test_layout_preserves_values_across_query_families(spark, laid_out):
         assert flat == laid, name
 
 
+def test_layout_preserves_values_across_full_tpch_suite(spark, laid_out):
+    """VERDICT r8 #5 asked for the TPC-H suite against the standing
+    layout, not just its bucket-sensitive members: all 22 must return
+    byte-identical answers from either storage (several read lineitem
+    through the bucketed catalog table and orders through its bucketed
+    twin -- any resolution bug shows up as a value diff here first)."""
+    from weighted_raster_overlay_service_toolbox_spark.queries import QUERIES
+
+    bad = []
+    for i in range(1, 23):
+        name = f"q_tpch_q{i}"
+        flat = sorted(repr(tuple(r)) for r in QUERIES[name](spark, SF_SMOKE).collect())
+        laid = sorted(repr(tuple(r)) for r in QUERIES[name](spark, laid_out).collect())
+        if flat != laid:
+            bad.append(name)
+    assert not bad, bad
+
+
 def test_bucketed_fact_join_drops_exchanges(spark, laid_out):
     """q_tpch_q18 joins lineitem to orders on the order key and
     aggregates by it: on the bucketed layout both shuffles vanish."""

@@ -113,6 +113,8 @@ CHECKPOINTED_ALLOWED = {
     "q_source_overlap_sketch",  # r9: pinned (source, gram) distinct feeds
                                 # signatures + source list; pinned S*K
                                 # melted signature feeds both agree sides
+    "q_split_leakage_safe",     # r9: inherits q_dedup_clusters' pinned
+                                # signature relation + CC checkpoints
     "q_rare_token_ratio",
     "q_semantic_clusters",  # r8: pinned vectors + CC per-round state
     "q_semantic_dedup",

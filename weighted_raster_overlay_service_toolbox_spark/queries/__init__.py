@@ -199,7 +199,12 @@ from . import tpch  # noqa: F401,E402
 # end-state v2). The r10 window = flagships + the late-r9 ADDITION
 # q_source_overlap_sketch (registry 240 -> 241: slot-wise MinHash
 # agreement contamination matrix, the at-scale path for
-# q_source_overlap -- 3-SF parity-verified on arrival, llm.py) + any
+# q_source_overlap -- 3-SF parity-verified on arrival, llm.py) + the
+# late-r9 ADDITION q_split_leakage_safe (241 -> 242: near-dup-cluster-
+# coherent train/val/test split -- members inherit the component
+# representative's content-hash bucket, so a 0.95-Jaccard pair can no
+# longer straddle train and test; shares q_dedup_clusters' closure
+# oracle CTEs; 3-SF parity on arrival) + any
 # r10-changed queries + the re-grade tail the r9 window could not fit:
 # q_union_all / q_union_distinct / q_union_by_name, q_intersect,
 # q_intersect_all, q_except / q_except_distinct, q_str_split_index,

@@ -341,9 +341,12 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_dedup_clusters",
-    oracle="""
+# Recursive transitive-closure CTE chain over the exact-Jaccard >= 0.9
+# near-dup edges of the doc_id<500 probe block -- shared by the
+# q_dedup_clusters oracle and the q_split_leakage_safe oracle (the split
+# must agree with the SAME cluster definition, so they share one SQL
+# constant rather than risking drift, the functions/langmix.py lesson).
+_CLUSTERS_CC_CTES = """
     WITH RECURSIVE
     t AS (
         SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
@@ -371,10 +374,16 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT src, dst FROM sym
         UNION
         SELECT w.node, s.dst FROM walk w JOIN sym s ON w.lbl = s.src
-    )
-    SELECT node AS doc_id, MIN(lbl) AS component
-    FROM walk GROUP BY node
-    """,
+    ),
+    comp AS (
+        SELECT node AS doc_id, MIN(lbl) AS component
+        FROM walk GROUP BY node
+    )"""
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=_CLUSTERS_CC_CTES + "\n    SELECT doc_id, component FROM comp",
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: MinHash-LSH candidate pairs, exact-verified at
@@ -2784,6 +2793,72 @@ def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.min("doc_id").cast("long").alias("min_doc_id"),
         )
+    )
+
+
+@query(
+    "q_split_leakage_safe",
+    oracle=_CLUSTERS_CC_CTES
+    + """,
+    rep AS (
+        SELECT c.doc_id, c.component,
+               CAST('0x' || substring(md5(d.text), 1, 15) AS BIGINT) % 100
+                   AS bucket
+        FROM comp c JOIN documents d ON d.doc_id = c.component
+    )
+    SELECT doc_id, component,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM rep
+    """,
+)
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (round 9): the split key is the
+    near-dup CLUSTER's canonical representative, not the document's own
+    content. q_split_train_val_test's content-hash split is dedup-safe
+    for EXACT duplicates (identical text -> identical bucket), but two
+    near-duplicates hash to independent buckets -- a 0.95-Jaccard pair
+    straddling train and test is textbook eval contamination (the exact
+    leak q_contamination hunts AFTER the fact; this prevents it at
+    split time). Rule: component = q_dedup_clusters' connected
+    components over exact-verified token-Jaccard >= 0.9 edges
+    (doc_id<500 probe block, the same bounded-probe convention); every
+    member inherits the split of the component representative, bucketed
+    by the representative TEXT's portable hash mod 100 (80/10/10) -- so
+    the assignment survives re-ingestion and re-clustering as long as
+    the representative's content does.
+
+    Cross-engine determinism: the cluster labels inherit
+    q_dedup_clusters' recursive-closure oracle (the SAME shared CTE
+    constant, so the two queries cannot drift on the cluster
+    definition); the bucket is the portable md5-60 mod 100 integer.
+
+    Scale: clustering is the q_dedup_clusters plan (banded LSH ->
+    exact verify -> pointer-jumping CC); the representative lookup is
+    one join from the component label back to the corpus (component IS
+    a doc_id), the bucket a per-row expression, and the member
+    assignment one more component-keyed join. Writing the actual splits
+    is a partitioned sink on the label -- one pass, exactly like the
+    plain split."""
+    from ..operators.dedup import portable_hash60
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    comp = q_dedup_clusters(spark, sf_dir)
+    reps = comp.select("component").distinct()
+    bucket = portable_hash60(F.col("text")) % 100
+    rep_split = (
+        reps.join(d, F.col("component") == F.col("doc_id"))
+        .select(
+            "component",
+            F.when(bucket < 80, "train")
+            .when(bucket < 90, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+    return comp.join(rep_split, "component").select(
+        "doc_id", "component", "split"
     )
 
 
