@@ -105,7 +105,13 @@ def _stage_table_files(
     deterministic, so the bytes are identical and existing .scratch dirs
     stay valid; only NEW stagings get the canonical name."""
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    st = os.stat(f"{sf_dir}/{table}.parquet")
+    src = f"{sf_dir}/{table}.parquet"
+    if not os.path.exists(src) and os.path.isdir(f"{sf_dir}/{table}"):
+        # laid-out fixture dir (sources/layout.py): fingerprint the
+        # manifest-resolved table DIRECTORY -- its mtime changes when
+        # write_layout rewrites it, which is the invalidation contract
+        src = f"{sf_dir}/{table}"
+    st = os.stat(src)
     fp = f"{st.st_mtime_ns:x}_{st.st_size:x}"
     params = f"{sf_tag}_f{n_files}_l{late_rows}_"
     prefix = f"{prefix}{params}"
