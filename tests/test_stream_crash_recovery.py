@@ -151,3 +151,140 @@ def test_sigkill_between_merge_and_commit_still_matches_oracle():
         """
     ).fetchall()
     assert got == want, (len(got), len(want), got[:3], want[:3])
+
+
+# Second witness, complementary crash point: the upsert test dies INSIDE
+# a batch (redelivery window -- proves merge idempotence); this one dies
+# at the START of batch 2, AFTER batch 1 committed -- so the resume
+# starts at batch 2 with the per-user running (count, cents) state
+# restorable ONLY from the state store (files 0-1 are never re-read:
+# the offset log says they are done). If state recovery were broken,
+# batch-2 emissions would restart the running totals from zero and the
+# oracle compare below would catch it immediately.
+_CHILD_STATEFUL = r"""
+import json, os, signal, sys
+sf_dir, log_path, ckpt, crash_at = (
+    sys.argv[1], sys.argv[2], sys.argv[3], int(sys.argv[4]))
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from weighted_raster_overlay_service_toolbox_spark.session import get_spark
+from weighted_raster_overlay_service_toolbox_spark.streaming.engine import (
+    read_event_stream,
+    stage_event_files,
+)
+
+spark = get_spark("crashrec-stateful", cpus=4)
+staged = stage_event_files(spark, sf_dir, "crashrec_stateful")
+
+def update(key, pdfs, state: GroupState):
+    import pandas as pd
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+    state.update((n, int(cents)))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                        "sum_value": [cents / 100.0]})
+
+out = (
+    read_event_stream(spark, staged, files_per_trigger=1)
+    .groupBy("user_id")
+    .applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, cents long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+)
+
+def sink(batch_df, batch_id):
+    if batch_id == crash_at:
+        os.killpg(0, signal.SIGKILL)  # BEFORE reading: batch not logged
+    rows = [
+        [batch_id, r["user_id"], r["n_events"], r["sum_value"]]
+        for r in batch_df.collect()
+    ]
+    with open(log_path, "a") as fh:
+        for row in rows:
+            fh.write(json.dumps(row) + "\n")
+
+q = (
+    out.writeStream.foreachBatch(sink)
+    .outputMode("update")
+    .option("checkpointLocation", ckpt)
+    .trigger(availableNow=True)
+    .start()
+)
+q.awaitTermination()
+"""
+
+STATEFUL_LOG = SCRATCH / "crashrec_stateful_log.jsonl"
+STATEFUL_CKPT = SCRATCH / "crashrec_stateful_ckpt"
+
+
+def _run_stateful_child(crash_at: int) -> subprocess.CompletedProcess:
+    env = dict(os.environ, PYTHONPATH=str(REPO))
+    return subprocess.run(
+        [sys.executable, "-c", _CHILD_STATEFUL, SF_SMOKE, str(STATEFUL_LOG),
+         str(STATEFUL_CKPT), str(crash_at)],
+        cwd=str(REPO),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+        start_new_session=True,
+    )
+
+
+def test_sigkill_between_batches_restores_running_state_from_store():
+    import json
+
+    shutil.rmtree(STATEFUL_CKPT, ignore_errors=True)
+    STATEFUL_LOG.unlink(missing_ok=True)
+
+    r1 = _run_stateful_child(crash_at=2)
+    assert r1.returncode == -signal.SIGKILL, (r1.returncode, r1.stderr[-2000:])
+    commits = {
+        f for f in os.listdir(STATEFUL_CKPT / "commits") if not f.startswith(".")
+    }
+    assert {"0", "1"} <= commits and "2" not in commits, commits
+
+    r2 = _run_stateful_child(crash_at=-1)
+    assert r2.returncode == 0, r2.stderr[-4000:]
+
+    got = sorted(
+        tuple(json.loads(line)) for line in open(STATEFUL_LOG)
+    )
+    # each batch logged exactly once across the two runs
+    assert sorted({b for b, *_ in got}) == [0, 1, 2, 3], got[:5]
+
+    con = duckdb.connect()
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""
+            WITH ranked AS (
+                SELECT user_id, value,
+                       ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
+                       COUNT(*) OVER () AS total
+                FROM '{SF_SMOKE}/events.parquet'
+            ),
+            b AS (
+                SELECT user_id, value,
+                       CAST((rn - 1) // (total // 4 + 1) AS INTEGER) AS batch_id
+                FROM ranked
+            ),
+            pb AS (
+                SELECT user_id, batch_id, COUNT(*) AS c,
+                       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+                FROM b GROUP BY user_id, batch_id
+            )
+            SELECT batch_id, user_id,
+                   CAST(SUM(c) OVER w AS BIGINT) AS n_events,
+                   CAST(SUM(cents) OVER w / 100.0 AS DOUBLE) AS sum_value
+            FROM pb
+            WINDOW w AS (PARTITION BY user_id ORDER BY batch_id)
+            """
+        ).fetchall()
+    )
+    assert got == want, (len(got), len(want), got[:3], want[:3])
