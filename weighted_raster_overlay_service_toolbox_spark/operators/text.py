@@ -110,17 +110,36 @@ def marker_score(text_col: str | Column, markers: list[str]) -> Column:
     return duck_round(hits.cast("double") / F.size(toks), 4).cast("double")
 
 
-def word_ngrams(text_col: str | Column, n: int = 3) -> Column:
-    """Word n-grams as an array column; EMPTY when the doc has fewer than
-    ``n`` tokens. The guard matters: ``F.sequence(1, k)`` with ``k < 1``
-    silently generates a DESCENDING sequence, not an empty one."""
-    toks = tokens_of(text_col)
+def word_ngrams_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-grams over an ALREADY-MATERIALIZED token-array column;
+    EMPTY when the doc has fewer than ``n`` tokens. The guard matters:
+    ``F.sequence(1, k)`` with ``k < 1`` silently generates a DESCENDING
+    sequence, not an empty one.
+
+    ``toks`` must be a plain column REFERENCE (project ``tokens_of()``
+    into a column first), not the split expression itself -- see
+    :func:`word_ngrams` for the measured quadratic trap."""
     cnt = F.size(toks) - (n - 1)
     grams = F.transform(
         F.sequence(F.lit(1), cnt),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
     )
     return F.when(cnt >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngrams(text_col: str | Column, n: int = 3) -> Column:
+    """Word n-grams straight from a text column -- convenient, but the
+    split expression is INLINED into every ``element_at`` of the HOF
+    lambda (n + 1 references; HOFs are interpreted per element, and
+    Catalyst only de-duplicates CHEAP expressions across references),
+    so each document re-splits its text ~n*grams times: O(words^2) per
+    doc. Measured r9 at sf1r (50k docs, ~55 grams each): the explode of
+    this form cost 35.1s vs 2.1s after projecting ``tokens_of()`` into
+    a column first -- 17x. Fine for one-shot expressions over short
+    strings; every corpus-sized consumer should project tokens and call
+    :func:`word_ngrams_from_tokens` (repetition_features and the
+    source-overlap pair do)."""
+    return word_ngrams_from_tokens(tokens_of(text_col), n)
 
 
 def repetition_features(
@@ -130,13 +149,17 @@ def repetition_features(
     word n-grams taken by its single most-repeated n-gram (boilerplate
     and low-quality generated text score high).
 
-    Shape: explode -> (doc, gram) count -> per-doc max/sum. Both
-    aggregations key on (doc_id[, gram]) -- uniform, map-side combined;
-    nothing leaves the executor except per-doc rows. Docs shorter than
-    ``n`` tokens produce no row (no grams to score)."""
+    Shape: tokenize-projection -> explode -> (doc, gram) count -> per-doc
+    max/sum. The token array is materialized in its own projection
+    BEFORE the gram expression references it (the word_ngrams quadratic
+    trap, r9). Both aggregations key on (doc_id[, gram]) -- uniform,
+    map-side combined; nothing leaves the executor except per-doc rows.
+    Docs shorter than ``n`` tokens produce no row (no grams to score)."""
     grams = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_ngrams(text_col, n)).alias("gram"),
+        F.col(id_col).alias("doc_id"), tokens_of(text_col).alias("_toks")
+    ).select(
+        "doc_id",
+        F.explode(word_ngrams_from_tokens(F.col("_toks"), n)).alias("gram"),
     )
     cnt = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
     return cnt.groupBy("doc_id").agg(

@@ -204,7 +204,11 @@ from . import tpch  # noqa: F401,E402
 # coherent train/val/test split -- members inherit the component
 # representative's content-hash bucket, so a 0.95-Jaccard pair can no
 # longer straddle train and test; shares q_dedup_clusters' closure
-# oracle CTEs; 3-SF parity on arrival) + any
+# oracle CTEs; 3-SF parity on arrival) + q_repetition_ratio (its
+# operators/text.py repetition_features consumer moved to the
+# tokens-projection gram build -- value-preserving, 3-SF parity-verified,
+# but changed code must be driver-witnessed; q_source_overlap's same-fix
+# change IS in the r9 window already) + any
 # r10-changed queries + the re-grade tail the r9 window could not fit:
 # q_union_all / q_union_distinct / q_union_by_name, q_intersect,
 # q_intersect_all, q_except / q_except_distinct, q_str_split_index,

@@ -3432,11 +3432,17 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare-ish shingles (drop shingles present in > K sources: they add
     ~1.0 to every pair and carry no discrimination) -- the q_jaccard_sim
     hot-shingle cap, one WHERE on the pinned relation."""
-    from ..operators.text import word_ngrams
+    from ..operators.text import tokens_of, word_ngrams_from_tokens
 
     d = load_table(spark, sf_dir, "documents")
     g = (
-        d.select("source", F.explode(word_ngrams("text", 3)).alias("gram"))
+        d.select("source", tokens_of("text").alias("_toks"))
+        # token array materialized BEFORE the gram expression references
+        # it (the word_ngrams quadratic trap -- 17x measured, r9)
+        .select(
+            "source",
+            F.explode(word_ngrams_from_tokens(F.col("_toks"), 3)).alias("gram"),
+        )
         .distinct()
         .transform(pin_corpus)  # one scan feeds sizes + both join sides
     )
@@ -3581,13 +3587,17 @@ def q_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_affine_consts,
         portable_hash60,
     )
-    from ..operators.text import word_ngrams
+    from ..operators.text import tokens_of, word_ngrams_from_tokens
 
     k = _OVERLAP_SKETCH_K
     consts = minhash_affine_consts(k)
     d = load_table(spark, sf_dir, "documents")
     g = (
-        d.select("source", F.explode(word_ngrams("text", 3)).alias("gram"))
+        d.select("source", tokens_of("text").alias("_toks"))
+        .select(
+            "source",
+            F.explode(word_ngrams_from_tokens(F.col("_toks"), 3)).alias("gram"),
+        )
         .distinct()
         .transform(pin_corpus)  # feeds the signature build AND the source list
     )
