@@ -208,7 +208,10 @@ from . import tpch  # noqa: F401,E402
 # operators/text.py repetition_features consumer moved to the
 # tokens-projection gram build -- value-preserving, 3-SF parity-verified,
 # but changed code must be driver-witnessed; q_source_overlap's same-fix
-# change IS in the r9 window already) + any
+# change IS in the r9 window already) + q_embed_quantize (same class:
+# the _scale expression was re-evaluated per element inside the
+# quantize lambda; now a projection boundary -- value-preserving, 3-SF
+# parity-verified, r8-green on identical values) + any
 # r10-changed queries + the re-grade tail the r9 window could not fit:
 # q_union_all / q_union_distinct / q_union_by_name, q_intersect,
 # q_intersect_all, q_except / q_except_distinct, q_str_split_index,

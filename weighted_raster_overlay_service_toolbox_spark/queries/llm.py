@@ -1835,13 +1835,28 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector is ','-joined in the output (driver canonicalizer cannot
     hash list cells); real consumers keep the array form."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    e = F.transform("embedding", lambda x: x.cast("double"))
-    scale = F.lit(127.0) / F.array_max(F.transform(e, F.abs))
-    return emb.select(
+    # _e and _scale are materialized in their own projections: _scale is
+    # referenced INSIDE the quantize lambda, and an inline alias would be
+    # re-evaluated per element -- recomputing array_max(transform(abs))
+    # and the cast chain dim times per row, ~dim^2 work (the word_ngrams
+    # HOF-inlining class, r9). CollapseProject keeps the boundaries: the
+    # aliases are non-cheap and referenced more than once.
+    ed = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("_e")
+    )
+    sd = ed.select(
         "vec_id",
-        duck_round(scale, 6).cast("double").alias("scale"),
+        "_e",
+        (F.lit(127.0) / F.array_max(F.transform("_e", F.abs))).alias("_scale"),
+    )
+    return sd.select(
+        "vec_id",
+        duck_round(F.col("_scale"), 6).cast("double").alias("scale"),
         F.array_join(
-            F.transform(e, lambda x: F.floor(x * scale).cast("string")), ","
+            F.transform(
+                "_e", lambda x: F.floor(x * F.col("_scale")).cast("string")
+            ),
+            ",",
         ).alias("q"),
     )
 
