@@ -64,6 +64,8 @@ NON_EQUI_ALLOWED = {
     "q_join_range",
     "q_kmeans",
     "q_logprob_strata",   # r8: scalar corpus-total cross join (unigram path)
+    "q_knn_graph",        # r9: scalar occupancy-census cross join (auto cap)
+    "q_semantic_clusters",  # r9: same census cross join via _mutual_knn_edges
     "q_semantic_dedup",   # r9: scalar occupancy-census cross join (auto cap)
     "q_skew_keys",        # r8: scalar (total, n_keys) stats cross join
     "q_source_drift",     # r8: scalar corpus-total cross join

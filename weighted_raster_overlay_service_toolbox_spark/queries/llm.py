@@ -4056,10 +4056,26 @@ def q_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_mix_scores(c)
 
 
+def _knn_lane_cap_sql(n_planes: int = 4) -> str:
+    """The auto max_block cap as a DuckDB scalar expression -- mirrors
+    _mutual_knn_edges exactly: clamp(ceil(2n/B), 256, 1024), n from a
+    scalar COUNT over the (possibly probe-filtered) vector CTE ``v``."""
+    from ..operators.similarity import AUTO_BLOCK_MAX, AUTO_BLOCK_MIN
+
+    return (
+        f"LEAST({AUTO_BLOCK_MAX}, GREATEST({AUTO_BLOCK_MIN},"
+        f" CAST(CEIL(2.0 * (SELECT COUNT(*) FROM v) / {2 ** n_planes})"
+        f" AS BIGINT)))"
+    )
+
+
 def _knn_graph_oracle() -> str:
     """DuckDB oracle for q_knn_graph: same inlined hyperplane bucket
-    literals as _ann_ivf_oracle, bucket-restricted directed 3-NN via
-    window rank, then the mutual filter as a reversed-pair self-join."""
+    literals as _ann_ivf_oracle, the r9 auto-cap lane striping (mirrors
+    _mutual_knn_edges' bounded default -- lanes == 1 wherever buckets
+    sit under the cap, so fixture results are unchanged), then the
+    (bucket, lane)-restricted directed 3-NN via window rank and the
+    mutual filter as a reversed-pair self-join."""
     from ..operators.similarity import _plane
 
     lits = [
@@ -4072,17 +4088,30 @@ def _knn_graph_oracle() -> str:
     )
     return f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-    vb AS (
+    vb0 AS (
         SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm,
                {bucket} AS bucket
         FROM v
+    ),
+    st AS (
+        SELECT vec_id, e, nrm, bucket,
+               ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn,
+               COUNT(*) OVER (PARTITION BY bucket) AS c_n
+        FROM vb0
+    ),
+    vb AS (
+        SELECT vec_id, e, nrm, bucket,
+               (rn - 1) % CAST(CEIL(c_n / {_knn_lane_cap_sql()}) AS BIGINT)
+                   AS lane
+        FROM st
     ),
     j AS (
         SELECT a.vec_id AS src, b.vec_id AS dst,
                CAST(ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4)
                     AS DOUBLE) AS sim
         FROM vb a JOIN vb b
-          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+          ON a.bucket = b.bucket AND a.lane = b.lane
+         AND a.vec_id <> b.vec_id
     ),
     r AS (
         SELECT src, dst, sim,
@@ -4100,6 +4129,7 @@ def _knn_graph_oracle() -> str:
 def _mutual_knn_edges(
     spark: SparkSession, sf_dir: str, max_vec_id: int | None = None,
     n_planes: int = 4,
+    max_block: int | str | None = "auto",
 ):
     """Shared construction for q_knn_graph / q_semantic_clusters: the
     mutual 3-NN edge list (vec_a < vec_b, sim) plus the node universe
@@ -4109,9 +4139,22 @@ def _mutual_knn_edges(
     ``n_planes`` is the production occupancy knob: per-bucket pair work
     is ~(n/2^planes)^2, so planes must grow ~log2(n) to hold per-bucket
     cost flat (r9 sf1r measurement in PLANS.md: 4 -> 7 planes at 20k
-    vectors). The registry config stays 4 (the oracle inlines those
-    plane literals); recall falls with bucket size exactly as
-    q_ann_recall measures."""
+    vectors; the registry keeps 4 because the oracle inlines those
+    plane literals, and recall falls with bucket size exactly as
+    q_ann_recall measures).
+
+    ``max_block`` (round 9 -- the q_semantic_dedup bounded-default
+    treatment, VERDICT r8 #1 generalized to the other within-block
+    pair operator): buckets above the occupancy-census cap
+    clamp(ceil(2n/B), 256, 1024) are striped into id-round-robin lanes
+    and candidates come from the SAME (bucket, lane) only -- total
+    pair work <= n * 1024, LINEAR in n even when the plane count lags
+    the corpus (the sf1r table's 30x entry). The trade is neighbor
+    recall inside oversize buckets; "auto" never engages while buckets
+    sit within 2x of balanced occupancy (every fixture SF -- output
+    provably unchanged there, lanes == 1), None is the uncapped
+    opt-in, and the cap is a scalar-subquery mirror in the oracle
+    either way."""
     base = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -4120,17 +4163,48 @@ def _mutual_knn_edges(
     vb = with_norm(hyperplane_bucket(base, n_planes=n_planes)).transform(
         pin_corpus
     )  # one scan feeds both self-join sides
+    if max_block is not None:
+        from ..operators.similarity import AUTO_BLOCK_MAX, AUTO_BLOCK_MIN
+
+        if max_block == "auto":
+            total = vb.agg(F.count(F.lit(1)).alias("_tot"))
+            cap = F.least(
+                F.lit(AUTO_BLOCK_MAX),
+                F.greatest(
+                    F.lit(AUTO_BLOCK_MIN),
+                    F.ceil(F.lit(2.0) * F.col("_tot") / F.lit(2 ** n_planes)),
+                ),
+            )
+            vb = vb.crossJoin(broadcast(total))
+        else:
+            cap = F.lit(int(max_block))
+        wc = Window.partitionBy("bucket").orderBy("vec_id")
+        vb = (
+            vb.withColumn("_rn", F.row_number().over(wc))
+            .withColumn(
+                "_c_n", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+            )
+            .withColumn(
+                "_lane",
+                (F.col("_rn") - 1) % F.ceil(F.col("_c_n") / cap).cast("int"),
+            )
+            .drop("_rn", "_c_n", "_tot")
+        )
+    else:
+        vb = vb.withColumn("_lane", F.lit(0))
     a = vb.select(
         F.col("vec_id").alias("src"),
         F.col("e").alias("ea"),
         F.col("nrm").alias("na"),
         "bucket",
+        "_lane",
     )
     b = vb.select(
         F.col("vec_id").alias("dst"),
         F.col("e").alias("eb"),
         F.col("nrm").alias("nb"),
         "bucket",
+        "_lane",
     )
     sim = duck_round(
         dot_expr(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4
@@ -4139,22 +4213,24 @@ def _mutual_knn_edges(
     # the pin AQE coalesces the shuffle read to ~1 task and serializes
     # N^2/B dot products (measured 173s at 10x data, r8 sf1 spot-run).
     # Shared audited implementation: plans/pinning.py pin_parallelism.
-    a = pin_parallelism(a, "bucket")
-    b = pin_parallelism(b, "bucket")
+    a = pin_parallelism(a, "bucket", "_lane")
+    b = pin_parallelism(b, "bucket", "_lane")
     j = (
-        a.join(b, "bucket")
+        a.join(b, ["bucket", "_lane"])
         .where(F.col("src") != F.col("dst"))
-        .select("bucket", "src", "dst", sim.alias("sim"))
+        .select("bucket", "_lane", "src", "dst", sim.alias("sim"))
     )
-    from pyspark.sql import Window
 
-    # Window keyed (bucket, src): src determines its bucket, so the
-    # groups are identical to partitionBy(src) -- but HashPartitioning
-    # on {bucket} already satisfies ClusteredDistribution({bucket, src})
-    # (subset rule), so the rank runs INSIDE the join partitions and the
-    # N^2/B-row candidate relation never re-shuffles; only the N*k
-    # directed edge list moves for the mutual join.
-    w = Window.partitionBy("bucket", "src").orderBy(F.desc("sim"), F.asc("dst"))
+    # Window keyed (bucket, _lane, src): src determines its bucket and
+    # lane, so the groups are identical to partitionBy(src) -- but
+    # HashPartitioning on {bucket, _lane} already satisfies
+    # ClusteredDistribution({bucket, _lane, src}) (subset rule), so the
+    # rank runs INSIDE the join partitions and the bounded candidate
+    # relation never re-shuffles; only the N*k directed edge list moves
+    # for the mutual join.
+    w = Window.partitionBy("bucket", "_lane", "src").orderBy(
+        F.desc("sim"), F.asc("dst")
+    )
     k = (
         j.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
@@ -4218,17 +4294,30 @@ def _semantic_clusters_oracle() -> str:
     WITH RECURSIVE
     v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
           WHERE vec_id < 500),
-    vb AS (
+    vb0 AS (
         SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm,
                {bucket} AS bucket
         FROM v
+    ),
+    st AS (
+        SELECT vec_id, e, nrm, bucket,
+               ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn,
+               COUNT(*) OVER (PARTITION BY bucket) AS c_n
+        FROM vb0
+    ),
+    vb AS (
+        SELECT vec_id, e, nrm, bucket,
+               (rn - 1) % CAST(CEIL(c_n / {_knn_lane_cap_sql()}) AS BIGINT)
+                   AS lane
+        FROM st
     ),
     j AS (
         SELECT a.vec_id AS src, b.vec_id AS dst,
                CAST(ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4)
                     AS DOUBLE) AS sim
         FROM vb a JOIN vb b
-          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+          ON a.bucket = b.bucket AND a.lane = b.lane
+         AND a.vec_id <> b.vec_id
     ),
     r AS (
         SELECT src, dst, sim,
