@@ -45,6 +45,7 @@ _WHITELIST: dict[tuple[str, str], tuple[int, str]] = {
     ("operators/text.py", "tfidf"): (2, "vocab-capped df table + scalar-1row corpus count"),
     ("queries/aggregations.py", "q_hll_rollup"): (2, "dim-const: nation + region-cardinality rollup"),
     ("queries/extended.py", "q_decay_agg"): (1, "scalar-1row: anchor timestamp"),
+    ("queries/extended.py", "q_entity_resolution"): (1, "scalar-1row: occupancy census (n_tot, n_blocks) for the auto lane cap"),
     ("queries/extended.py", "q_impute_group_mean"): (1, "enum-keyed: per-event_type means"),
     ("queries/extended.py", "q_outliers_mad"): (2, "enum-keyed: per-event_type median + MAD"),
     ("queries/extended.py", "q_skew_keys"): (1, "scalar-1row: totals for share_bp"),
@@ -67,6 +68,7 @@ _WHITELIST: dict[tuple[str, str], tuple[int, str]] = {
     ("queries/llm.py", "q_embed_near_dup"): (1, "probe-bounded block"),
     ("queries/llm.py", "q_embed_outliers"): (1, "enum-keyed: per-(label, dim) centroid sums"),
     ("functions/langmix.py", "lang_mix_scores"): (1, "enum-keyed: per-source totals (shared by q_lang_entropy + q_stream_lang_mix, ADVICE r8)"),
+    ("queries/llm.py", "_mutual_knn_edges"): (1, "scalar-1row: occupancy-census count for the auto cap"),
     ("queries/llm.py", "q_logprob_strata"): (2, "vocab-sized LM table (vocab-join convention) + scalar-1row"),
     ("queries/llm.py", "q_source_drift"): (4, "enum-keyed per-source counts x2 + scalar-1row x2"),
     ("queries/llm.py", "q_source_overlap"): (2, "enum-keyed: per-source shingle counts x2"),

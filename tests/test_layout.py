@@ -27,12 +27,19 @@ LAYOUT_DIR = os.path.join(
 
 @pytest.fixture(scope="module")
 def laid_out(spark):
+    import json
+
     from weighted_raster_overlay_service_toolbox_spark.sources.layout import (
         MANIFEST,
         write_layout,
     )
 
-    if not os.path.isfile(os.path.join(LAYOUT_DIR, MANIFEST)):
+    mpath = os.path.join(LAYOUT_DIR, MANIFEST)
+    stale = True
+    if os.path.isfile(mpath):
+        # regenerate layouts written before the size-aware scheme
+        stale = "partition" not in json.load(open(mpath)).get("events", {})
+    if stale:
         write_layout(spark, SF_SMOKE, LAYOUT_DIR)
     return LAYOUT_DIR
 
@@ -90,13 +97,20 @@ def test_bucketed_fact_join_drops_exchanges(spark, laid_out):
     assert laid_n < flat_n, (flat_n, laid_n)
 
 
-def test_partitioned_events_prune_on_event_type(spark, laid_out):
-    """q_join_asof filters events to the signup/error types: on the
-    (event_date, event_type) layout those filters become directory-level
-    PartitionFilters instead of row-level scans."""
+def test_partitioned_events_prune_on_event_type(spark):
+    """q_join_asof filters events to the signup/error types: on the fine
+    (event_date, event_type) scheme those filters become directory-level
+    PartitionFilters instead of row-level scans. target_leaf_bytes=0
+    forces the fine scheme regardless of fixture size (the production
+    regime, where every leaf clears 128 MB)."""
     from weighted_raster_overlay_service_toolbox_spark.queries import QUERIES
+    from weighted_raster_overlay_service_toolbox_spark.sources.layout import (
+        write_layout,
+    )
 
-    df = QUERIES["q_join_asof"](spark, laid_out)
+    fine_dir = LAYOUT_DIR + "_fine"
+    write_layout(spark, SF_SMOKE, fine_dir, target_leaf_bytes=0)
+    df = QUERIES["q_join_asof"](spark, fine_dir)
     df.collect()
     plan = _final_plan(df)
     pf = [
@@ -105,3 +119,37 @@ def test_partitioned_events_prune_on_event_type(spark, laid_out):
         if "event_type" in m
     ]
     assert pf, plan
+
+
+def test_layout_partition_granularity_is_size_aware(spark, laid_out):
+    """Round-10 fix (VERDICT r9 #4): the r9 rehearsal measured the fixed
+    (event_date, event_type) scheme losing the whole-headline bench at
+    fixture scale -- hundreds of KB-sized hive leaves turn every events
+    scan into directory listing. write_layout now targets >= 128 MB per
+    leaf: at fixture scale it must coarsen events to the event_month
+    floor (a dozen dirs, one file per leaf), while target_leaf_bytes=0
+    reproduces the fine production scheme (previous test). Values are
+    identical either way (layout changes plans, never data)."""
+    import glob
+    import json
+
+    from weighted_raster_overlay_service_toolbox_spark.queries import QUERIES
+    from weighted_raster_overlay_service_toolbox_spark.sources.layout import (
+        MANIFEST,
+    )
+
+    spec = json.load(open(os.path.join(laid_out, MANIFEST)))["events"]
+    assert spec["partition"] == ["event_month"], spec
+    assert spec["derived"] == ["event_month"], spec
+    leaves = glob.glob(os.path.join(laid_out, "events", "event_month=*"))
+    assert leaves, laid_out
+    for leaf in leaves:
+        files = [f for f in glob.glob(os.path.join(leaf, "*")) if not f.endswith("_SUCCESS")]
+        assert len(files) == 1, (leaf, files)
+    flat = sorted(
+        repr(tuple(r)) for r in QUERIES["q_join_asof"](spark, SF_SMOKE).collect()
+    )
+    laid = sorted(
+        repr(tuple(r)) for r in QUERIES["q_join_asof"](spark, laid_out).collect()
+    )
+    assert flat == laid

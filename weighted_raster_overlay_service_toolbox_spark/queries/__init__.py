@@ -217,7 +217,55 @@ from . import tpch  # noqa: F401,E402
 # q_intersect_all, q_except / q_except_distinct, q_str_split_index,
 # q_str_regex, q_filter_* (3-SF parity on arrival, as always).
 _DRIVER_WINDOW = [
-    # == ROUND-9 WINDOW ==
+    # == ROUND-10 WINDOW ==
+    # Executes VERDICT r9 'Next round' #2 exactly: flagships + the two
+    # never-driver-graded late-r9 additions (q_source_overlap_sketch,
+    # q_split_leakage_safe -- both 3-SF parity-exact on arrival) + the
+    # two r9 value-preserving HOF-projection fixes that still need a
+    # driver witness (q_repetition_ratio, q_embed_quantize) + the one
+    # query whose Spark side CHANGES in r10 (q_entity_resolution:
+    # bounded within-block occupancy cap becomes the default, VERDICT
+    # r9 #3, oracle mirrored) + ALL nine remaining r1-only re-grades
+    # (closing the oldest-evidence tail for good) + the full r3-last
+    # re-grade band + two r4 family fills. Done = CORRECTNESS_r10
+    # 50/50 green => cumulative driver-green 242/242 AND no registry
+    # row older than r5 evidence.
+    #
+    # -- permanent flagships --
+    "q_wro_overlay", "q_sink_partitioned",
+    "q_dedup_exact", "q_cosine_topk", "q_tfidf", "q_corpus_pipeline",
+    "q_sql_api", "q_agg_group", "q_win_rank",
+    #
+    # -- never driver-graded (late-r9 additions) --
+    "q_source_overlap_sketch", "q_split_leakage_safe",
+    #
+    # -- r9 value-preserving changes, first post-change witness --
+    "q_repetition_ratio", "q_embed_quantize",
+    #
+    # -- changed in r10: bounded within-block pair cap is the default --
+    "q_entity_resolution",
+    #
+    # -- the last nine r1-only re-grades --
+    "q_filter_compound", "q_filter_null", "q_filter_string_preds",
+    "q_intersect", "q_str_regex", "q_str_split_index",
+    "q_topk_per_group", "q_union_all", "q_union_distinct",
+    #
+    # -- r3-last re-grade band (oldest remaining evidence) --
+    "q_agg_approx_distinct", "q_agg_percentile", "q_cte_recursive",
+    "q_domain_cap", "q_fingerprint", "q_gapfill", "q_join_asof",
+    "q_join_bucketed", "q_pivot", "q_profile_columns",
+    "q_scan_filter_pushdown", "q_sessionize", "q_stream_session",
+    "q_stream_sliding", "q_text_tokenize", "q_wro_class_labels",
+    "q_wro_contiguity", "q_wro_decode_ranges", "q_wro_dup_names",
+    "q_wro_minmax_validate", "q_wro_nodata", "q_wro_overlay_catalog",
+    "q_wro_remap", "q_wro_schema_check", "q_wro_unique_ranges",
+    #
+    # -- r4 family fills --
+    "q_csv_encode", "q_udf_scalar",
+]
+
+_ROUND9_WINDOW = [
+    # == ROUND-9 WINDOW (kept for the audit trail) ==
     # Executes VERDICT r8 'Next round' #1 exactly: flagships + ALL 22
     # never-driver-graded r8 additions (each 3-SF parity-exact on
     # arrival and independently judge-verified 22/22 at sf0.01 in the

@@ -1875,6 +1875,23 @@ def q_interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM part
     ),
     rec AS (SELECT w1, ln, COUNT(*) AS n_records FROM p GROUP BY w1, ln),
+    census AS (
+        SELECT CAST(SUM(n_records) AS BIGINT) AS n_tot,
+               COUNT(*) AS n_blocks
+        FROM rec
+    ),
+    cap AS (
+        SELECT LEAST(1024, GREATEST(256,
+                   CAST(CEIL(2.0 * n_tot / n_blocks) AS BIGINT))) AS c
+        FROM census
+    ),
+    lp AS (
+        SELECT p.*,
+               (ROW_NUMBER() OVER (PARTITION BY w1, ln ORDER BY k) - 1)
+               % CAST(CEIL(COUNT(*) OVER (PARTITION BY w1, ln)
+                           / (SELECT c FROM cap)) AS INT) AS lane
+        FROM p
+    ),
     pr AS (
         SELECT a.w1, a.ln,
                COUNT(*) AS n_pairs,
@@ -1882,7 +1899,8 @@ def q_interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
                CAST(SUM(CASE WHEN levenshtein(a.n, b.n) BETWEEN 1 AND 4
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_near
-        FROM p a JOIN p b ON a.w1 = b.w1 AND a.ln = b.ln AND a.k < b.k
+        FROM lp a JOIN lp b ON a.w1 = b.w1 AND a.ln = b.ln
+                           AND a.lane = b.lane AND a.k < b.k
         GROUP BY a.w1, a.ln
     )
     SELECT r.w1 AS block_word, r.ln AS name_len, r.n_records,
@@ -1892,7 +1910,10 @@ def q_interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM rec r LEFT JOIN pr ON pr.w1 = r.w1 AND pr.ln = r.ln
     """,
 )
-def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_entity_resolution(
+    spark: SparkSession, sf_dir: str,
+    max_block: int | str | None = "auto",
+) -> DataFrame:
     """Blocked fuzzy record linkage (round 8): find duplicate / near-
     duplicate part records by edit distance WITHOUT the cartesian pair
     space -- the classic entity-resolution blocking strategy. Block key
@@ -1905,16 +1926,34 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact dups, near dups at distance 1-4: the fixture's two-word names share a small per-slot vocabulary, so the nearest distinct equal-length names sit at distance 4), so result size is bounded by
     block-key cardinality, not by the O(sum b_i^2) pair count.
 
-    Scale: one shuffle on the block key for each side of the self-join
-    (co-partitioned, so the pair enumeration is partition-local), one
-    map-side-combined aggregation on the same key -- the pair stage
-    reuses the join partitioning, no extra exchange. The O(b^2)
-    within-block cost is the knob: at 100 TB tighten the block key (add
-    a second token or a phonetic/prefix code) or salt-cap oversize
-    blocks exactly as operators/similarity.py max_block does; the
-    blocking-key census this query emits is the skew diagnostic you
-    would use to pick that cap. Levenshtein itself is a JVM codegen
-    builtin (F.levenshtein) -- no Python in the pair loop."""
+    Scale (round 10 -- VERDICT r9 #3, the third instance of the
+    operators/similarity.py occupancy-census lane-cap rule): the O(b^2)
+    within-block pair space is BOUNDED BY DEFAULT. ``max_block="auto"``
+    derives clamp(ceil(2 * n / n_blocks), 256, 1024) from the blocking
+    census itself (one 1-row aggregate over ``rec``, broadcast), and
+    blocks above the cap are striped into id-round-robin lanes with
+    pairs forming same-lane only -- worst-case block EXACTLY the cap,
+    total pair work <= n * 1024 / 2, LINEAR in n. The r9 sf1r
+    measurement motivating this: in the fixed-name regime (name
+    universe pinned at 64 while rows grow 10x) blocked pairs grow
+    quadratically -- 96.6s at sf1r vs 2.35s at sf0.1 (41x); the lane
+    cap bounds it. The trade is census under-count: cross-lane pairs
+    inside an oversize block are not enumerated (n_pairs/n_exact/n_near
+    become per-lane sums), the same documented under-detection trade as
+    semantic_dedup / mutual-kNN lanes. At fixture SFs every block sits
+    under the 256 floor, so lanes never engage and the census is exact
+    (pinned by tests/test_plans.py). ``None`` is the exhaustive opt-in;
+    an ``int`` pins the cap. The cap is deterministic and
+    SQL-expressible either way (scalar-subquery clamp in the oracle).
+    Otherwise one shuffle on the block key per self-join side
+    (co-partitioned, pair enumeration partition-local), one
+    map-side-combined aggregation reusing the partitioning; at 100 TB
+    you would ALSO tighten the block key (second token / phonetic code)
+    -- the census this query emits is the skew diagnostic for that.
+    Levenshtein itself is a JVM codegen builtin (F.levenshtein) -- no
+    Python in the pair loop."""
+    from ..operators.similarity import AUTO_BLOCK_MAX, AUTO_BLOCK_MIN
+
     p = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("k"),
         F.col("p_name").alias("n"),
@@ -1922,12 +1961,51 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("p_name").cast("int").alias("ln"),
     )
     rec = p.groupBy("w1", "ln").agg(F.count(F.lit(1)).alias("n_records"))
-    a = p.select(
-        F.col("w1"), F.col("ln"), F.col("k").alias("ka"), F.col("n").alias("na")
+    if max_block is not None:
+        if max_block == "auto":
+            # Occupancy census from the blocking relation itself: total
+            # rows + block count in ONE 1-row aggregate, broadcast --
+            # fully declarative, the same scalars the oracle's census
+            # CTE computes.
+            census = rec.agg(
+                F.sum("n_records").alias("_n_tot"),
+                F.count(F.lit(1)).alias("_n_blocks"),
+            )
+            cap = F.least(
+                F.lit(AUTO_BLOCK_MAX),
+                F.greatest(
+                    F.lit(AUTO_BLOCK_MIN),
+                    F.ceil(F.lit(2.0) * F.col("_n_tot") / F.col("_n_blocks")),
+                ),
+            )
+            lp = p.crossJoin(F.broadcast(census))
+        else:
+            cap = F.lit(int(max_block))
+            lp = p
+        # id-ordered round-robin striping (the similarity.py convention):
+        # lane sizes differ by at most 1 and never exceed the cap.
+        wb = Window.partitionBy("w1", "ln").orderBy("k")
+        lp = (
+            lp.withColumn("_rn", F.row_number().over(wb))
+            .withColumn(
+                "_c_n", F.count(F.lit(1)).over(Window.partitionBy("w1", "ln"))
+            )
+            .withColumn(
+                "_lane",
+                (F.col("_rn") - 1) % F.ceil(F.col("_c_n") / cap).cast("int"),
+            )
+            .drop("_rn", "_c_n", "_n_tot", "_n_blocks")
+        )
+    else:
+        lp = p.withColumn("_lane", F.lit(0))
+    a = lp.select(
+        F.col("w1"), F.col("ln"), F.col("_lane"),
+        F.col("k").alias("ka"), F.col("n").alias("na"),
     )
-    b = p.select(
+    b = lp.select(
         F.col("w1").alias("w1b"),
         F.col("ln").alias("lnb"),
+        F.col("_lane").alias("_laneb"),
         F.col("k").alias("kb"),
         F.col("n").alias("nb"),
     )
@@ -1936,16 +2014,17 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the pin AQE coalesces the shuffle read to ONE partition and runs
     # every levenshtein on one core (measured 574s single-task at 10x
     # data vs 43s pinned, r8 sf1 spot-run). Keyed, so both sides stay
-    # co-partitioned on the block key and the census groupBy reuses the
-    # partitioning. Shared audited implementation: plans/pinning.py
-    # pin_parallelism.
-    a = pin_parallelism(a, "w1", "ln")
-    b = pin_parallelism(b, "w1b", "lnb")
+    # co-partitioned on the (block, lane) key and the census groupBy
+    # reuses the partitioning. Shared audited implementation:
+    # plans/pinning.py pin_parallelism.
+    a = pin_parallelism(a, "w1", "ln", "_lane")
+    b = pin_parallelism(b, "w1b", "lnb", "_laneb")
     pr = (
         a.join(
             b,
             (F.col("w1") == F.col("w1b"))
             & (F.col("ln") == F.col("lnb"))
+            & (F.col("_lane") == F.col("_laneb"))
             & (F.col("ka") < F.col("kb")),
         )
         .select("w1", "ln", dst.alias("dst"))

@@ -69,26 +69,67 @@ def _doc_zkey():
     return zorder_key_nd([F.coalesce(lang_code, F.lit(31)), src_code], bits=5)
 
 
-def write_layout(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
+def write_layout(
+    spark: SparkSession, sf_dir: str, out_dir: str,
+    target_leaf_bytes: int = 128 << 20,
+) -> dict:
     """Write ``sf_dir``'s tables into ``out_dir`` in the SURVEY section-4
-    posture and return the manifest (also persisted as _layout.json)."""
+    posture and return the manifest (also persisted as _layout.json).
+
+    Partition granularity is SIZE-AWARE (round 10, VERDICT r9 #4): the
+    r9 rehearsal measured the fixed (event_date, event_type) scheme
+    LOSING the whole-headline bench at fixture scale (67.9s vs 55.6s
+    flat, PLANS.md) because ~hundreds of hive leaves each holding a
+    KB-sized file turn every events scan into directory listing. The
+    100 TB discipline is leaves >= ~128 MB, so the writer now picks the
+    FINEST candidate scheme -- (event_date, event_type) > (event_date)
+    > (event_month) -- whose estimated bytes/leaf clears
+    ``target_leaf_bytes`` (one countDistinct agg over the derived keys;
+    source bytes from the fixture file). event_month is the floor, not
+    "no partitioning": a dozen month dirs cost ~nothing to list, keep
+    the manifest-dispatch path honest at every scale, and retention/
+    backfill still prune on the leading time key. At 100 TB the fine
+    scheme clears the bar and nothing changes. One file per leaf by
+    construction (repartition on the partition cols)."""
     from .tables import TABLES, load_table
 
     os.makedirs(out_dir, exist_ok=True)
     manifest: dict = {}
 
     ev = load_table(spark, sf_dir, "events")
+    ev_bytes = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    evd = ev.withColumn("event_date", F.to_date("ts")).withColumn(
+        "event_month", F.trunc("ts", "month")
+    )
+    leaves = evd.agg(
+        F.countDistinct("event_date", "event_type").alias("fine"),
+        F.countDistinct("event_date").alias("date"),
+        F.countDistinct("event_month").alias("month"),
+    ).collect()[0]
+    candidates = [
+        (["event_date", "event_type"], leaves["fine"]),
+        (["event_date"], leaves["date"]),
+        (["event_month"], leaves["month"]),
+    ]
+    part_cols, part_leaves = candidates[-1]
+    for cols, n_leaves in candidates:
+        if ev_bytes / max(n_leaves, 1) >= target_leaf_bytes:
+            part_cols, part_leaves = cols, n_leaves
+            break
+    derived = [c for c in ("event_date", "event_month") if c in part_cols]
     (
-        ev.withColumn("event_date", F.to_date("ts"))
-        .repartition("event_date", "event_type")
+        evd.drop(*[c for c in ("event_date", "event_month") if c not in part_cols])
+        .repartition(*part_cols)
         .write.mode("overwrite")
-        .partitionBy("event_date", "event_type")
+        .partitionBy(*part_cols)
         .parquet(f"{out_dir}/events")
     )
     manifest["events"] = {
         "kind": "partitioned",
-        "derived": ["event_date"],
+        "partition": part_cols,
+        "derived": derived,
         "columns": ev.columns,
+        "leaf_bytes_est": int(ev_bytes / max(part_leaves, 1)),
     }
 
     for name, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
@@ -129,6 +170,11 @@ def write_layout(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
 
     with open(os.path.join(out_dir, MANIFEST), "w") as fh:
         json.dump(manifest, fh, indent=1)
+    # Invalidate-on-write (ADVICE r9): a dir probed via load_table BEFORE
+    # its layout existed has a cached None; a re-laid-out dir has a stale
+    # manifest. The writer is the only mutation path, so it owns the
+    # cache entry.
+    _MANIFESTS[os.path.abspath(out_dir)] = manifest
     return manifest
 
 
@@ -137,11 +183,14 @@ _MANIFESTS: dict[str, dict | None] = {}
 
 def layout_manifest(sf_dir: str) -> dict | None:
     """The dir's layout manifest, or None for a flat fixture dir.
-    Cached per path -- fixture dirs are immutable once written."""
-    if sf_dir not in _MANIFESTS:
+    Cached per abspath -- fixture dirs are immutable once written, and
+    :func:`write_layout` (the only in-session mutation path) updates the
+    entry on write."""
+    key = os.path.abspath(sf_dir)
+    if key not in _MANIFESTS:
         p = os.path.join(sf_dir, MANIFEST)
-        _MANIFESTS[sf_dir] = json.load(open(p)) if os.path.isfile(p) else None
-    return _MANIFESTS[sf_dir]
+        _MANIFESTS[key] = json.load(open(p)) if os.path.isfile(p) else None
+    return _MANIFESTS[key]
 
 
 def load_layout_table(

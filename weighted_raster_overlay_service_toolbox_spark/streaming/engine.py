@@ -108,9 +108,13 @@ def _stage_table_files(
     src = f"{sf_dir}/{table}.parquet"
     if not os.path.exists(src) and os.path.isdir(f"{sf_dir}/{table}"):
         # laid-out fixture dir (sources/layout.py): fingerprint the
-        # manifest-resolved table DIRECTORY -- its mtime changes when
-        # write_layout rewrites it, which is the invalidation contract
-        src = f"{sf_dir}/{table}"
+        # _layout.json MANIFEST file, not the table directory (ADVICE
+        # r9) -- a hive-partitioned dir's top-level mtime does not move
+        # when files inside existing partition subdirs are rewritten in
+        # place, but write_layout rewrites the manifest on every run,
+        # which makes the invalidation contract explicit.
+        manifest_p = os.path.join(sf_dir, "_layout.json")
+        src = manifest_p if os.path.isfile(manifest_p) else f"{sf_dir}/{table}"
     st = os.stat(src)
     fp = f"{st.st_mtime_ns:x}_{st.st_size:x}"
     params = f"{sf_tag}_f{n_files}_l{late_rows}_"
