@@ -105,6 +105,13 @@ def main() -> None:
         "q_semantic_clusters",   # mutual-kNN connected components
         "q_bm25",                # Okapi BM25 retrieval scorer
         "q_sketch_calibration",  # MinHash-vs-exact contingency
+        # overlap family (round-10, VERDICT r9 #6: the r9 word_ngrams
+        # HOF fix changed q_source_overlap 5x at scale, and the two
+        # late-r9 additions are its at-scale replacement + the
+        # leakage-safe split -- all three need round-over-round tracking)
+        "q_source_overlap",        # exact S^2/2 shingle-overlap matrix
+        "q_source_overlap_sketch", # slot-wise MinHash agreement estimator
+        "q_split_leakage_safe",    # near-dup-cluster-coherent split
     ]
 
     def materialize(df) -> None:

@@ -100,6 +100,8 @@ CHECKPOINTED_ALLOWED = {
     "q_dedup_keep_one",
     "q_dedup_minhash",
     "q_embed_outliers",   # r8: pinned flat (vec,pos,xq) feeds sums + join-back
+    "q_entity_resolution",  # r10: pinned rec (census + final join) and
+                            # pinned laned part relation (both join sides)
     "q_hll_rollup",
     "q_interval_join_binned",
     "q_jaccard_sim",

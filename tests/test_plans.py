@@ -594,3 +594,47 @@ def test_entity_resolution_default_is_bounded_auto_cap(spark):
         c_rec, c_pairs, c_exact, c_near = by_block_capped[k]
         assert c_rec == n_rec
         assert c_pairs <= n_pairs and c_exact <= n_exact and c_near <= n_near
+
+
+def test_knn_planes_auto_equals_pinned_four_at_fixture_scale(spark):
+    """Round-10 (VERDICT r9 #5): n_planes="auto" is the production
+    default for the mutual-kNN construction -- planes grow
+    clamp(ceil(log2(n/256)), 4, 16) with the corpus, derived from the
+    SAME broadcast occupancy census as the lane cap (a column mask over
+    a 16-bit sign code, no driver-side count). The registry oracles
+    inline 4-plane literals, so the pin that keeps them exact: at
+    fixture scale (<= 4096 vectors) auto MUST equal the explicit
+    4-plane construction bit-for-bit. Also pins the signature default
+    and the sizing constants the docstring promises (20k vectors ->
+    7 planes, the r9 sf1r measurement's knob)."""
+    import inspect
+    import math
+
+    from weighted_raster_overlay_service_toolbox_spark.queries.llm import (
+        AUTO_PLANES_MAX,
+        AUTO_PLANES_MIN,
+        AUTO_PLANES_TARGET,
+        _mutual_knn_edges,
+    )
+
+    assert (
+        inspect.signature(_mutual_knn_edges).parameters["n_planes"].default
+        == "auto"
+    )
+
+    def expected_planes(n: int) -> int:
+        return min(
+            AUTO_PLANES_MAX,
+            max(AUTO_PLANES_MIN, math.ceil(math.log2(n / AUTO_PLANES_TARGET))),
+        )
+
+    assert expected_planes(500) == 4
+    assert expected_planes(2000) == 4
+    assert expected_planes(4096) == 4
+    assert expected_planes(20000) == 7
+
+    auto, _ = _mutual_knn_edges(spark, SF_SMOKE)
+    four, _ = _mutual_knn_edges(spark, SF_SMOKE, n_planes=4)
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, four.collect())
+    )

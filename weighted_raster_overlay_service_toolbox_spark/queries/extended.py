@@ -1960,7 +1960,13 @@ def q_entity_resolution(
         F.split(F.col("p_name"), " ").getItem(0).alias("w1"),
         F.length("p_name").cast("int").alias("ln"),
     )
-    rec = p.groupBy("w1", "ln").agg(F.count(F.lit(1)).alias("n_records"))
+    # Pinned: rec feeds BOTH the census (cap derivation) and the final
+    # left join -- un-pinned, each consumer replans the scan->groupBy
+    # subtree (the aliased-derived-relation rescan class the r6 sweep
+    # eliminated registry-wide). Block-cardinality-sized.
+    rec = pin_corpus(
+        p.groupBy("w1", "ln").agg(F.count(F.lit(1)).alias("n_records"))
+    )
     if max_block is not None:
         if max_block == "auto":
             # Occupancy census from the blocking relation itself: total
@@ -1998,6 +2004,9 @@ def q_entity_resolution(
         )
     else:
         lp = p.withColumn("_lane", F.lit(0))
+    # ONE part scan + ONE lane-window evaluation feeds both self-join
+    # sides (same convention as semantic_dedup's pinned assignment).
+    lp = pin_corpus(lp)
     a = lp.select(
         F.col("w1"), F.col("ln"), F.col("_lane"),
         F.col("k").alias("ka"), F.col("n").alias("na"),

