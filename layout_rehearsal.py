@@ -87,7 +87,12 @@ def main() -> None:
     )
 
     spark = get_spark("layout-rehearsal")
-    if not os.path.isfile(os.path.join(laid, MANIFEST)):
+    mpath = os.path.join(laid, MANIFEST)
+    regen = True
+    if os.path.isfile(mpath):
+        # regenerate layouts written before the size-aware events scheme
+        regen = "partition" not in json.load(open(mpath)).get("events", {})
+    if regen:
         write_layout(spark, flat, laid)
 
     # Warm the session on BOTH storages before any timing: JVM/codegen/

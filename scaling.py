@@ -1,0 +1,174 @@
+"""Standing per-decade scaling harness (VERDICT r9 #7).
+
+The r8/r9 sf1 scaling tables were measured ad hoc; this script makes the
+per-decade ratio a tracked artifact like bench.py's wall-clock. It
+
+- regenerates the realistic 10x fixtures if absent (``make_sf1.py`` ->
+  ``.scratch/sf1r``; ``--grow-pools`` -> ``.scratch/sf1rg`` for the
+  entity-resolution regime pair),
+- runs the scaling probe set at sf0.1 and sf1r (min-of-2, warm session,
+  noop sink -- same timing discipline as bench.py),
+- runs q_entity_resolution ALSO at sf1rg (grown name pools), because its
+  cost is a DATA-regime property: fixed-name pools grow blocks linearly
+  (the driver fixture's convention), grown pools keep the block-size
+  distribution stationary (PLANS.md r9),
+- prints ONE JSON line and writes it to the output path (default
+  ``SCALING.json``; pass e.g. ``SCALING_r10.json``)::
+
+      {"metric": "scaling_10x_ratio", "queries": {name: {"sf0.1": s,
+       "sf1r": s, "ratio": r}, ...}, "er_regimes": {...},
+       "sentinel_sec": s, ...}
+
+The probe set is the r9 19-query table plus the operators added or
+re-planned since (overlap sketch, leakage-safe split, semantic clusters,
+repetition ratio). Ratios read against 10x rows: ~1x = sublinear
+(saturating distincts), ~10x = linear, >>10x = super-linear -- the
+regression signal this artifact exists to catch round-over-round.
+q_join_inner is the host-drift sentinel (code unchanged since r1): read
+cross-round ratio deltas normalized by the sentinel's own drift.
+
+NOT a correctness artifact: sf1r is generator output for performance
+shape only; parity stays pinned to the driver fixtures.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SF1R = os.path.join(REPO, ".scratch", "sf1r")
+SF1RG = os.path.join(REPO, ".scratch", "sf1rg")
+
+#: r9 19-query table + post-r9 additions/replans. One representative per
+#: super-linear-risk family; the flat/linear entries stay as controls.
+PROBES = [
+    "q_sketch_calibration",
+    "q_triangle_count",
+    "q_dedup_clusters",
+    "q_lang_entropy",
+    "q_dedup_bloom",
+    "q_tpch_q9",
+    "q_agg_group",
+    "q_bm25",
+    "q_logprob_strata",
+    "q_tfidf",
+    "q_ann_recall",
+    "q_bigram_lm",
+    "q_kmeans",
+    "q_cosine_topk",
+    "q_pagerank",
+    "q_semantic_dedup",
+    "q_source_overlap",
+    "q_knn_graph",
+    "q_entity_resolution",
+    # post-r9 additions / replans
+    "q_source_overlap_sketch",
+    "q_split_leakage_safe",
+    "q_semantic_clusters",
+    "q_repetition_ratio",
+    # host-drift sentinel (unchanged since r1)
+    "q_join_inner",
+]
+
+
+def _ensure_fixture(path: str, grow: bool) -> None:
+    if os.path.isfile(os.path.join(path, "documents.parquet")):
+        return
+    cmd = [sys.executable, os.path.join(REPO, "make_sf1.py"), path]
+    if grow:
+        cmd.append("--grow-pools")
+    subprocess.run(cmd, check=True, cwd=REPO)
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING.json"
+    _ensure_fixture(SF1R, grow=False)
+    _ensure_fixture(SF1RG, grow=True)
+
+    from weighted_raster_overlay_service_toolbox_spark.queries import QUERIES
+    from weighted_raster_overlay_service_toolbox_spark.session import get_spark
+
+    spark = get_spark("wros-spark-scaling")
+
+    def timed(name: str, sf_dir: str) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.time() - t0)
+        return round(best, 2)
+
+    # warm-up: JVM/codegen/Arrow pool on both fixtures
+    for d in (SF01, SF1R):
+        QUERIES["q_agg_group"](spark, d).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    queries: dict[str, dict] = {}
+    for name in PROBES:
+        t_small = timed(name, SF01)
+        t_big = timed(name, SF1R)
+        queries[name] = {
+            "sf0.1": t_small,
+            "sf1r": t_big,
+            "ratio": round(t_big / t_small, 2) if t_small > 0 else None,
+        }
+
+    er_fixed = queries["q_entity_resolution"]
+    er_grown = timed("q_entity_resolution", SF1RG)
+    er_regimes = {
+        "fixed_name_pools_sf1r": er_fixed["sf1r"],
+        "grown_name_pools_sf1rg": er_grown,
+    }
+
+    # The mutual-kNN PRODUCTION default (n_planes="auto") -- the
+    # registry pins 4 for its oracle's inlined plane literals, so the
+    # auto path gets its per-decade tracking here: at sf0.1 the mask
+    # resolves to the same 4 bits (pure plane-dot overhead), at sf1r
+    # auto=7 planes is what keeps per-bucket pair work flat.
+    from weighted_raster_overlay_service_toolbox_spark.queries.llm import (
+        _mutual_knn_edges,
+    )
+
+    def timed_auto(sf_dir: str) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            edges, _ = _mutual_knn_edges(spark, sf_dir, n_planes="auto")
+            edges.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        return round(best, 2)
+
+    ka_small, ka_big = timed_auto(SF01), timed_auto(SF1R)
+    knn_auto = {
+        "sf0.1": ka_small,
+        "sf1r": ka_big,
+        "ratio": round(ka_big / ka_small, 2) if ka_small > 0 else None,
+    }
+
+    result = {
+        "metric": "scaling_10x_ratio",
+        "unit": "sec",
+        "sf_small": SF01,
+        "sf_big": SF1R,
+        "queries": queries,
+        "er_regimes": er_regimes,
+        "knn_production_auto_planes": knn_auto,
+        "sentinel_query": "q_join_inner",
+        "sentinel_ratio": queries["q_join_inner"]["ratio"],
+    }
+    line = json.dumps(result)
+    print(line)
+    with open(os.path.join(REPO, out_path), "w") as fh:
+        fh.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

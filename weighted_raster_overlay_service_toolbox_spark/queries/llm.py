@@ -4320,7 +4320,12 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     the q_semantic_dedup max-block story (salt oversized buckets, or
     add planes: B doubles per plane). Directed edges are N*k rows; the
     mutual join is (src, dst)-keyed -- uniform, broadcast-free."""
-    edges, _nodes = _mutual_knn_edges(spark, sf_dir)
+    # Registry pins n_planes=4: the oracle inlines those plane literals,
+    # and the 16-bit auto code costs ~+40% plane dots at fixture scale
+    # for a mask that resolves to the same 4 bits anyway (measured r10;
+    # auto == 4 is pinned by tests/test_plans.py). Library callers get
+    # the auto production default; scaling.py tracks the auto path.
+    edges, _nodes = _mutual_knn_edges(spark, sf_dir, n_planes=4)
     return edges
 
 
@@ -4427,7 +4432,9 @@ def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes), so the unbounded form is pure scheduling overhead at test
     scale while the plan is identical; an unbounded caller uses the
     operator directly with data-sized num_partitions."""
-    edges, nodes = _mutual_knn_edges(spark, sf_dir, max_vec_id=500)
+    # n_planes=4 pinned for the oracle's inlined plane literals (same
+    # registry convention as q_knn_graph; production default is auto).
+    edges, nodes = _mutual_knn_edges(spark, sf_dir, max_vec_id=500, n_planes=4)
     comp = connected_components(
         edges.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")),
         "src",
