@@ -14,10 +14,22 @@ def test_registry_contract():
     assert not set(o) - set(q), sorted(set(o) - set(q))
     # flagship present
     assert "q_agg_group" in q
-    # all callables take (spark, sf_dir)
+    # all callables are invocable as fn(spark, sf_dir): exactly two
+    # required positional params; extra knobs (e.g. q_entity_resolution's
+    # max_block lane cap, r10) must be keyword-defaulted so the driver's
+    # 2-arg call binds the REGISTRY default, never an unset knob
     for name, fn in q.items():
-        params = list(inspect.signature(fn).parameters)
-        assert len(params) == 2, f"{name} has params {params}"
+        sig = inspect.signature(fn)
+        params = list(sig.parameters.values())
+        assert len(params) >= 2, f"{name} has params {[p.name for p in params]}"
+        for p in params[:2]:
+            assert p.default is inspect.Parameter.empty, (
+                f"{name}: {p.name} must be required"
+            )
+        for p in params[2:]:
+            assert p.default is not inspect.Parameter.empty, (
+                f"{name}: extra param {p.name} must carry a default"
+            )
     # oracle SQL strings are non-trivial
     for name, sql in o.items():
         assert "SELECT" in sql.upper(), name
