@@ -39,6 +39,7 @@ PKG = pathlib.Path(__file__).resolve().parents[1] / (
 _WHITELIST: dict[tuple[str, str], tuple[int, str]] = {
     ("operators/dedup.py", "bloom_prefiltered_new_keys"): (1, "word-table"),
     ("operators/dedup.py", "jaccard_pairs"): (1, "vocab-capped: df-capped hot-token filter"),
+    ("operators/kmeans.py", "_assign_groups"): (1, "k-sized: G*k grouped centroids (PQ codebook, 64 rows)"),
     ("operators/kmeans.py", "assign_clusters"): (1, "k-sized centroids"),
     ("operators/similarity.py", "cosine_scores"): (1, "probe-bounded"),
     ("operators/similarity.py", "semantic_dedup"): (1, "scalar-1row: occupancy-census count for the auto cap"),
@@ -58,6 +59,7 @@ _WHITELIST: dict[tuple[str, str], tuple[int, str]] = {
     ("queries/joins.py", "q_join_range"): (1, "dim-const: fixed bin-ranges table"),
     ("queries/llm.py", "q_ann_filtered"): (1, "probe-bounded"),
     ("queries/llm.py", "q_ann_ivf"): (1, "probe-bounded"),
+    ("queries/llm.py", "q_ann_pq"): (2, "k-sized: PQ codebook (m*k = 64 rows) + probe-bounded ADC sub-vectors"),
     ("queries/llm.py", "q_ann_recall"): (2, "probe-bounded: probe set x2 (IVF + brute-force legs)"),
     ("queries/llm.py", "q_approx_topk"): (2, "vocab-capped exact top-K + scalar-1row"),
     ("queries/llm.py", "q_bigram_lm"): (2, "vocab-sized head-count + count tables (vocab-join convention)"),

@@ -87,6 +87,8 @@ NON_EQUI_ALLOWED = {
 #: iterative / catalog-staging design. A NEW checkpoint must be added
 #: here consciously -- it is the audit blind spot.
 CHECKPOINTED_ALLOWED = {
+    "q_ann_pq",           # r10: pinned embeddings feed 4 subspace k-means + probes;
+                          # per-iteration centroid checkpoints (kmeans convention)
     "q_ann_recall",       # r8: pinned bucketed vectors feed both legs
     "q_approx_topk",
     "q_bigram_lm",        # r8: pinned token/bigram streams (3 consumers)

@@ -127,3 +127,95 @@ def kmeans(
         assigned = assign_clusters(vectors, centroids)
         centroids = update_centroids(assigned).localCheckpoint()
     return assigned, centroids
+
+
+def kmeans_grouped_codebook_assign(
+    vectors: DataFrame, k: int = 16, iterations: int = 3, group: str = "m"
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's over INDEPENDENT groups trained JOINTLY, returning
+    ``(codes, codebook)`` where ``codebook`` is EXACTLY the centroid set
+    that produced the final assignment (c_{iterations-1}), not the
+    post-assignment update :func:`kmeans` returns.
+
+    Two contracts in one:
+
+    - **Encode contract** (product quantization): ADC reconstructs a
+      database vector as the centroid of its code, so the lookup
+      codebook MUST be the one the encoder assigned against -- an
+      off-by-one-update codebook silently biases every distance.
+    - **Joint training**: G independent per-group runs would serialize
+      G * iterations Spark jobs (measured: 4 subspace codebooks = 12
+      sequential assignment/update rounds, ~9-17 s at sf0.1); here each
+      iteration is ONE broadcast of all G*k centroids + ONE
+      (group, cluster, dim)-keyed shuffle for every group at once.
+      Bit-identical to the sequential runs: groups are disjoint keys,
+      and every expression (1e-6 quantized inputs, expanded-identity
+      distances with hoisted self-dots, exact long-sum means,
+      cluster-id tiebreak) is the :func:`kmeans` arithmetic verbatim --
+      which is why the per-group unrolled-CTE oracle chains still
+      cover the result exactly.
+
+    ``vectors``: ``vec_id long, {group} int, e array<double>``. Init =
+    per group, the k lowest vec_ids (cluster numbered 1..k in vec_id
+    order -- identical to a per-group :func:`kmeans` init).
+    """
+    vectors = vectors.select("vec_id", group, quantize_vec("e").alias("e"))
+    wg = Window.partitionBy(group).orderBy("vec_id")
+    centroids = (
+        vectors.withColumn("_rn", F.row_number().over(wg))
+        .filter(F.col("_rn") <= k)
+        .select(group, F.col("_rn").alias("cluster"), F.col("e").alias("ce"))
+        .localCheckpoint()
+    )
+
+    def _assign_groups(cent: DataFrame) -> DataFrame:
+        v = vectors.withColumn("_vv", dot_expr("e", "e"))
+        c = cent.withColumnRenamed(group, "_g").withColumn(
+            "_cc", dot_expr("ce", "ce")
+        )
+        # G*k rows total (the PQ codebook: 64) -- k-sized, hint legal.
+        scored = v.join(broadcast(c), F.col(group) == F.col("_g")).select(
+            "vec_id",
+            group,
+            "e",
+            "cluster",
+            (
+                F.col("_vv")
+                - 2 * dot_expr(F.col("e"), F.col("ce"))
+                + F.col("_cc")
+            ).alias("d2"),
+        )
+        best = scored.groupBy("vec_id", group).agg(
+            F.min(F.struct("d2", "cluster")).alias("best"),
+            F.first("e").alias("e"),
+        )
+        return best.select(
+            "vec_id", group, "e", F.col("best.cluster").alias("cluster")
+        )
+
+    for _ in range(iterations - 1):
+        assigned = _assign_groups(centroids)
+        flat = assigned.select(
+            group, "cluster", F.posexplode("e").alias("pos", "val")
+        ).select(
+            group,
+            "cluster",
+            "pos",
+            duck_round(F.col("val") * _Q).cast("long").alias("v6"),
+        )
+        dims = flat.groupBy(group, "cluster", "pos").agg(
+            (F.sum("v6") / F.count(F.lit(1)) / F.lit(float(_Q))).alias(
+                "mean_val"
+            )
+        )
+        centroids = (
+            dims.groupBy(group, "cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mean_val"))),
+                    lambda s: s["mean_val"],
+                ).alias("ce")
+            )
+            .localCheckpoint()
+        )
+    return _assign_groups(centroids), centroids

@@ -216,6 +216,18 @@ from . import tpch  # noqa: F401,E402
 # q_union_all / q_union_distinct / q_union_by_name, q_intersect,
 # q_intersect_all, q_except / q_except_distinct, q_str_split_index,
 # q_str_regex, q_filter_* (3-SF parity on arrival, as always).
+# ROUND-11 ROTATION PLAN: after the r10 window grades, cumulative
+# driver-green should be 242/242 of the pre-r10 registry with no row
+# older than r5 evidence. The r11 window = flagships + the late-r10
+# ADDITION q_ann_pq (registry 242 -> 243: product-quantization ANN --
+# 4 jointly-trained subspace codebooks, integer-micro-unit ADC, 3-SF
+# parity-exact on arrival, queries/llm.py) + any r11-changed queries +
+# the next-oldest re-grade band (the r4-last set: q_agg_approx_quantile,
+# q_agg_bool, q_bitwise_funcs, q_cast_types, q_cond_funcs, q_csv_encode,
+# q_custom_source, q_date_funcs, q_doc_length_hist, q_explode,
+# q_json_extract, q_pii_scrub, q_sink_*_roundtrip, q_str_levenshtein,
+# q_subquery_exists, q_token_count, q_ts_funcs, q_udf_scalar,
+# q_unpivot, ...).
 _DRIVER_WINDOW = [
     # == ROUND-10 WINDOW ==
     # Executes VERDICT r9 'Next round' #2 exactly: flagships + the two

@@ -1126,36 +1126,47 @@ def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(payloads, "doc_id", "payload", every_n_bytes=64)
 
 
-def _kmeans_ctes(k: int = 8, iterations: int = 3, dim: int = 64) -> list[str]:
-    """The unrolled-Lloyd's CTE chain shared by the q_kmeans and
-    q_semantic_dedup oracles; the final assignment relation is
-    ``a{iterations}`` with columns (vec_id, e, cluster)."""
+def _kmeans_ctes(
+    k: int = 8,
+    iterations: int = 3,
+    dim: int = 64,
+    prefix: str = "",
+    src_expr: str = "CAST(embedding AS DOUBLE[])",
+) -> list[str]:
+    """The unrolled-Lloyd's CTE chain shared by the q_kmeans,
+    q_semantic_dedup, and q_ann_pq oracles; the final assignment
+    relation is ``{prefix}a{iterations}`` with columns
+    (vec_id, e, cluster). ``prefix`` namespaces the chain so several
+    can coexist in one statement (PQ trains one per subspace);
+    ``src_expr`` is the raw vector expression over ``embeddings``
+    (default the full column; PQ passes a list_slice)."""
+    p = prefix
     d2 = (
-        "(list_dot_product(v.e, v.e) - 2 * list_dot_product(v.e, c.ce)"
-        " + list_dot_product(c.ce, c.ce))"
+        f"(list_dot_product(v.e, v.e) - 2 * list_dot_product(v.e, c.ce)"
+        f" + list_dot_product(c.ce, c.ce))"
     )
     ctes = [
-        "v AS (SELECT vec_id,"
-        " list_transform(CAST(embedding AS DOUBLE[]),"
-        " x -> ROUND(x * 1000000) / 1000000.0) AS e FROM embeddings)",
-        f"c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cluster,"
-        f" e AS ce FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {k}))",
+        f"{p}v AS (SELECT vec_id,"
+        f" list_transform({src_expr},"
+        f" x -> ROUND(x * 1000000) / 1000000.0) AS e FROM embeddings)",
+        f"{p}c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cluster,"
+        f" e AS ce FROM (SELECT vec_id, e FROM {p}v ORDER BY vec_id LIMIT {k}))",
     ]
     for i in range(1, iterations + 1):
         ctes.append(
-            f"a{i} AS (SELECT vec_id, e, cluster FROM ("
+            f"{p}a{i} AS (SELECT vec_id, e, cluster FROM ("
             f" SELECT v.vec_id, v.e, c.cluster,"
             f" ROW_NUMBER() OVER (PARTITION BY v.vec_id"
             f" ORDER BY {d2}, c.cluster) AS rk"
-            f" FROM v CROSS JOIN c{i - 1} c) WHERE rk = 1)"
+            f" FROM {p}v v CROSS JOIN {p}c{i - 1} c) WHERE rk = 1)"
         )
         if i < iterations:
             ctes.append(
-                f"c{i} AS (SELECT cluster, list(mu ORDER BY dim) AS ce FROM ("
+                f"{p}c{i} AS (SELECT cluster, list(mu ORDER BY dim) AS ce FROM ("
                 f" SELECT cluster, d.j AS dim,"
                 f" CAST(SUM(CAST(ROUND(e[d.j + 1] * 1000000) AS BIGINT))"
                 f" AS BIGINT) / COUNT(*) / 1000000.0 AS mu"
-                f" FROM a{i} CROSS JOIN"
+                f" FROM {p}a{i} CROSS JOIN"
                 f" (SELECT unnest(range(0, {dim})) AS j) d"
                 f" GROUP BY cluster, d.j) GROUP BY cluster)"
             )
@@ -4448,5 +4459,181 @@ def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             F.coalesce("component", F.col("vec_id")).cast("long").alias("component"),
+        )
+    )
+
+
+def _ann_pq_oracle(
+    m: int = 4, sub: int = 16, k: int = 16, iterations: int = 3,
+    n_probes: int = 5, topk: int = 3,
+) -> str:
+    """DuckDB oracle for q_ann_pq: one prefixed unrolled-k-means chain
+    per subspace (codes = {p}a{iters} against codebook {p}c{iters-1} --
+    the encode contract kmeans_codebook_assign pins), then the ADC
+    lookup as plain joins. Per-subspace distances quantize to integer
+    micro-units BEFORE the cross-subspace sum, so the total is a
+    commutative BIGINT sum -- immune to double summation-order
+    divergence between engines -- and the rank gate is integer-exact
+    (no knife edges by construction)."""
+    ctes: list[str] = []
+    codes_sel, cents_sel, probe_sel = [], [], []
+    for j in range(m):
+        p = f"m{j}_"
+        src = f"list_slice(CAST(embedding AS DOUBLE[]), {j * sub + 1}, {(j + 1) * sub})"
+        ctes.extend(_kmeans_ctes(k, iterations, sub, prefix=p, src_expr=src))
+        codes_sel.append(
+            f"SELECT vec_id, {j} AS m, cluster AS code FROM {p}a{iterations}"
+        )
+        cents_sel.append(
+            f"SELECT {j} AS m, cluster, ce FROM {p}c{iterations - 1}"
+        )
+        probe_sel.append(
+            f"SELECT vec_id AS probe_id, {j} AS m, e AS q FROM {p}v"
+            f" WHERE vec_id < {n_probes}"
+        )
+    ctes.append("codes AS (" + " UNION ALL ".join(codes_sel) + ")")
+    ctes.append("cents AS (" + " UNION ALL ".join(cents_sel) + ")")
+    ctes.append("probes AS (" + " UNION ALL ".join(probe_sel) + ")")
+    pd2 = (
+        "(list_dot_product(p.q, p.q) - 2 * list_dot_product(p.q, ct.ce)"
+        " + list_dot_product(ct.ce, ct.ce))"
+    )
+    ctes.append(
+        "pj AS (SELECT p.probe_id, c.vec_id,"
+        f" CAST(ROUND({pd2} * 1000000) AS BIGINT) AS pd2_u"
+        " FROM probes p JOIN codes c ON c.m = p.m"
+        " JOIN cents ct ON ct.m = c.m AND ct.cluster = c.code"
+        " WHERE c.vec_id <> p.probe_id)"
+    )
+    ctes.append(
+        "tot AS (SELECT probe_id, vec_id, CAST(SUM(pd2_u) AS BIGINT) AS d2u"
+        " FROM pj GROUP BY probe_id, vec_id)"
+    )
+    ctes.append(
+        "rk AS (SELECT probe_id, vec_id, d2u, ROW_NUMBER() OVER ("
+        "PARTITION BY probe_id ORDER BY d2u, vec_id) AS rnk FROM tot)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT probe_id, vec_id, CAST(rnk AS INT) AS rnk,"
+        f" CAST(d2u / 1000000.0 AS DOUBLE) AS ad2"
+        f" FROM rk WHERE rnk <= {topk}"
+    )
+
+
+_PQ_M, _PQ_SUB, _PQ_K, _PQ_ITERS = 4, 16, 16, 3
+_PQ_PROBES, _PQ_TOPK = 5, 3
+
+
+@query("q_ann_pq", oracle=_ann_pq_oracle(_PQ_M, _PQ_SUB, _PQ_K, _PQ_ITERS,
+                                         _PQ_PROBES, _PQ_TOPK))
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split the 64-dim space
+    into 4 subspaces of 16 dims, train a deterministic 16-centroid
+    codebook per subspace (operators/kmeans.py arithmetic: 1e-6
+    quantized inputs, expanded-identity distances, exact long-sum
+    means), encode every vector as 4 one-byte codes, and answer probes
+    by ASYMMETRIC DISTANCE COMPUTATION: the probe's exact sub-vector
+    against the centroid of each database vector's code, summed across
+    subspaces -- top-3 neighbors per probe (rank ties break on vec_id).
+
+    This is the 100 TB MEMORY story of the similarity family: 64 x 8 B
+    doubles -> 4 x 1 B codes (128x), so the serving scan reads the
+    4-byte code column plus one broadcast codebook (m*k = 64 rows)
+    instead of the embedding column -- IVF (q_ann_ivf) prunes WHICH
+    rows are scanned, PQ shrinks WHAT each row costs; production
+    systems compose both. Training at 100 TB runs on a sample; here
+    the fixture corpus is the sample.
+
+    Determinism / oracle exactness: per-subspace ADC distances follow
+    the kmeans fold conventions (both engines evaluate the identical
+    double), then quantize to integer MICRO-UNITS before the
+    cross-subspace sum -- a commutative BIGINT sum, so neither Spark's
+    partial-aggregation order nor DuckDB's changes the total, and the
+    top-k gate ranks INTEGERS (no rounded-double knife edge exists in
+    this query by construction). The oracle unrolls one prefixed
+    k-means CTE chain per subspace; codes are a{iters} assigned against
+    codebook c{iters-1} -- kmeans_codebook_assign exists precisely
+    because kmeans() returns the post-assignment update, and an
+    off-by-one-update codebook biases every ADC distance.
+
+    Scale: the encode is 4 bounded k-means runs (per iteration: one
+    k*sub-double broadcast + one (cluster, dim) shuffle); the serving
+    path is ONE scan of the n x 4 code relation joined to two
+    broadcasts (64-row codebook, probe-bounded sub-vectors), one
+    map-side-combinable integer sum keyed (probe, vec), and a
+    WindowGroupLimit top-k -- no vector-cardinality shuffle carries
+    doubles, which is the point of PQ."""
+    from ..operators.kmeans import (
+        kmeans_grouped_codebook_assign,
+        quantize_vec,
+    )
+
+    emb = pin_corpus(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+    )
+    # (vec_id, m, e_sub): one long relation, all 4 subspaces -- trained
+    # JOINTLY (one broadcast + one shuffle per Lloyd's iteration for
+    # every subspace at once, instead of 4 serialized runs; measured
+    # 8.7 -> ~3 s at sf0.1, bit-identical codes).
+    sub_parts = [
+        emb.select(
+            "vec_id",
+            F.lit(j).alias("m"),
+            F.slice("e", j * _PQ_SUB + 1, _PQ_SUB).alias("e"),
+        )
+        for j in range(_PQ_M)
+    ]
+    vm = sub_parts[0]
+    for spart in sub_parts[1:]:
+        vm = vm.unionAll(spart)
+    codes_full, cents = kmeans_grouped_codebook_assign(
+        vm, k=_PQ_K, iterations=_PQ_ITERS
+    )
+    codes = codes_full.select("vec_id", "m", F.col("cluster").alias("code"))
+    probes = vm.filter(F.col("vec_id") < _PQ_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        "m",
+        quantize_vec("e").alias("q"),
+    )
+    pd2 = (
+        dot_expr(F.col("q"), F.col("q"))
+        - 2 * dot_expr(F.col("q"), F.col("ce"))
+        + dot_expr(F.col("ce"), F.col("ce"))
+    )
+    cents_a = cents.select(
+        F.col("m").alias("cm"), F.col("cluster"), F.col("ce")
+    )
+    probes_a = probes.select(
+        F.col("probe_id"), F.col("m").alias("pm"), F.col("q")
+    )
+    pj = (
+        codes.join(
+            broadcast(cents_a),
+            (F.col("m") == F.col("cm")) & (F.col("code") == F.col("cluster")),
+        )
+        .join(broadcast(probes_a), F.col("m") == F.col("pm"))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            duck_round(pd2 * F.lit(1_000_000.0)).cast("long").alias("pd2_u"),
+        )
+    )
+    tot = pj.groupBy("probe_id", "vec_id").agg(
+        F.sum("pd2_u").cast("long").alias("d2u")
+    )
+    w = Window.partitionBy("probe_id").orderBy("d2u", "vec_id")
+    return (
+        tot.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _PQ_TOPK)
+        .select(
+            "probe_id",
+            "vec_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            (F.col("d2u") / F.lit(1_000_000.0)).cast("double").alias("ad2"),
         )
     )
