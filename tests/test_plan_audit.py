@@ -131,6 +131,9 @@ CHECKPOINTED_ALLOWED = {
     "q_source_overlap",   # r8: pinned (source, shingle) sets feed sizes + join
     "q_vocab_coverage",   # r8: pinned (source, tok) counts feed vocab + join
     "q_stream_agg_update",
+    "q_stream_near_dup",  # r10: emission-log replay (createDataFrame of
+                          # the foreachBatch survivor log, the
+                          # q_stream_stateful_custom convention)
     "q_stream_stateful_custom",
     "q_tfidf",
     "q_timeseries_gapfill",

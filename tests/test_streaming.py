@@ -232,3 +232,64 @@ def test_stream_session_isolates_caller_conf(spark):
         assert spark.conf.get(key) == "23"
     finally:
         spark.conf.set(key, prev)
+
+
+def test_stream_near_dup_suppresses_across_batches_deterministically(spark):
+    """q_stream_near_dup (round 10): the band-key state store must
+    suppress near-dups ACROSS micro-batches (not just within one), the
+    claim rule must be deterministic (two runs agree exactly), and
+    claims must drop-chain (a dropped doc still owns its fresh keys --
+    the per-key state semantics the oracle replays). Checked against a
+    directly-computed replay of the claim rule over the same band
+    keys."""
+    from pyspark.sql import functions as F
+
+    from weighted_raster_overlay_service_toolbox_spark.operators.dedup import (
+        minhash_base_hashes,
+        minhash_signature_from_base,
+    )
+    from weighted_raster_overlay_service_toolbox_spark.queries.llm import TOKS
+    from weighted_raster_overlay_service_toolbox_spark.queries.streaming import (
+        _SND_BANDS,
+        _SND_K,
+        q_stream_near_dup,
+    )
+    from weighted_raster_overlay_service_toolbox_spark.sources import load_table
+
+    out1 = sorted(map(tuple, q_stream_near_dup(spark, SF_SMOKE).collect()))
+    out2 = sorted(map(tuple, q_stream_near_dup(spark, SF_SMOKE).collect()))
+    assert out1 == out2, "stream near-dup result is not deterministic"
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    total = docs.count()
+    assert 0 < len(out1) < total, (len(out1), total)
+
+    # replay the claim rule in plain batch code: batch = staging split,
+    # dropped = band-key collision with a (batch, doc_id)-earlier doc
+    r = _SND_K // _SND_BANDS
+    chunk = total // 4 + 1
+    sig = docs.select(
+        "doc_id",
+        minhash_signature_from_base(
+            minhash_base_hashes(F.array_distinct(TOKS())), _SND_K
+        ).alias("sig"),
+    ).collect()
+    rows = sorted((rw.doc_id, rw.sig) for rw in sig)
+    keyed = []  # (band_idx, band_key, batch, doc)
+    for rank, (doc, s) in enumerate(rows):
+        batch = rank // chunk
+        for b in range(_SND_BANDS):
+            key = ",".join(str(s[b * r + i]) for i in range(r))
+            keyed.append((b, key, batch, doc))
+    owner: dict = {}
+    for b, key, batch, doc in sorted(keyed, key=lambda t: (t[2], t[3])):
+        owner.setdefault((b, key), doc)
+    want = sorted(
+        (rank // chunk, doc)
+        for rank, (doc, s) in enumerate(rows)
+        if all(
+            owner[(b, ",".join(str(s[b * r + i]) for i in range(r)))] == doc
+            for b in range(_SND_BANDS)
+        )
+    )
+    assert out1 == want

@@ -219,9 +219,12 @@ from . import tpch  # noqa: F401,E402
 # ROUND-11 ROTATION PLAN: after the r10 window grades, cumulative
 # driver-green should be 242/242 of the pre-r10 registry with no row
 # older than r5 evidence. The r11 window = flagships + the late-r10
-# ADDITION q_ann_pq (registry 242 -> 243: product-quantization ANN --
+# ADDITIONS q_ann_pq (registry 242 -> 243: product-quantization ANN --
 # 4 jointly-trained subspace codebooks, integer-micro-unit ADC, 3-SF
-# parity-exact on arrival, queries/llm.py) + any r11-changed queries +
+# parity-exact on arrival, queries/llm.py) and q_stream_near_dup
+# (243 -> 244: ingest-time near-dup suppression, band-key state store,
+# FULL hash oracle via deterministic-staging replay, 3-SF parity-exact
+# on arrival, queries/streaming.py) + any r11-changed queries +
 # the next-oldest re-grade band (the r4-last set: q_agg_approx_quantile,
 # q_agg_bool, q_bitwise_funcs, q_cast_types, q_cond_funcs, q_csv_encode,
 # q_custom_source, q_date_funcs, q_doc_length_hist, q_explode,

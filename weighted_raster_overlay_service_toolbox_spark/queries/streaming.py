@@ -767,3 +767,198 @@ def q_stream_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.langmix import lang_mix_scores
 
     return lang_mix_scores(c)
+
+
+def _stream_near_dup_oracle(k: int = 16, bands: int = 8, n_files: int = 4) -> str:
+    """DuckDB oracle for q_stream_near_dup: replay the deterministic
+    staging split (the q_stream_agg_update batch model over doc_id
+    order), rebuild the portable MinHash band keys from the same
+    md5-base + affine-lane literals as q_dedup_minhash's oracle, then
+    apply the claim rule as one join: a document is DROPPED iff any of
+    its band keys is shared with a (batch, doc_id)-lexicographically
+    earlier document -- earlier batches always win (their claim is in
+    the state store before this batch runs), in-batch ties go to the
+    lower doc_id (the state function sees the whole batch group at
+    once and picks min)."""
+    from ..operators.dedup import minhash_affine_consts
+
+    lanes = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_affine_consts(k))
+    )
+    return f"""
+    WITH ranked AS (
+        SELECT doc_id, text, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn,
+               COUNT(*) OVER () AS total
+        FROM documents
+    ),
+    docs AS (
+        SELECT doc_id, text,
+               CAST((rn - 1) // (total // {n_files} + 1) AS INTEGER)
+                   AS batch_id
+        FROM ranked
+    ),
+    t AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM docs
+    ),
+    bh AS (
+        SELECT doc_id,
+               CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT)
+                   % 2147483647 AS h
+        FROM t
+    ),
+    hs AS (
+        SELECT doc_id, s.seed, MIN((s.a * bh.h + s.b) % 2147483647) AS mh
+        FROM bh CROSS JOIN (
+            SELECT * FROM (VALUES {lanes}) AS lanes(seed, a, b)
+        ) s
+        GROUP BY doc_id, s.seed
+    ),
+    bv AS (
+        SELECT hs.doc_id, d.batch_id, seed // {k // bands} AS band_idx,
+               string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS band_key
+        FROM hs JOIN docs d ON d.doc_id = hs.doc_id
+        GROUP BY hs.doc_id, d.batch_id, seed // {k // bands}
+    ),
+    dropped AS (
+        SELECT DISTINCT b.doc_id
+        FROM bv a JOIN bv b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND (a.batch_id < b.batch_id
+              OR (a.batch_id = b.batch_id AND a.doc_id < b.doc_id))
+    )
+    SELECT d.batch_id, d.doc_id FROM docs d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+    """
+
+
+_SND_K, _SND_BANDS = 16, 8
+
+
+@query("q_stream_near_dup", oracle=_stream_near_dup_oracle(_SND_K, _SND_BANDS))
+def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INGEST-TIME near-duplicate suppression (round 10): the corpus
+    arrives as document batches, and each batch keeps only documents
+    whose MinHash band keys are ALL unclaimed -- the streaming form of
+    the q_dedup_minhash -> keep-one pipeline, with the accumulated
+    corpus represented by a keyed state store instead of a self-join.
+    This is the stateful stage a 100 TB ingest runs AFTER
+    q_stream_quality_filter: the dedup index lives with the stream, so
+    a near-dup of anything already ingested is dropped at the door
+    instead of being found by a batch sweep later.
+
+    Mechanics: the stateless prefix computes the SAME portable MinHash
+    band keys as q_dedup_minhash (md5-60-bit base, 16 affine lanes,
+    8 bands of 2, band key = the slice VALUES joined as a string -- NOT
+    the xxhash64 bucket hash, because here a spurious hash collision
+    would wrongly DROP a document rather than just propose a filtered
+    pair). applyInPandasWithState keyed (band_idx, band_key) tracks one
+    owner doc_id per key: the first batch to present a key claims it
+    for its minimum doc_id (the group function sees the whole batch at
+    once, so the in-batch winner is deterministic, not arrival-order);
+    every row is emitted with owned = (doc_id == owner). foreachBatch
+    then keeps documents owning ALL {bands} of their keys -- a
+    batch-local aggregation, since a document's band rows never span
+    batches. Claim semantics match q_semantic_dedup's documented rule:
+    a DROPPED document still claims its fresh keys (drop-chains), which
+    is what a per-key state store can express and exactly what the
+    oracle's lexicographic-collision join replays.
+
+    Scale: state is one long per distinct band key, partitioned by the
+    (band_idx, band_key) shuffle the stateful op already pays -- the
+    state store IS the dedup index, and both grow with corpus novelty,
+    not corpus size. The emission is k/bands rows per document; the
+    survivor judgment is map-side per batch. Batch == stream by
+    construction: deterministic staging -> the oracle replays the batch
+    assignment and the claim rule as SQL over the same table."""
+    import pandas as pd  # noqa: F401  (worker-side)
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.dedup import (
+        minhash_base_hashes,
+        minhash_signature_from_base,
+    )
+    from .llm import TOKS
+
+    r = _SND_K // _SND_BANDS
+    staged = stage_document_files(spark, sf_dir, "near_dup")
+    based = read_document_stream(spark, staged, files_per_trigger=1).select(
+        "doc_id", minhash_base_hashes(F.array_distinct(TOKS())).alias("_base")
+    )
+    sig = based.select(
+        "doc_id",
+        minhash_signature_from_base(F.col("_base"), _SND_K).alias("sig"),
+    )
+    keys = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("sig")[b * r + i].cast("string")
+                            for i in range(r)
+                        ],
+                    )
+                    for b in range(_SND_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+
+    def claim(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        ids: list[int] = []
+        for pdf in pdfs:
+            ids.extend(int(x) for x in pdf["doc_id"].tolist())
+        owner = state.get[0] if state.exists else min(ids)
+        if not state.exists:
+            state.update((int(owner),))
+        yield pd.DataFrame(
+            {"doc_id": ids, "owned": [i == owner for i in ids]}
+        )
+
+    claimed = keys.groupBy("band_idx", "band_key").applyInPandasWithState(
+        claim,
+        outputStructType="doc_id long, owned boolean",
+        stateStructType="owner long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    captured: list = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # batch-local survivor judgment: a doc's band rows never span
+        # batches, so "owns all its keys" is one small aggregation here
+        surv = (
+            batch_df.groupBy("doc_id")
+            .agg(
+                F.sum(F.when(F.col("owned"), 1).otherwise(0)).alias("n_own"),
+                F.count(F.lit(1)).alias("n_bands"),
+            )
+            .filter(
+                (F.col("n_own") == _SND_BANDS)
+                & (F.col("n_bands") == _SND_BANDS)
+            )
+            .select("doc_id")
+            .collect()
+        )
+        captured.append((batch_id, surv))
+
+    q = (
+        claimed.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [
+        (int(batch_id), int(rw["doc_id"]))
+        for batch_id, batch_rows in captured
+        for rw in batch_rows
+    ]
+    return spark.createDataFrame(rows, "batch_id int, doc_id long")
