@@ -71,6 +71,9 @@ PROBES = [
     "q_split_leakage_safe",
     "q_semantic_clusters",
     "q_repetition_ratio",
+    # r10 additions: PQ training shuffles + the band-key state store
+    "q_ann_pq",
+    "q_stream_near_dup",
     # host-drift sentinel (unchanged since r1)
     "q_join_inner",
 ]
