@@ -60,6 +60,7 @@ _WHITELIST: dict[tuple[str, str], tuple[int, str]] = {
     ("queries/llm.py", "q_ann_filtered"): (1, "probe-bounded"),
     ("queries/llm.py", "q_ann_ivf"): (1, "probe-bounded"),
     ("queries/llm.py", "q_ann_pq"): (2, "k-sized: PQ codebook (m*k = 64 rows) + probe-bounded ADC sub-vectors"),
+    ("queries/llm.py", "q_ann_pq_recall"): (1, "probe-bounded: exact-leg probe vectors"),
     ("queries/llm.py", "q_ann_recall"): (2, "probe-bounded: probe set x2 (IVF + brute-force legs)"),
     ("queries/llm.py", "q_approx_topk"): (2, "vocab-capped exact top-K + scalar-1row"),
     ("queries/llm.py", "q_bigram_lm"): (2, "vocab-sized head-count + count tables (vocab-join convention)"),

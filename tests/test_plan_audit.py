@@ -52,6 +52,7 @@ PYTHON_EVAL_ALLOWED = {
 #: operator itself (join_cross).
 NON_EQUI_ALLOWED = {
     "q_ann_ivf",
+    "q_ann_pq_recall",  # r10: probe-bounded exact-leg cross join (q_cosine_topk shape)
     "q_ann_recall",  # r8: 25-probe broadcast x corpus -- the ground-truth leg
     "q_approx_topk",
     "q_bigram_lm",  # r8: scalar vocab-size V cross join (unigram path)
@@ -88,6 +89,7 @@ NON_EQUI_ALLOWED = {
 #: here consciously -- it is the audit blind spot.
 CHECKPOINTED_ALLOWED = {
     "q_ann_pq",           # r10: pinned embeddings feed 4 subspace k-means + probes;
+    "q_ann_pq_recall",    # r10: shares q_ann_pq's pinned/checkpointed PQ leg
                           # per-iteration centroid checkpoints (kmeans convention)
     "q_ann_recall",       # r8: pinned bucketed vectors feed both legs
     "q_approx_topk",

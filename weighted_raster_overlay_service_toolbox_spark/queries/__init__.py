@@ -224,7 +224,9 @@ from . import tpch  # noqa: F401,E402
 # parity-exact on arrival, queries/llm.py) and q_stream_near_dup
 # (243 -> 244: ingest-time near-dup suppression, band-key state store,
 # FULL hash oracle via deterministic-staging replay, 3-SF parity-exact
-# on arrival, queries/streaming.py) + any r11-changed queries +
+# on arrival, queries/streaming.py) and q_ann_pq_recall (244 -> 245:
+# ADC-vs-exact recall@3, integer-micro-unit ranks on both legs, 3-SF
+# parity-exact on arrival) + any r11-changed queries +
 # the next-oldest re-grade band (the r4-last set: q_agg_approx_quantile,
 # q_agg_bool, q_bitwise_funcs, q_cast_types, q_cond_funcs, q_csv_encode,
 # q_custom_source, q_date_funcs, q_doc_length_hist, q_explode,

@@ -4463,18 +4463,19 @@ def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_pq_oracle(
+def _ann_pq_ctes(
     m: int = 4, sub: int = 16, k: int = 16, iterations: int = 3,
-    n_probes: int = 5, topk: int = 3,
-) -> str:
-    """DuckDB oracle for q_ann_pq: one prefixed unrolled-k-means chain
-    per subspace (codes = {p}a{iters} against codebook {p}c{iters-1} --
-    the encode contract kmeans_codebook_assign pins), then the ADC
-    lookup as plain joins. Per-subspace distances quantize to integer
-    micro-units BEFORE the cross-subspace sum, so the total is a
-    commutative BIGINT sum -- immune to double summation-order
-    divergence between engines -- and the rank gate is integer-exact
-    (no knife edges by construction)."""
+    n_probes: int = 5,
+) -> list[str]:
+    """Shared CTE list for the q_ann_pq / q_ann_pq_recall oracles: one
+    prefixed unrolled-k-means chain per subspace (codes = {p}a{iters}
+    against codebook {p}c{iters-1} -- the encode contract
+    kmeans_codebook_assign pins), then the ADC lookup as plain joins.
+    Per-subspace distances quantize to integer micro-units BEFORE the
+    cross-subspace sum, so the total is a commutative BIGINT sum --
+    immune to double summation-order divergence between engines -- and
+    the rank gate is integer-exact (no knife edges by construction).
+    Ends with ``rk`` = (probe_id, vec_id, d2u, rnk)."""
     ctes: list[str] = []
     codes_sel, cents_sel, probe_sel = [], [], []
     for j in range(m):
@@ -4513,11 +4514,54 @@ def _ann_pq_oracle(
         "rk AS (SELECT probe_id, vec_id, d2u, ROW_NUMBER() OVER ("
         "PARTITION BY probe_id ORDER BY d2u, vec_id) AS rnk FROM tot)"
     )
+    return ctes
+
+
+def _ann_pq_oracle(
+    m: int = 4, sub: int = 16, k: int = 16, iterations: int = 3,
+    n_probes: int = 5, topk: int = 3,
+) -> str:
+    ctes = _ann_pq_ctes(m, sub, k, iterations, n_probes)
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT probe_id, vec_id, CAST(rnk AS INT) AS rnk,"
         f" CAST(d2u / 1000000.0 AS DOUBLE) AS ad2"
         f" FROM rk WHERE rnk <= {topk}"
+    )
+
+
+def _ann_pq_recall_oracle(
+    m: int = 4, sub: int = 16, k: int = 16, iterations: int = 3,
+    n_probes: int = 5, topk: int = 3,
+) -> str:
+    """q_ann_pq_recall: the PQ chain plus an exact-L2 ground-truth leg
+    over the full quantized vectors; recall = how many of each probe's
+    exact top-k survive in the ADC top-k. The exact leg's rank gate is
+    ALSO integer micro-units (same convention as the ADC leg), so the
+    whole query is knife-edge-free."""
+    ctes = _ann_pq_ctes(m, sub, k, iterations, n_probes)
+    ctes.append(
+        "fv AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),"
+        " x -> ROUND(x * 1000000) / 1000000.0) AS e FROM embeddings)"
+    )
+    ed2 = (
+        "(list_dot_product(a.e, a.e) - 2 * list_dot_product(a.e, b.e)"
+        " + list_dot_product(b.e, b.e))"
+    )
+    ctes.append(
+        f"exact AS (SELECT a.vec_id AS probe_id, b.vec_id,"
+        f" ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY"
+        f" CAST(ROUND({ed2} * 1000000) AS BIGINT), b.vec_id) AS rnk"
+        f" FROM fv a JOIN fv b ON b.vec_id <> a.vec_id"
+        f" WHERE a.vec_id < {n_probes})"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT e.probe_id, CAST(COUNT(p.vec_id) AS INT) AS n_hits"
+        f" FROM (SELECT probe_id, vec_id FROM exact WHERE rnk <= {topk}) e"
+        f" LEFT JOIN (SELECT probe_id, vec_id FROM rk WHERE rnk <= {topk}) p"
+        f" ON p.probe_id = e.probe_id AND p.vec_id = e.vec_id"
+        f" GROUP BY e.probe_id"
     )
 
 
@@ -4636,4 +4680,74 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("int").alias("rnk"),
             (F.col("d2u") / F.lit(1_000_000.0)).cast("double").alias("ad2"),
         )
+    )
+
+
+@query(
+    "q_ann_pq_recall",
+    oracle=_ann_pq_recall_oracle(_PQ_M, _PQ_SUB, _PQ_K, _PQ_ITERS,
+                                 _PQ_PROBES, _PQ_TOPK),
+)
+def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the PQ/ADC search (q_ann_pq) against exact-L2 ground
+    truth -- the tuning harness for the PQ knobs, the same role
+    q_ann_recall plays for the IVF path: at 100 TB you pick (M
+    subspaces, K centroids) by running THIS on a sample until recall
+    clears the product bar, because PQ's 128x memory cut is only as
+    good as the recall it keeps. Output: (probe_id, n_hits) with
+    n_hits = |exact top-3 ∩ ADC top-3| per probe.
+
+    Both legs rank by INTEGER micro-unit distances (the q_ann_pq
+    convention applied to the exact leg too: d2 is the same
+    expanded-identity fold both engines evaluate bit-identically, then
+    ROUND(x*1e6)::BIGINT before the rank) -- no rounded-double gate
+    anywhere, so the recall count is exact by construction, not by
+    knife-edge argument.
+
+    Scale: the exact leg is probe-bounded (P broadcast rows x corpus,
+    the q_cosine_topk shape); the PQ leg shares q_ann_pq's plan. The
+    fixture's measured recall (organic ~N(0,1/8) residual geometry) is
+    what the harness exists to surface -- quantization error vs k/M is
+    a data property, not a constant."""
+    from ..operators.kmeans import quantize_vec
+
+    pq_top = q_ann_pq(spark, sf_dir).select(
+        "probe_id", F.col("vec_id").alias("pq_vec")
+    )
+    fv = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        quantize_vec(F.col("embedding").cast("array<double>")).alias("e"),
+    )
+    probes = fv.filter(F.col("vec_id") < _PQ_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
+    )
+    d2 = (
+        dot_expr(F.col("pe"), F.col("pe"))
+        - 2 * dot_expr(F.col("pe"), F.col("e"))
+        + dot_expr(F.col("e"), F.col("e"))
+    )
+    scored = (
+        fv.crossJoin(broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            duck_round(d2 * F.lit(1_000_000.0)).cast("long").alias("d2u"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy("d2u", "vec_id")
+    exact = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _PQ_TOPK)
+        .select("probe_id", "vec_id")
+    )
+    return (
+        exact.join(
+            pq_top,
+            (exact["probe_id"] == pq_top["probe_id"])
+            & (exact["vec_id"] == pq_top["pq_vec"]),
+            "left",
+        )
+        .groupBy(exact["probe_id"].alias("probe_id"))
+        .agg(F.count(pq_top["pq_vec"]).cast("int").alias("n_hits"))
     )
