@@ -112,6 +112,10 @@ def main() -> None:
         "q_source_overlap",        # exact S^2/2 shingle-overlap matrix
         "q_source_overlap_sketch", # slot-wise MinHash agreement estimator
         "q_split_leakage_safe",    # near-dup-cluster-coherent split
+        # round-10 additions (same heavy-addition tracking rule)
+        "q_ann_pq",                # PQ encode + ADC top-k
+        "q_ann_pq_recall",         # ADC-vs-exact recall harness
+        "q_stream_near_dup",       # ingest-time band-key state dedup
     ]
 
     def materialize(df) -> None:
@@ -151,6 +155,7 @@ def main() -> None:
             (engine.stage_with_sentinel, "ss_left", {}),
             (engine.stage_with_sentinel, "ss_left_b", {}),
         ],
+        "q_stream_near_dup": [(engine.stage_document_files, "near_dup", {})],
     }
     for name in headline:
         if name.startswith("q_stream_"):
