@@ -159,8 +159,18 @@ def write_layout(
     from ..operators.layout import write_zordered
 
     docs = load_table(spark, sf_dir, "documents")
-    write_zordered(docs, f"{out_dir}/documents", _doc_zkey(), n_files=8)
-    manifest["documents"] = {"kind": "zorder", "cluster": ["lang", "source"]}
+    # Size-aware file count, same discipline as the events scheme: files
+    # target ``target_leaf_bytes`` each, with a floor of 8 so fixture-
+    # scale scans keep task parallelism (the r9 rehearsal's honest
+    # negative: a single-row-group file caps the scan at one task).
+    doc_bytes = os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
+    n_files = max(8, -(-doc_bytes // max(target_leaf_bytes, 1)))
+    write_zordered(docs, f"{out_dir}/documents", _doc_zkey(), n_files=n_files)
+    manifest["documents"] = {
+        "kind": "zorder",
+        "cluster": ["lang", "source"],
+        "n_files": int(n_files),
+    }
 
     for name in TABLES:
         if name in manifest:
