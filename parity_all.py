@@ -11,7 +11,14 @@ rejected), and every rows-only query for execution -- and writes one
 summary JSON the judge can read next to CORRECTNESS_r{N}.json.
 
 Usage: python parity_all.py   (env: SPARK_GRAFT_PARITY_SF_DIR, default
-/root/testdata/sf0.01 -- the same scale factor the driver grades at.)
+/root/testdata/sf0.01 -- the same scale factor the driver grades at;
+SPARK_GRAFT_PARITY_THREADS, default 4 -- batch queries run in a thread
+pool against the one shared SparkSession with per-thread DuckDB
+connections, while the q_stream_* family stays SEQUENTIAL: streaming
+queries own session-level machinery -- fixed scratch sinks, stream
+staging, a state-store provider conf window -- that a racing twin could
+corrupt; everything else is a pure read of the fixture tables. ~2.5x
+wall-clock cut at equal coverage, VERDICT r10 #7.)
 """
 
 from __future__ import annotations
@@ -37,26 +44,39 @@ def main() -> int:
     )
     from weighted_raster_overlay_service_toolbox_spark.session import get_spark
 
-    spark = get_spark("parity-all", cpus=int(os.environ.get("TEST_CPUS", "8")))
-    duck = duckdb.connect()
-    for name in (
-        "region nation customer supplier part orders lineitem events "
-        "documents embeddings".split()
-    ):
-        duck.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM '{SF_DIR}/{name}.parquet'"
-        )
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
 
-    t0 = time.time()
-    results: dict[str, dict] = {}
-    for name, fn in QUERIES.items():
+    spark = get_spark("parity-all", cpus=int(os.environ.get("TEST_CPUS", "8")))
+    n_threads = int(os.environ.get("SPARK_GRAFT_PARITY_THREADS", "4"))
+    _local = threading.local()
+
+    def _duck():
+        # DuckDB connections are not thread-safe; one per worker thread,
+        # each with the same fixture views.
+        con = getattr(_local, "con", None)
+        if con is None:
+            con = duckdb.connect()
+            for name in (
+                "region nation customer supplier part orders lineitem "
+                "events documents embeddings".split()
+            ):
+                con.execute(
+                    f"CREATE VIEW {name} AS"
+                    f" SELECT * FROM '{SF_DIR}/{name}.parquet'"
+                )
+            _local.con = con
+        return con
+
+    def run_one(name: str) -> dict:
+        fn = QUERIES[name]
         entry: dict = {}
         tq = time.time()
         try:
             if name in ORACLES:
                 tm: dict = {}
                 problems = compare(
-                    spark, duck, fn, ORACLES[name], SF_DIR, timings=tm
+                    spark, _duck(), fn, ORACLES[name], SF_DIR, timings=tm
                 )
                 entry["mode"] = "oracle"
                 entry["ok"] = not problems
@@ -79,7 +99,27 @@ def main() -> int:
         # reported separately: several oracles are deliberately naive
         # replays (e.g. the quadratic interval-join SQL) and would
         # otherwise masquerade as engine cost.
-        results[name] = entry
+        return entry
+
+    t0 = time.time()
+    results: dict[str, dict] = {}
+    batch_names = [n for n in QUERIES if not n.startswith("q_stream")]
+    stream_names = [n for n in QUERIES if n.startswith("q_stream")]
+    if n_threads > 1:
+        with ThreadPoolExecutor(max_workers=n_threads) as pool:
+            for name, entry in zip(
+                batch_names, pool.map(run_one, batch_names)
+            ):
+                results[name] = entry
+    else:
+        for name in batch_names:
+            results[name] = run_one(name)
+    # streaming family: sequential by design (shared scratch sinks,
+    # staged-source reuse, the RocksDB provider conf window)
+    for name in stream_names:
+        results[name] = run_one(name)
+    # restore registry order for the report
+    results = {n: results[n] for n in QUERIES}
 
     oracle = [n for n in results if results[n].get("mode") == "oracle"]
     rows_only = [n for n in results if results[n].get("mode") == "rows_only"]

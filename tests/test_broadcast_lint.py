@@ -59,6 +59,8 @@ _WHITELIST: dict[tuple[str, str], tuple[int, str]] = {
     ("queries/joins.py", "q_join_range"): (1, "dim-const: fixed bin-ranges table"),
     ("queries/llm.py", "q_ann_filtered"): (1, "probe-bounded"),
     ("queries/llm.py", "q_ann_ivf"): (1, "probe-bounded"),
+    ("queries/llm.py", "q_ann_ivfpq"): (5, "probe-bounded bucket sets + k-sized codebook (m*k = 1024 rows) + probe-bounded ADC sub-vectors + probe-bounded 25x40 shortlist + probe-bounded re-rank vectors"),
+    ("queries/llm.py", "q_ann_ivfpq_recall"): (1, "probe-bounded: exact-leg probe vectors"),
     ("queries/llm.py", "q_ann_pq"): (2, "k-sized: PQ codebook (m*k = 64 rows) + probe-bounded ADC sub-vectors"),
     ("queries/llm.py", "q_ann_pq_recall"): (1, "probe-bounded: exact-leg probe vectors"),
     ("queries/llm.py", "q_ann_recall"): (2, "probe-bounded: probe set x2 (IVF + brute-force legs)"),

@@ -97,20 +97,41 @@ def test_bucketed_fact_join_drops_exchanges(spark, laid_out):
     assert laid_n < flat_n, (flat_n, laid_n)
 
 
-def test_partitioned_events_prune_on_event_type(spark):
+@pytest.fixture(scope="module")
+def laid_out_fine(spark):
+    """The target_leaf_bytes=0 (production-fine) layout, with the same
+    manifest-staleness guard as ``laid_out`` (ADVICE r10): the fixture
+    is read-only and write_layout deterministic, so a completed fine
+    layout is valid across sessions -- rewrite only when the manifest
+    does not show the fine events scheme."""
+    import json
+
+    from weighted_raster_overlay_service_toolbox_spark.sources.layout import (
+        MANIFEST,
+        write_layout,
+    )
+
+    fine_dir = LAYOUT_DIR + "_fine"
+    mpath = os.path.join(fine_dir, MANIFEST)
+    stale = True
+    if os.path.isfile(mpath):
+        stale = json.load(open(mpath)).get("events", {}).get(
+            "partition"
+        ) != ["event_date", "event_type"]
+    if stale:
+        write_layout(spark, SF_SMOKE, fine_dir, target_leaf_bytes=0)
+    return fine_dir
+
+
+def test_partitioned_events_prune_on_event_type(spark, laid_out_fine):
     """q_join_asof filters events to the signup/error types: on the fine
     (event_date, event_type) scheme those filters become directory-level
     PartitionFilters instead of row-level scans. target_leaf_bytes=0
     forces the fine scheme regardless of fixture size (the production
     regime, where every leaf clears 128 MB)."""
     from weighted_raster_overlay_service_toolbox_spark.queries import QUERIES
-    from weighted_raster_overlay_service_toolbox_spark.sources.layout import (
-        write_layout,
-    )
 
-    fine_dir = LAYOUT_DIR + "_fine"
-    write_layout(spark, SF_SMOKE, fine_dir, target_leaf_bytes=0)
-    df = QUERIES["q_join_asof"](spark, fine_dir)
+    df = QUERIES["q_join_asof"](spark, laid_out_fine)
     df.collect()
     plan = _final_plan(df)
     pf = [

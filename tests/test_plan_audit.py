@@ -52,6 +52,8 @@ PYTHON_EVAL_ALLOWED = {
 #: operator itself (join_cross).
 NON_EQUI_ALLOWED = {
     "q_ann_ivf",
+    "q_ann_ivfpq",  # r11: 25-row probe-bucket broadcast gate (array_contains BNLJ)
+    "q_ann_ivfpq_recall",  # r11: probe-bounded exact-leg cross join + the IVFPQ leg
     "q_ann_pq_recall",  # r10: probe-bounded exact-leg cross join (q_cosine_topk shape)
     "q_ann_recall",  # r8: 25-probe broadcast x corpus -- the ground-truth leg
     "q_approx_topk",
@@ -88,6 +90,9 @@ NON_EQUI_ALLOWED = {
 #: iterative / catalog-staging design. A NEW checkpoint must be added
 #: here consciously -- it is the audit blind spot.
 CHECKPOINTED_ALLOWED = {
+    "q_ann_ivfpq",        # r11: pinned embeddings feed bucket gate + 16 subspace
+                          # k-means + ADC + re-rank (one materialization, 4 consumers)
+    "q_ann_ivfpq_recall",  # r11: shares q_ann_ivfpq's pinned leg
     "q_ann_pq",           # r10: pinned embeddings feed 4 subspace k-means + probes;
     "q_ann_pq_recall",    # r10: shares q_ann_pq's pinned/checkpointed PQ leg
                           # per-iteration centroid checkpoints (kmeans convention)
@@ -133,9 +138,9 @@ CHECKPOINTED_ALLOWED = {
     "q_source_overlap",   # r8: pinned (source, shingle) sets feed sizes + join
     "q_vocab_coverage",   # r8: pinned (source, tok) counts feed vocab + join
     "q_stream_agg_update",
-    "q_stream_near_dup",  # r10: emission-log replay (createDataFrame of
-                          # the foreachBatch survivor log, the
-                          # q_stream_stateful_custom convention)
+    # q_stream_near_dup LEFT this set in r11: survivors now land in a
+    # parquet sink (streaming/near_dup.py run_near_dup_ingest) and the
+    # registered plan is a plain partitioned parquet scan.
     "q_stream_stateful_custom",
     "q_tfidf",
     "q_timeseries_gapfill",

@@ -1,0 +1,166 @@
+"""State posture pins for the streaming near-dup index (VERDICT r10 #5).
+
+Three claims the operator's docstrings make become tests here:
+
+1. **Growth law**: the claim store holds EXACTLY one entry per distinct
+   band key the corpus presents -- ``rows == |distinct (band_idx,
+   band_key)| <= bands x |docs|`` -- verified by reading the actual
+   state store back through Spark's ``statestore`` data source after a
+   full run on the RocksDB provider. State tracks corpus NOVELTY: a
+   second presentation of a key never adds an entry.
+
+2. **TTL transitions** (the bounding knob): driven deterministically
+   through ``make_claim_fn`` with a fake GroupState -- fresh key claims
+   for the in-batch minimum doc_id and arms the timeout; an existing
+   claim is refreshed, never re-assigned; a timed-out invocation REMOVES
+   the claim (the key becomes claimable again) and emits nothing.
+
+3. **Sink layout**: survivors land partitioned by batch_id with
+   per-batch overwrite (the idempotent-replay contract the crash test
+   exercises end-to-end).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from weighted_raster_overlay_service_toolbox_spark.queries.llm import TOKS
+from weighted_raster_overlay_service_toolbox_spark.queries.streaming import (
+    _SND_BANDS,
+    _SND_K,
+)
+from weighted_raster_overlay_service_toolbox_spark.sources import load_table
+from weighted_raster_overlay_service_toolbox_spark.streaming.engine import (
+    read_document_stream,
+    stage_document_files,
+)
+from weighted_raster_overlay_service_toolbox_spark.streaming.near_dup import (
+    make_claim_fn,
+    near_dup_band_keys,
+    run_near_dup_ingest,
+)
+
+from .conftest import SF_SMOKE
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".scratch")
+
+
+def test_state_rows_equal_distinct_band_keys(spark):
+    sink = os.path.join(SCRATCH, "neardup_state_sink")
+    ckpt = os.path.join(SCRATCH, "neardup_state_ckpt")
+    for p in (sink, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+    staged = stage_document_files(spark, SF_SMOKE, "neardup_state")
+    docs = read_document_stream(spark, staged, files_per_trigger=1)
+    keys = near_dup_band_keys(docs, TOKS(), k=_SND_K, bands=_SND_BANDS)
+    surv = run_near_dup_ingest(
+        spark, keys, _SND_BANDS, sink, ckpt, use_rocksdb=True
+    )
+    assert surv.count() > 0
+
+    # the same band keys, computed in batch over the same table
+    batch_docs = load_table(spark, SF_SMOKE, "documents")
+    batch_keys = near_dup_band_keys(
+        batch_docs, TOKS(), k=_SND_K, bands=_SND_BANDS
+    )
+    n_distinct = (
+        batch_keys.select("band_idx", "band_key").distinct().count()
+    )
+    n_docs = batch_docs.count()
+
+    state = (
+        spark.read.format("statestore").option("path", ckpt).load()
+    )
+    n_state = state.count()
+    assert n_state == n_distinct, (n_state, n_distinct)
+    assert n_state <= _SND_BANDS * n_docs
+    # one state entry per key, none empty (the Python stateful op stores
+    # the user tuple under value.groupState)
+    assert state.filter(F.col("value").isNull()).count() == 0
+
+    # sink layout: one batch_id=<n> partition per staged file
+    parts = {
+        d for d in os.listdir(sink) if d.startswith("batch_id=")
+    }
+    assert parts == {f"batch_id={i}" for i in range(4)}, parts
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving make_claim_fn."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._v = value
+        self.hasTimedOut = timed_out
+        self.timeout_set = None
+        self.removed = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        if self._v is None:
+            raise ValueError("state does not exist")
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+        self.removed = True
+
+    def setTimeoutDuration(self, ms):  # noqa: N802 (GroupState API name)
+        self.timeout_set = ms
+
+
+def _batch(ids):
+    return iter([pd.DataFrame({"doc_id": ids})])
+
+
+def test_ttl_fresh_key_claims_min_and_arms_timeout():
+    claim = make_claim_fn(ttl_ms=60_000)
+    st = _FakeState()
+    out = pd.concat(list(claim(("0", "k"), _batch([7, 3, 9]), st)))
+    assert st.get == (3,)
+    assert st.timeout_set == 60_000
+    assert sorted(zip(out["doc_id"], out["owned"])) == [
+        (3, True), (7, False), (9, False),
+    ]
+
+
+def test_ttl_existing_claim_is_refreshed_never_reassigned():
+    claim = make_claim_fn(ttl_ms=60_000)
+    st = _FakeState(value=(3,))
+    out = pd.concat(list(claim(("0", "k"), _batch([1, 3]), st)))
+    # doc 1 < owner 3 but the claim is first-wins, not min-over-time
+    assert st.get == (3,)
+    assert st.timeout_set == 60_000  # refreshed on every presentation
+    assert sorted(zip(out["doc_id"], out["owned"])) == [
+        (1, False), (3, True),
+    ]
+
+
+def test_ttl_timeout_removes_claim_and_emits_nothing():
+    claim = make_claim_fn(ttl_ms=60_000)
+    st = _FakeState(value=(3,), timed_out=True)
+    assert list(claim(("0", "k"), iter([]), st)) == []
+    assert st.removed and not st.exists
+    # the key is claimable again: the next presenter wins it
+    st2 = _FakeState()
+    pd.concat(list(claim(("0", "k"), _batch([8]), st2)))
+    assert st2.get == (8,)
+
+
+def test_no_ttl_never_touches_timeout_api():
+    claim = make_claim_fn(ttl_ms=None)
+    st = _FakeState()
+    pd.concat(list(claim(("0", "k"), _batch([5]), st)))
+    assert st.get == (5,)
+    assert st.timeout_set is None

@@ -109,3 +109,59 @@ def test_blank_to_null_direction(spark):
     ).first()
     assert row["metadata"] is None
     assert row["url"] == "https://x"  # bug would have nulled this too
+
+
+def test_pyt_542_bug_divergence_pinned_through_update_layer_info(spark):
+    """VERDICT r10 #6: the documented-not-replicated reference bug gets
+    a DIVERGENCE pin through the real API, not just the nullif
+    primitive. ``.pyt:542-543`` reads ``if metadata == "": url = None``
+    -- a blank metadata parameter clobbers the URL column even when the
+    caller never touched url. Our update_layer_info coerces each column
+    independently (SURVEY section 1.2 'documented, not replicated'), so
+    a metadata-only blank update must leave a previously-set Url
+    standing."""
+    from weighted_raster_overlay_service_toolbox_spark.toolbox import (
+        create_wro_catalog,
+        update_layer_info,
+    )
+
+    layers = spark.createDataFrame([("elev", "Elevation")], "name string, title string")
+    cells = spark.createDataFrame(
+        [("elev", 1, 0.0), ("elev", 2, 100.0)],
+        "layer string, cell_id long, value double",
+    )
+    catalog, _ = create_wro_catalog(layers, cells)
+    seeded, errs = update_layer_info(
+        catalog, "elev", url="https://keep.example", metadata="stale"
+    )
+    assert errs.count() == 0
+
+    # the reference's bug window: metadata blanked, url NOT in the call
+    updated, errs2 = update_layer_info(seeded, "elev", metadata="")
+    assert errs2.count() == 0
+    row = updated.filter("Name = 'elev'").first()
+    assert row["Metadata"] is None  # blank -> NULL (R29)
+    assert row["Url"] == "https://keep.example"  # .pyt:542-543 would null this
+
+
+def test_layer_info_surface_follows_shipped_pyt_not_stale_xml():
+    """SURVEY section 1.2 schema-drift note, pinned (VERDICT r10 #6):
+    ``UpdateWROLayerInfo.pyt.xml:2`` still declares two NoData params
+    (``wroLayerNoDataRanges`` double, ``wroLayerNoDataRangeLabels``
+    string) that the shipped tool no longer exposes (``.pyt:351,
+    410-411`` -- the parameter list ends at the info URL). The engine
+    follows the SHIPPED surface: update_layer_info takes exactly the
+    four descriptive columns; NoData ranges are owned by the
+    classification path (update_classification / R41), never by the
+    layer-info update."""
+    import inspect
+
+    from weighted_raster_overlay_service_toolbox_spark.toolbox import (
+        update_layer_info,
+    )
+
+    params = list(inspect.signature(update_layer_info).parameters)
+    assert params == [
+        "catalog_df", "name", "title", "description", "url", "metadata",
+    ], params
+    assert not any("nodata" in p.lower() for p in params)

@@ -4470,7 +4470,7 @@ def _ann_pq_ctes(
     """Shared CTE list for the q_ann_pq / q_ann_pq_recall oracles: one
     prefixed unrolled-k-means chain per subspace (codes = {p}a{iters}
     against codebook {p}c{iters-1} -- the encode contract
-    kmeans_codebook_assign pins), then the ADC lookup as plain joins.
+    kmeans_grouped_codebook_assign pins), then the ADC lookup as plain joins.
     Per-subspace distances quantize to integer micro-units BEFORE the
     cross-subspace sum, so the total is a commutative BIGINT sum --
     immune to double summation-order divergence between engines -- and
@@ -4598,7 +4598,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k gate ranks INTEGERS (no rounded-double knife edge exists in
     this query by construction). The oracle unrolls one prefixed
     k-means CTE chain per subspace; codes are a{iters} assigned against
-    codebook c{iters-1} -- kmeans_codebook_assign exists precisely
+    codebook c{iters-1} -- kmeans_grouped_codebook_assign exists precisely
     because kmeans() returns the post-assignment update, and an
     off-by-one-update codebook biases every ADC distance.
 
@@ -4750,4 +4750,363 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(exact["probe_id"].alias("probe_id"))
         .agg(F.count(pq_top["pq_vec"]).cast("int").alias("n_hits"))
+    )
+
+
+# IVF x PQ composition knobs (round 11, VERDICT r10 #2). Tuned by the
+# (M, K, shortlist) recall sweep recorded in PLANS.md: M=16 subspaces of
+# 4 dims x K=64 centroids (96 code bits) with a 40-candidate ADC
+# shortlist + exact re-rank reaches the IVF coverage CEILING at every
+# fixture SF (recall@3 = 0.48 / 0.44 / 0.5733 at sf0.001/0.01/0.1 =
+# exactly the fraction of true neighbors the 5-bucket multi-probe set
+# admits), i.e. the PQ stage loses NOTHING on top of the IVF pruning --
+# and ties the exact-rank IVF baseline (q_ann_ivf's ranking) the
+# VERDICT r10 bar asks it to meet. The serving knobs are per-deployment:
+# at 100 TB you re-run the q_ann_ivfpq_recall harness on a sample.
+_IVFPQ_M, _IVFPQ_SUB, _IVFPQ_K, _IVFPQ_ITERS = 16, 4, 64, 3
+_IVFPQ_PROBES, _IVFPQ_SHORTLIST, _IVFPQ_TOPK = 25, 40, 3
+
+
+def _ann_ivfpq_ctes(
+    m: int = _IVFPQ_M, sub: int = _IVFPQ_SUB, k: int = _IVFPQ_K,
+    iterations: int = _IVFPQ_ITERS, n_probes: int = _IVFPQ_PROBES,
+    shortlist: int = _IVFPQ_SHORTLIST,
+) -> list[str]:
+    """Shared CTE list for the q_ann_ivfpq / q_ann_ivfpq_recall oracles:
+    the q_ann_pq codebook chains PLUS the q_ann_ivf sign-LSH candidate
+    gate (planes inlined as literals, 5-bucket multi-probe), an ADC
+    shortlist of ``shortlist`` rows per probe, and an exact-L2 re-rank
+    of the shortlist. All three rank gates (shortlist, re-rank, and the
+    recall leg) order INTEGER micro-units with vec_id tiebreak -- the
+    q_ann_pq knife-edge-free convention end to end. Ends with ``rrk`` =
+    (probe_id, vec_id, d2e_u, rnk)."""
+    from ..operators.similarity import _plane
+
+    ctes: list[str] = []
+    codes_sel, cents_sel, probe_sel = [], [], []
+    for j in range(m):
+        p = f"m{j}_"
+        src = (
+            f"list_slice(CAST(embedding AS DOUBLE[]),"
+            f" {j * sub + 1}, {(j + 1) * sub})"
+        )
+        ctes.extend(_kmeans_ctes(k, iterations, sub, prefix=p, src_expr=src))
+        codes_sel.append(
+            f"SELECT vec_id, {j} AS m, cluster AS code FROM {p}a{iterations}"
+        )
+        cents_sel.append(
+            f"SELECT {j} AS m, cluster, ce FROM {p}c{iterations - 1}"
+        )
+        probe_sel.append(
+            f"SELECT vec_id AS probe_id, {j} AS m, e AS q FROM {p}v"
+            f" WHERE vec_id < {n_probes}"
+        )
+    ctes.append("codes AS (" + " UNION ALL ".join(codes_sel) + ")")
+    ctes.append("cents AS (" + " UNION ALL ".join(cents_sel) + ")")
+    ctes.append("probes AS (" + " UNION ALL ".join(probe_sel) + ")")
+    # IVF gate over the SAME 1e-6-quantized grid the codebooks train on
+    # (q_ann_ivf buckets raw doubles; here one vector representation
+    # feeds bucket, codes, and re-rank -- both engines quantize first,
+    # so the sign gate stays bit-identical).
+    lits = [
+        "[" + ", ".join(repr(x) for x in _plane(64, s)) + "]" for s in range(4)
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {lits[i]}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(4)
+    )
+    ctes.append(
+        "fq AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),"
+        " x -> ROUND(x * 1000000) / 1000000.0) AS e FROM embeddings)"
+    )
+    ctes.append(f"vbk AS (SELECT vec_id, {bucket} AS bucket FROM fq)")
+    ctes.append(
+        f"pbk AS (SELECT vec_id AS probe_id, bucket AS pb FROM vbk"
+        f" WHERE vec_id < {n_probes})"
+    )
+    ctes.append(
+        "cand AS (SELECT p.probe_id, c.vec_id FROM vbk c JOIN pbk p"
+        " ON c.vec_id <> p.probe_id"
+        " AND c.bucket IN (p.pb, xor(p.pb, 1), xor(p.pb, 2),"
+        " xor(p.pb, 4), xor(p.pb, 8)))"
+    )
+    pd2 = (
+        "(list_dot_product(p.q, p.q) - 2 * list_dot_product(p.q, ct.ce)"
+        " + list_dot_product(ct.ce, ct.ce))"
+    )
+    ctes.append(
+        "pj AS (SELECT p.probe_id, c.vec_id,"
+        f" CAST(ROUND({pd2} * 1000000) AS BIGINT) AS pd2_u"
+        " FROM probes p JOIN codes c ON c.m = p.m"
+        " JOIN cents ct ON ct.m = c.m AND ct.cluster = c.code"
+        " JOIN cand cd ON cd.probe_id = p.probe_id AND cd.vec_id = c.vec_id)"
+    )
+    ctes.append(
+        "tot AS (SELECT probe_id, vec_id, CAST(SUM(pd2_u) AS BIGINT) AS d2u"
+        " FROM pj GROUP BY probe_id, vec_id)"
+    )
+    ctes.append(
+        "sl AS (SELECT probe_id, vec_id FROM ("
+        "SELECT probe_id, vec_id, ROW_NUMBER() OVER ("
+        "PARTITION BY probe_id ORDER BY d2u, vec_id) AS rk FROM tot)"
+        f" WHERE rk <= {shortlist})"
+    )
+    ed2 = (
+        "(list_dot_product(a.e, a.e) - 2 * list_dot_product(a.e, b.e)"
+        " + list_dot_product(b.e, b.e))"
+    )
+    ctes.append(
+        "rr AS (SELECT s.probe_id, s.vec_id,"
+        f" CAST(ROUND({ed2} * 1000000) AS BIGINT) AS d2e_u"
+        " FROM sl s JOIN fq a ON a.vec_id = s.probe_id"
+        " JOIN fq b ON b.vec_id = s.vec_id)"
+    )
+    ctes.append(
+        "rrk AS (SELECT probe_id, vec_id, d2e_u, ROW_NUMBER() OVER ("
+        "PARTITION BY probe_id ORDER BY d2e_u, vec_id) AS rnk FROM rr)"
+    )
+    return ctes
+
+
+def _ann_ivfpq_oracle() -> str:
+    ctes = _ann_ivfpq_ctes()
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT probe_id, vec_id, CAST(rnk AS INT) AS rnk,"
+        f" CAST(d2e_u / 1000000.0 AS DOUBLE) AS d2"
+        f" FROM rrk WHERE rnk <= {_IVFPQ_TOPK}"
+    )
+
+
+def _ann_ivfpq_recall_oracle() -> str:
+    """q_ann_ivfpq_recall: the IVFPQ chain plus an exact-L2 ground-truth
+    leg over the full corpus (NOT bucket-restricted -- the recall
+    denominator is the true top-k); integer micro-unit ranks on both
+    legs, the q_ann_pq_recall convention."""
+    ctes = _ann_ivfpq_ctes()
+    ed2 = (
+        "(list_dot_product(a.e, a.e) - 2 * list_dot_product(a.e, b.e)"
+        " + list_dot_product(b.e, b.e))"
+    )
+    ctes.append(
+        f"exact AS (SELECT a.vec_id AS probe_id, b.vec_id,"
+        f" ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY"
+        f" CAST(ROUND({ed2} * 1000000) AS BIGINT), b.vec_id) AS rnk"
+        f" FROM fq a JOIN fq b ON b.vec_id <> a.vec_id"
+        f" WHERE a.vec_id < {_IVFPQ_PROBES})"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT e.probe_id, CAST(COUNT(p.vec_id) AS INT) AS n_hits"
+        f" FROM (SELECT probe_id, vec_id FROM exact"
+        f" WHERE rnk <= {_IVFPQ_TOPK}) e"
+        f" LEFT JOIN (SELECT probe_id, vec_id FROM rrk"
+        f" WHERE rnk <= {_IVFPQ_TOPK}) p"
+        f" ON p.probe_id = e.probe_id AND p.vec_id = e.vec_id"
+        f" GROUP BY e.probe_id"
+    )
+
+
+@query("q_ann_ivfpq", oracle=_ann_ivfpq_oracle())
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF x PQ vector search (Jegou et al. 2011 section V: "IVFADC") --
+    the production composition q_ann_pq's docstring promises: the sign-LSH
+    inverted file (q_ann_ivf's 4 seeded hyperplanes, 5-bucket multi-probe)
+    prunes WHICH rows are scanned, the product-quantizer codes (16
+    subspaces x 64 centroids) shrink WHAT each candidate costs to rank,
+    and an exact re-rank of the 40-row ADC shortlist restores full
+    precision on the survivors. Top-3 per probe (vec_id < 25) by exact
+    L2 over the re-ranked shortlist.
+
+    Recall posture (the r11 sweep, PLANS.md): this config's recall@3
+    equals the IVF coverage ceiling at every fixture SF -- the PQ stage
+    loses nothing the bucket pruning hadn't already given up -- and ties
+    the exact-cosine-ranked q_ann_ivf baseline (0.44 at sf0.01).
+
+    Scale: the serving scan reads (vec_id, bucket, 16 x 1 B codes) --
+    never the 64 x 8 B embedding column -- joined to three broadcasts
+    (25-row probe bucket sets, 1024-row codebook, 400-row probe
+    sub-vectors); the ADC sum is one map-side-combinable integer agg
+    keyed (probe, vec); only the 25 x 40-row shortlist ever touches full
+    vectors again (one vec_id equi-join). At 1000 executors each stage
+    is embarrassingly bucket/key-parallel with no double-carrying
+    shuffle -- the IVFADC memory story at 100 TB: 128x less candidate
+    I/O than brute force AND 5/16 of the rows scanned.
+
+    Determinism: one 1e-6-quantized vector representation feeds the
+    bucket signs, the codebook training, and the re-rank; every rank
+    gate orders integer micro-units with vec_id tiebreak (the q_ann_pq
+    convention), so no rounded-double knife edge exists anywhere."""
+    from ..operators.kmeans import (
+        kmeans_grouped_codebook_assign,
+        quantize_vec,
+    )
+
+    emb = pin_corpus(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            quantize_vec(
+                F.col("embedding").cast("array<double>")
+            ).alias("e"),
+        )
+    )
+    vb = hyperplane_bucket(emb)
+    # (probe_id, [own bucket + 4 hamming-1 neighbors]) -- 25 rows.
+    probe_buckets = vb.filter(F.col("vec_id") < _IVFPQ_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(4)],
+        ).alias("pbs"),
+    )
+    # IVF gate: (probe_id, vec_id) candidate pairs -- the code relation
+    # streams against the 25-row broadcast, ~5/16 of rows survive per
+    # probe; no full-vector column rides this join.
+    cand = vb.select("vec_id", "bucket").join(
+        broadcast(probe_buckets),
+        F.array_contains(F.col("pbs"), F.col("bucket"))
+        & (F.col("vec_id") != F.col("probe_id")),
+    ).select("probe_id", "vec_id")
+    sub_parts = [
+        emb.select(
+            "vec_id",
+            F.lit(j).alias("m"),
+            F.slice("e", j * _IVFPQ_SUB + 1, _IVFPQ_SUB).alias("e"),
+        )
+        for j in range(_IVFPQ_M)
+    ]
+    vm = sub_parts[0]
+    for spart in sub_parts[1:]:
+        vm = vm.unionAll(spart)
+    codes_full, cents = kmeans_grouped_codebook_assign(
+        vm, k=_IVFPQ_K, iterations=_IVFPQ_ITERS
+    )
+    codes = codes_full.select("vec_id", "m", F.col("cluster").alias("code"))
+    probes = vm.filter(F.col("vec_id") < _IVFPQ_PROBES).select(
+        F.col("vec_id").alias("pp"),
+        F.col("m").alias("pm"),
+        F.col("e").alias("q"),
+    )
+    pd2 = (
+        dot_expr(F.col("q"), F.col("q"))
+        - 2 * dot_expr(F.col("q"), F.col("ce"))
+        + dot_expr(F.col("ce"), F.col("ce"))
+    )
+    cents_a = cents.select(
+        F.col("m").alias("cm"), F.col("cluster"), F.col("ce")
+    )
+    pj = (
+        codes.join(cand, "vec_id")
+        .join(broadcast(cents_a),
+              (F.col("m") == F.col("cm")) & (F.col("code") == F.col("cluster")))
+        .join(broadcast(probes),
+              (F.col("m") == F.col("pm"))
+              & (F.col("probe_id") == F.col("pp")))
+        .select(
+            "probe_id",
+            "vec_id",
+            duck_round(pd2 * F.lit(1_000_000.0)).cast("long").alias("pd2_u"),
+        )
+    )
+    tot = pj.groupBy("probe_id", "vec_id").agg(
+        F.sum("pd2_u").cast("long").alias("d2u")
+    )
+    w = Window.partitionBy("probe_id").orderBy("d2u", "vec_id")
+    sl = (
+        tot.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _IVFPQ_SHORTLIST)
+        .select("probe_id", "vec_id")
+    )
+    # exact re-rank: 25 x 40 shortlist rows broadcast back onto the
+    # full-vector relation -- the ONLY stage that touches embeddings
+    # after training.
+    pf = emb.filter(F.col("vec_id") < _IVFPQ_PROBES).select(
+        F.col("vec_id").alias("rp"), F.col("e").alias("pe")
+    )
+    ed2 = (
+        dot_expr(F.col("pe"), F.col("pe"))
+        - 2 * dot_expr(F.col("pe"), F.col("e"))
+        + dot_expr(F.col("e"), F.col("e"))
+    )
+    rr = (
+        emb.join(broadcast(sl), "vec_id")
+        .join(broadcast(pf), F.col("probe_id") == F.col("rp"))
+        .select(
+            "probe_id",
+            "vec_id",
+            duck_round(ed2 * F.lit(1_000_000.0)).cast("long").alias("d2e_u"),
+        )
+    )
+    wr = Window.partitionBy("probe_id").orderBy("d2e_u", "vec_id")
+    return (
+        rr.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= _IVFPQ_TOPK)
+        .select(
+            "probe_id",
+            "vec_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            (F.col("d2e_u") / F.lit(1_000_000.0)).cast("double").alias("d2"),
+        )
+    )
+
+
+@query("q_ann_ivfpq_recall", oracle=_ann_ivfpq_recall_oracle())
+def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the IVFADC search (q_ann_ivfpq) against exact-L2
+    ground truth over the FULL corpus -- the serving-config gate the
+    VERDICT r10 bar names: a production IVFPQ deployment is only as
+    good as (coverage of the probe set) x (shortlist quality), and this
+    harness measures the product. Output: (probe_id, n_hits), n_hits =
+    |exact top-3 ∩ IVFPQ top-3| per probe.
+
+    Measured at this config (M=16, K=64, shortlist=40): recall@3 ties
+    the IVF multi-probe coverage ceiling at all 3 fixture SFs (0.48 /
+    0.44 / 0.5733) = the exact-ranked IVF baseline -- i.e. quantization
+    costs zero recall after the re-rank, so the 128x candidate-I/O cut
+    is free at equal recall. tests/test_ann_ivfpq.py pins the >= bar.
+
+    Scale: the exact leg is probe-bounded (25 broadcast rows x corpus,
+    the q_cosine_topk shape); the IVFPQ leg shares q_ann_ivfpq's plan."""
+    from ..operators.kmeans import quantize_vec
+
+    ivfpq_top = q_ann_ivfpq(spark, sf_dir).select(
+        "probe_id", F.col("vec_id").alias("pq_vec")
+    )
+    fv = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        quantize_vec(F.col("embedding").cast("array<double>")).alias("e"),
+    )
+    probes = fv.filter(F.col("vec_id") < _IVFPQ_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
+    )
+    d2 = (
+        dot_expr(F.col("pe"), F.col("pe"))
+        - 2 * dot_expr(F.col("pe"), F.col("e"))
+        + dot_expr(F.col("e"), F.col("e"))
+    )
+    scored = (
+        fv.crossJoin(broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            duck_round(d2 * F.lit(1_000_000.0)).cast("long").alias("d2u"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy("d2u", "vec_id")
+    exact = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _IVFPQ_TOPK)
+        .select("probe_id", "vec_id")
+    )
+    return (
+        exact.join(
+            ivfpq_top,
+            (exact["probe_id"] == ivfpq_top["probe_id"])
+            & (exact["vec_id"] == ivfpq_top["pq_vec"]),
+            "left",
+        )
+        .groupBy(exact["probe_id"].alias("probe_id"))
+        .agg(F.count(ivfpq_top["pq_vec"]).cast("int").alias("n_hits"))
     )

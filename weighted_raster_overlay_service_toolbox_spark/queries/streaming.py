@@ -21,6 +21,8 @@ watermarks bound state, so the same plan runs unbounded on Kafka at
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -837,128 +839,63 @@ _SND_K, _SND_BANDS = 16, 8
 
 @query("q_stream_near_dup", oracle=_stream_near_dup_oracle(_SND_K, _SND_BANDS))
 def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INGEST-TIME near-duplicate suppression (round 10): the corpus
-    arrives as document batches, and each batch keeps only documents
-    whose MinHash band keys are ALL unclaimed -- the streaming form of
-    the q_dedup_minhash -> keep-one pipeline, with the accumulated
-    corpus represented by a keyed state store instead of a self-join.
-    This is the stateful stage a 100 TB ingest runs AFTER
-    q_stream_quality_filter: the dedup index lives with the stream, so
-    a near-dup of anything already ingested is dropped at the door
-    instead of being found by a batch sweep later.
+    """INGEST-TIME near-duplicate suppression (round 10; production
+    posture round 11, VERDICT r10 #3): the corpus arrives as document
+    batches, and each batch keeps only documents whose MinHash band keys
+    are ALL unclaimed -- the streaming form of the q_dedup_minhash ->
+    keep-one pipeline, with the accumulated corpus represented by a
+    keyed state store instead of a self-join. This is the stateful stage
+    a 100 TB ingest runs AFTER q_stream_quality_filter: the dedup index
+    lives with the stream, so a near-dup of anything already ingested is
+    dropped at the door instead of being found by a batch sweep later.
 
-    Mechanics: the stateless prefix computes the SAME portable MinHash
-    band keys as q_dedup_minhash (md5-60-bit base, 16 affine lanes,
-    8 bands of 2, band key = the slice VALUES joined as a string -- NOT
-    the xxhash64 bucket hash, because here a spurious hash collision
-    would wrongly DROP a document rather than just propose a filtered
-    pair). applyInPandasWithState keyed (band_idx, band_key) tracks one
-    owner doc_id per key: the first batch to present a key claims it
-    for its minimum doc_id (the group function sees the whole batch at
-    once, so the in-batch winner is deterministic, not arrival-order);
-    every row is emitted with owned = (doc_id == owner). foreachBatch
-    then keeps documents owning ALL {bands} of their keys -- a
-    batch-local aggregation, since a document's band rows never span
-    batches. Claim semantics match q_semantic_dedup's documented rule:
-    a DROPPED document still claims its fresh keys (drop-chains), which
-    is what a per-key state store can express and exactly what the
-    oracle's lexicographic-collision join replays.
+    Mechanics live in streaming/near_dup.py: the stateless prefix
+    (near_dup_band_keys) computes the SAME portable band keys as
+    q_dedup_minhash; applyInPandasWithState keyed (band_idx, band_key)
+    tracks one owner doc_id per key (make_claim_fn -- first presenting
+    batch claims for its minimum doc_id, drop-chains included, exactly
+    what the oracle's lexicographic-collision join replays); foreachBatch
+    reduces each batch to its survivors ("owns all bands of its keys",
+    batch-local since a doc's band rows never span batches) and writes
+    them to a parquet sink partitioned by batch_id with per-batch
+    overwrite -- idempotent under Structured Streaming's replay
+    contract, never driver-materialized (the r10 form collected
+    survivors onto the driver; at ingest scale the survivor stream is
+    corpus-sized). The state store is RocksDB (run_near_dup_ingest
+    default): the index is one long per distinct band key and grows with
+    corpus NOVELTY -- billions of entries at 100 TB, which the default
+    heap-backed provider cannot hold. tests/test_stream_crash_recovery.py
+    SIGKILLs this pipeline mid-stream on RocksDB and proves the resumed
+    run still hash-matches the batch oracle;
+    tests/test_stream_near_dup_state.py pins the state growth law
+    (rows == distinct band keys <= bands x docs) via the statestore
+    reader and the TTL knob's claim-expiry transitions.
 
     Scale: state is one long per distinct band key, partitioned by the
     (band_idx, band_key) shuffle the stateful op already pays -- the
-    state store IS the dedup index, and both grow with corpus novelty,
-    not corpus size. The emission is k/bands rows per document; the
-    survivor judgment is map-side per batch. Batch == stream by
-    construction: deterministic staging -> the oracle replays the batch
-    assignment and the claim rule as SQL over the same table."""
-    import pandas as pd  # noqa: F401  (worker-side)
+    state store IS the dedup index. The emission is k/bands rows per
+    document; the survivor judgment is map-side per batch. Batch ==
+    stream by construction: deterministic staging -> the oracle replays
+    the batch assignment and the claim rule as SQL over the same
+    table. The checkpoint + sink live in .scratch and are reset per run
+    so the availableNow replay is deterministic end to end."""
+    import shutil
 
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-    from ..operators.dedup import (
-        minhash_base_hashes,
-        minhash_signature_from_base,
-    )
+    from ..streaming.near_dup import near_dup_band_keys, run_near_dup_ingest
     from .llm import TOKS
 
-    r = _SND_K // _SND_BANDS
+    scratch_root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ".scratch",
+    )
+    sink_dir = os.path.join(scratch_root, "stream_near_dup_sink")
+    ckpt_dir = os.path.join(scratch_root, "stream_near_dup_ckpt")
+    shutil.rmtree(sink_dir, ignore_errors=True)
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
+
     staged = stage_document_files(spark, sf_dir, "near_dup")
-    based = read_document_stream(spark, staged, files_per_trigger=1).select(
-        "doc_id", minhash_base_hashes(F.array_distinct(TOKS())).alias("_base")
+    docs = read_document_stream(spark, staged, files_per_trigger=1)
+    keys = near_dup_band_keys(docs, TOKS(), k=_SND_K, bands=_SND_BANDS)
+    return run_near_dup_ingest(
+        spark, keys, _SND_BANDS, sink_dir, ckpt_dir, use_rocksdb=True
     )
-    sig = based.select(
-        "doc_id",
-        minhash_signature_from_base(F.col("_base"), _SND_K).alias("sig"),
-    )
-    keys = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col("sig")[b * r + i].cast("string")
-                            for i in range(r)
-                        ],
-                    )
-                    for b in range(_SND_BANDS)
-                ]
-            )
-        ).alias("band_idx", "band_key"),
-    )
-
-    def claim(key, pdfs, state: GroupState):
-        import pandas as pd
-
-        ids: list[int] = []
-        for pdf in pdfs:
-            ids.extend(int(x) for x in pdf["doc_id"].tolist())
-        owner = state.get[0] if state.exists else min(ids)
-        if not state.exists:
-            state.update((int(owner),))
-        yield pd.DataFrame(
-            {"doc_id": ids, "owned": [i == owner for i in ids]}
-        )
-
-    claimed = keys.groupBy("band_idx", "band_key").applyInPandasWithState(
-        claim,
-        outputStructType="doc_id long, owned boolean",
-        stateStructType="owner long",
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
-
-    captured: list = []
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        # batch-local survivor judgment: a doc's band rows never span
-        # batches, so "owns all its keys" is one small aggregation here
-        surv = (
-            batch_df.groupBy("doc_id")
-            .agg(
-                F.sum(F.when(F.col("owned"), 1).otherwise(0)).alias("n_own"),
-                F.count(F.lit(1)).alias("n_bands"),
-            )
-            .filter(
-                (F.col("n_own") == _SND_BANDS)
-                & (F.col("n_bands") == _SND_BANDS)
-            )
-            .select("doc_id")
-            .collect()
-        )
-        captured.append((batch_id, surv))
-
-    q = (
-        claimed.writeStream.foreachBatch(sink)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    rows = [
-        (int(batch_id), int(rw["doc_id"]))
-        for batch_id, batch_rows in captured
-        for rw in batch_rows
-    ]
-    return spark.createDataFrame(rows, "batch_id int, doc_id long")

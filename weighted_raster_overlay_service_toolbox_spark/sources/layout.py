@@ -59,6 +59,28 @@ MANIFEST = "_layout.json"
 _LANGS = ["en", "zh", "es", "fr", "de"]
 
 
+def _src_bytes(path: str) -> int:
+    """Source-size estimator for the bytes/leaf arithmetic. The fixture
+    tables are single parquet FILES; if one ever ships as a
+    directory-style parquet, ``os.path.getsize`` would return the inode
+    size (~4 KB) and silently force the coarsest scheme (ADVICE r10), so
+    sum the part files instead and fail loudly on anything else."""
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    if os.path.isdir(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+        if total == 0:
+            raise ValueError(f"no parquet part files under {path}")
+        return total
+    raise FileNotFoundError(path)
+
+
 def _doc_zkey():
     from ..operators.layout import zorder_key_nd
 
@@ -97,7 +119,7 @@ def write_layout(
     manifest: dict = {}
 
     ev = load_table(spark, sf_dir, "events")
-    ev_bytes = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    ev_bytes = _src_bytes(os.path.join(sf_dir, "events.parquet"))
     evd = ev.withColumn("event_date", F.to_date("ts")).withColumn(
         "event_month", F.trunc("ts", "month")
     )
@@ -163,7 +185,7 @@ def write_layout(
     # target ``target_leaf_bytes`` each, with a floor of 8 so fixture-
     # scale scans keep task parallelism (the r9 rehearsal's honest
     # negative: a single-row-group file caps the scan at one task).
-    doc_bytes = os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
+    doc_bytes = _src_bytes(os.path.join(sf_dir, "documents.parquet"))
     n_files = max(8, -(-doc_bytes // max(target_leaf_bytes, 1)))
     write_zordered(docs, f"{out_dir}/documents", _doc_zkey(), n_files=n_files)
     manifest["documents"] = {
