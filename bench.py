@@ -116,6 +116,9 @@ def main() -> None:
         "q_ann_pq",                # PQ encode + ADC top-k
         "q_ann_pq_recall",         # ADC-vs-exact recall harness
         "q_stream_near_dup",       # ingest-time band-key state dedup
+        # round-11 additions (the IVFADC serving composition)
+        "q_ann_ivfpq",             # IVF prune + ADC shortlist + re-rank
+        "q_ann_ivfpq_recall",      # IVFPQ-vs-exact recall harness
     ]
 
     def materialize(df) -> None:

@@ -74,6 +74,10 @@ PROBES = [
     # r10 additions: PQ training shuffles + the band-key state store
     "q_ann_pq",
     "q_stream_near_dup",
+    # r11 addition: the IVFADC composition (16 joint codebooks + bucket
+    # gate + shortlist re-rank -- the heaviest training stage in the
+    # ANN family, so its decade ratio gets tracked)
+    "q_ann_ivfpq",
     # host-drift sentinel (unchanged since r1)
     "q_join_inner",
 ]

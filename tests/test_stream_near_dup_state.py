@@ -41,6 +41,7 @@ from weighted_raster_overlay_service_toolbox_spark.streaming.engine import (
 from weighted_raster_overlay_service_toolbox_spark.streaming.near_dup import (
     make_claim_fn,
     near_dup_band_keys,
+    near_dup_index_snapshot,
     run_near_dup_ingest,
 )
 
@@ -82,6 +83,22 @@ def test_state_rows_equal_distinct_band_keys(spark):
     # one state entry per key, none empty (the Python stateful op stores
     # the user tuple under value.groupState)
     assert state.filter(F.col("value").isNull()).count() == 0
+
+    # the RocksDB provider actually engaged: its checkpoint layout has
+    # no HDFSBackedStateStore .delta version files. (Caught live in
+    # r11: setting the provider conf on the CALLER's session silently
+    # left the stream -- which runs on engine.stream_session's clone --
+    # on the default heap provider.)
+    state_root = os.path.join(ckpt, "state")
+    deltas = [
+        f
+        for root, _dirs, files in os.walk(state_root)
+        for f in files
+        if f.endswith(".delta")
+    ]
+    assert not deltas, (
+        f"heap-backed provider engaged (found {len(deltas)} .delta files)"
+    )
 
     # sink layout: one batch_id=<n> partition per staged file
     parts = {
@@ -164,3 +181,75 @@ def test_no_ttl_never_touches_timeout_api():
     pd.concat(list(claim(("0", "k"), _batch([5]), st)))
     assert st.get == (5,)
     assert st.timeout_set is None
+
+
+def test_snapshot_preload_equals_continuous_stream(spark):
+    """The compaction knob (VERDICT r10 #5): snapshot the claim index
+    after an ingest window, then run a FRESH stream (empty state, new
+    checkpoint) over the REMAINING corpus with the snapshot as
+    claimed_index_path -- survivors must equal the single continuous
+    run's, batch for batch. This is what makes periodic state
+    compaction safe: suppression only needs claim EXISTENCE, which the
+    anti-join preserves exactly."""
+    import glob
+
+    base = os.path.join(SCRATCH, "neardup_split")
+    for d in ("a", "b", "full", "sink_a", "sink_b", "sink_f",
+              "ckpt_a", "ckpt_b", "ckpt_f", "idx"):
+        shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+
+    staged = stage_document_files(spark, SF_SMOKE, "neardup_splitsrc")
+    parts = sorted(glob.glob(os.path.join(staged, "batch_*.parquet")))
+    assert len(parts) == 4, parts
+    half_a = os.path.join(base, "a")
+    half_b = os.path.join(base, "b")
+    for dst, srcs in ((half_a, parts[:2]), (half_b, parts[2:])):
+        os.makedirs(dst, exist_ok=True)
+        for p in srcs:
+            shutil.copytree(p, os.path.join(dst, os.path.basename(p)))
+
+    def ingest(staged_dir, tag, index_path=None):
+        docs = read_document_stream(spark, staged_dir, files_per_trigger=1)
+        keys = near_dup_band_keys(docs, TOKS(), k=_SND_K, bands=_SND_BANDS)
+        return run_near_dup_ingest(
+            spark, keys, _SND_BANDS,
+            os.path.join(base, f"sink_{tag}"),
+            os.path.join(base, f"ckpt_{tag}"),
+            use_rocksdb=True,
+            claimed_index_path=index_path,
+        )
+
+    # continuous reference over all 4 batches
+    full = {
+        (r.batch_id, r.doc_id) for r in ingest(staged, "f").collect()
+    }
+    # window A (batches 0-1) -> snapshot -> fresh window B (batches 2-3)
+    surv_a = {
+        (r.batch_id, r.doc_id) for r in ingest(half_a, "a").collect()
+    }
+    idx_path = os.path.join(base, "idx")
+    near_dup_index_snapshot(spark, os.path.join(base, "ckpt_a")).write.parquet(
+        idx_path
+    )
+    surv_b = {
+        (r.batch_id + 2, r.doc_id)
+        for r in ingest(half_b, "b", index_path=idx_path).collect()
+    }
+    assert surv_a | surv_b == full, (
+        sorted(surv_a | surv_b), sorted(full),
+    )
+    # and the fresh window's live state holds ONLY post-snapshot novelty
+    n_b = (
+        spark.read.format("statestore")
+        .option("path", os.path.join(base, "ckpt_b"))
+        .load()
+        .count()
+    )
+    n_idx = spark.read.parquet(idx_path).count()
+    n_full = (
+        spark.read.format("statestore")
+        .option("path", os.path.join(base, "ckpt_f"))
+        .load()
+        .count()
+    )
+    assert n_b + n_idx == n_full, (n_b, n_idx, n_full)

@@ -233,7 +233,73 @@ from . import tpch  # noqa: F401,E402
 # q_json_extract, q_pii_scrub, q_sink_*_roundtrip, q_str_levenshtein,
 # q_subquery_exists, q_token_count, q_ts_funcs, q_udf_scalar,
 # q_unpivot, ...).
+# ROUND-11 ADDITIONS (after the plan above was written): q_ann_ivfpq
+# (registry 245 -> 246: the IVFADC composition q_ann_pq's docstring
+# promised -- sign-LSH bucket pruning over PQ codes, 40-row ADC
+# shortlist, exact re-rank; M=16/K=64 tuned by the recall sweep in
+# PLANS.md round 11; 3-SF parity-exact on arrival) and
+# q_ann_ivfpq_recall (246 -> 247: IVFPQ recall@3 vs exact-L2 ground
+# truth -- ties the IVF coverage ceiling at every fixture SF). Both
+# join the r11 window below. q_stream_near_dup's Spark side CHANGED in
+# r11 (parquet survivor sink + RocksDB state store, value-identical --
+# 3-SF parity re-verified) so its first witness grades the new form.
+# LATE-R11 ADDITION: q_stream_near_dup_compact (registry 247 -> 248:
+# the state-compaction boundary -- window A -> statestore snapshot ->
+# fresh window B with the claimed-index anti-join preload; output
+# byte-identical to the continuous run, so it SHARES
+# q_stream_near_dup's oracle verbatim; 3-SF parity-exact on arrival,
+# r12 window grades it).
+# ROUND-12 ROTATION PLAN: after the r11 window grades, cumulative
+# driver-green should be 247/248 (only the late-r11
+# q_stream_near_dup_compact unwitnessed). The r12 window = flagships +
+# q_stream_near_dup_compact + any r12-changed/added queries + the
+# rest of the r5-last re-grade band (q_pack_sequences, q_simhash,
+# q_span_dedup, q_span_dedup_hashed, q_stream_agg_update,
+# q_stream_stateful_custom, q_stream_static_join, q_stream_stream_join,
+# q_text_normalize, ...) + the oldest r6-last entries.
 _DRIVER_WINDOW = [
+    # == ROUND-11 WINDOW ==
+    # Executes VERDICT r10 'Next round' #1 (+#2's additions): flagships
+    # + ALL five never-driver-graded rows -- the three late-r10
+    # additions (q_ann_pq, q_ann_pq_recall, q_stream_near_dup; each
+    # 3-SF parity-exact on arrival, and q_stream_near_dup's r11
+    # production-sink change is re-parity-verified so its first grade
+    # witnesses the shipped form) and the two r11 additions
+    # (q_ann_ivfpq, q_ann_ivfpq_recall) -- + the full r4-last re-grade
+    # band (23 queries, the oldest remaining evidence) + the first 13
+    # of the r5-last band. Done = CORRECTNESS_r11 50/50 green =>
+    # cumulative driver-green 247/247 (zero witness debt for the first
+    # time) AND no registry row older than r5 evidence.
+    #
+    # -- permanent flagships (q_sink_partitioned keeps the
+    #    every-window-exercises-a-sink invariant of tests/test_registry.py)
+    "q_wro_overlay", "q_sink_partitioned",
+    "q_dedup_exact", "q_cosine_topk", "q_tfidf", "q_corpus_pipeline",
+    "q_sql_api", "q_agg_group", "q_win_rank",
+    #
+    # -- never driver-graded: late-r10 + r11 additions --
+    "q_ann_pq", "q_ann_pq_recall", "q_stream_near_dup",
+    "q_ann_ivfpq", "q_ann_ivfpq_recall",
+    #
+    # -- the full r4-last re-grade band --
+    "q_agg_approx_quantile", "q_agg_bool", "q_bitwise_funcs",
+    "q_cast_types", "q_cond_funcs", "q_csv_encode", "q_custom_source",
+    "q_date_funcs", "q_doc_length_hist", "q_explode", "q_json_extract",
+    "q_pii_scrub", "q_sink_csv_roundtrip", "q_sink_json_roundtrip",
+    "q_sink_orc_roundtrip", "q_sink_parquet", "q_str_levenshtein",
+    "q_subquery_exists", "q_text_top_terms", "q_token_count",
+    "q_ts_funcs", "q_udf_scalar", "q_unpivot",
+    #
+    # -- r5-last re-grade band, 13 fills (q_scan_dpp keeps the
+    #    every-window-exercises-a-scan-family invariant; q_pack_sequences
+    #    moves to the r12 band) --
+    "q_agg_salted", "q_array_agg", "q_array_funcs",
+    "q_catalog_time_travel", "q_chunk_documents", "q_filter_layers",
+    "q_hof_funcs", "q_join_inner", "q_join_salted", "q_map_funcs",
+    "q_multimodal_decode", "q_multimodal_struct", "q_scan_dpp",
+]
+
+_ROUND10_WINDOW = [
     # == ROUND-10 WINDOW ==
     # Executes VERDICT r9 'Next round' #2 exactly: flagships + the two
     # never-driver-graded late-r9 additions (q_source_overlap_sketch,
@@ -281,53 +347,6 @@ _DRIVER_WINDOW = [
     "q_wro_remap", "q_wro_schema_check", "q_wro_unique_ranges",
 ]
 
-_ROUND9_WINDOW = [
-    # == ROUND-9 WINDOW (kept for the audit trail) ==
-    # Executes VERDICT r8 'Next round' #1 exactly: flagships + ALL 22
-    # never-driver-graded r8 additions (each 3-SF parity-exact on
-    # arrival and independently judge-verified 22/22 at sf0.01 in the
-    # r8 session) + the queries whose code changed in r9
-    # (q_semantic_dedup: bounded auto-cap default, VERDICT r8 #1;
-    # q_triangle_count: degree-broadcast hints dropped, VERDICT r8 #2;
-    # q_lang_entropy/q_stream_lang_mix: shared scorer extraction,
-    # ADVICE r9; q_ann_recall: K constant; q_knn_graph /
-    # q_entity_resolution / q_semantic_clusters: pin_parallelism helper
-    # -- all already inside the 22) + r1-only re-grade fills. Done =
-    # CORRECTNESS_r09 50/50 green => cumulative driver-green 240/240,
-    # evidence end-state v2. The remaining r1-only re-grades
-    # (q_union_*, q_intersect, q_str_split_index, q_str_regex,
-    # q_filter_*) continue in r10.
-    #
-    # -- permanent flagships (q_sink_partitioned keeps the
-    #    every-window-exercises-a-sink invariant of tests/test_registry.py)
-    "q_wro_overlay", "q_sink_partitioned",
-    "q_dedup_exact", "q_cosine_topk", "q_tfidf", "q_corpus_pipeline",
-    "q_sql_api", "q_agg_group", "q_win_rank",
-    #
-    # -- changed in r9: bounded occupancy-census cap is now the default
-    #    (operators/similarity.py semantic_dedup + mirrored oracle) --
-    "q_semantic_dedup",
-    #
-    # -- the 22 r8 additions: first driver grade --
-    "q_dedup_bloom", "q_logprob_strata", "q_weighted_sample",
-    "q_entity_resolution",
-    "q_triangle_count",       # + r9: degree-broadcast hints dropped
-    "q_bigram_lm", "q_embed_outliers", "q_bm25", "q_source_drift",
-    "q_skew_keys", "q_prefix_dedup", "q_source_overlap",
-    "q_vocab_coverage", "q_outliers_mad", "q_sketch_calibration",
-    "q_ann_recall", "q_lang_entropy", "q_knn_graph", "q_decay_agg",
-    "q_stream_lang_mix", "q_join_asof_nearest", "q_semantic_clusters",
-    #
-    # -- fills: family coverage + oldest r1-only re-grades --
-    "q_scan_full",                                  # scan family (r1-only)
-    "q_join_right", "q_join_cross", "q_join_theta",
-    "q_join_range", "q_join_broadcast",
-    "q_win_lead_lag", "q_win_running", "q_win_frame_rows",
-    "q_win_ntile_first_last",
-    "q_agg_global", "q_agg_distinct", "q_agg_having", "q_agg_filtered",
-    "q_agg_rollup", "q_agg_cube", "q_agg_argmax",
-    "q_str_funcs",
-]
 
 
 def _prioritize() -> None:

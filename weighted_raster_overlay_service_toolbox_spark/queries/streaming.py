@@ -899,3 +899,85 @@ def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_near_dup_ingest(
         spark, keys, _SND_BANDS, sink_dir, ckpt_dir, use_rocksdb=True
     )
+
+
+@query(
+    "q_stream_near_dup_compact",
+    oracle=_stream_near_dup_oracle(_SND_K, _SND_BANDS),
+)
+def q_stream_near_dup_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_stream_near_dup with a STATE-COMPACTION boundary in the middle
+    (round 11, VERDICT r10 #5): ingest the first half of the corpus,
+    snapshot the claim index to parquet through the statestore reader
+    (near_dup_index_snapshot), then ingest the second half as a FRESH
+    stream -- empty state, new checkpoint -- with the snapshot preloaded
+    via run_near_dup_ingest's claimed_index_path anti-join. The output
+    is BYTE-IDENTICAL to the continuous q_stream_near_dup run (it shares
+    that query's oracle verbatim): suppression needs claim EXISTENCE,
+    never owner identity, so snapshot-claimed keys anti-joined out of
+    the key stream fail a toucher's owns-all-bands gate exactly as the
+    live state would. That equality IS the operational story: a 100 TB
+    ingest bounds its state store by compacting on this boundary
+    whenever the index outgrows executor-local RocksDB -- the live
+    store restarts at zero and grows only with post-snapshot novelty
+    (tests/test_stream_near_dup_state.py additionally pins
+    state_B + index == state_full row-for-row), while the parquet index
+    side scales as an anti-join input (Bloom-routable at the extreme,
+    the q_dedup_bloom rule).
+
+    Scale: both windows are the q_stream_near_dup plan; the boundary
+    adds one statestore scan + one parquet write + a band-key-keyed
+    stream-static anti-join. Batch ids of window B shift by window A's
+    batch count so the combined output replays the oracle's single-run
+    batch assignment."""
+    import glob
+    import shutil
+
+    from ..streaming.near_dup import (
+        near_dup_band_keys,
+        near_dup_index_snapshot,
+        run_near_dup_ingest,
+    )
+    from .llm import TOKS
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ".scratch",
+        "stream_near_dup_compact",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+
+    staged = stage_document_files(spark, sf_dir, "near_dup")
+    parts = sorted(glob.glob(os.path.join(staged, "batch_*.parquet")))
+    n_a = len(parts) // 2
+    half_a = os.path.join(base, "a")
+    half_b = os.path.join(base, "b")
+    for dst, srcs in ((half_a, parts[:n_a]), (half_b, parts[n_a:])):
+        os.makedirs(dst, exist_ok=True)
+        for part in srcs:
+            shutil.copytree(part, os.path.join(dst, os.path.basename(part)))
+
+    def ingest(staged_dir: str, tag: str, idx: str | None = None) -> DataFrame:
+        docs = read_document_stream(spark, staged_dir, files_per_trigger=1)
+        keys = near_dup_band_keys(docs, TOKS(), k=_SND_K, bands=_SND_BANDS)
+        return run_near_dup_ingest(
+            spark,
+            keys,
+            _SND_BANDS,
+            os.path.join(base, f"sink_{tag}"),
+            os.path.join(base, f"ckpt_{tag}"),
+            use_rocksdb=True,
+            claimed_index_path=idx,
+        )
+
+    surv_a = ingest(half_a, "a")
+    idx_path = os.path.join(base, "idx")
+    near_dup_index_snapshot(spark, os.path.join(base, "ckpt_a")).select(
+        "band_idx", "band_key"
+    ).write.parquet(idx_path)
+    surv_b = ingest(half_b, "b", idx=idx_path)
+    return surv_a.unionByName(
+        surv_b.withColumn(
+            "batch_id", (F.col("batch_id") + F.lit(n_a)).cast("int")
+        )
+    )

@@ -167,6 +167,37 @@ def near_dup_claims(
     )
 
 
+def near_dup_index_snapshot(
+    spark: SparkSession, checkpoint_dir: str
+) -> DataFrame:
+    """The claim index read back from a near-dup checkpoint via Spark's
+    ``statestore`` data source: (band_idx, band_key, owner) -- one row
+    per claimed key. This is the COMPACTION half of the state-bounding
+    story (VERDICT r10 #5, complementing the TTL knob): periodically
+    snapshot the index to parquet, then start a FRESH stream (empty
+    state, new checkpoint) passing the snapshot as ``claimed_index`` to
+    :func:`run_near_dup_ingest` -- the old claims keep suppressing via
+    a stream-static anti-join while the live state store restarts at
+    zero and grows only with post-snapshot novelty. At 100 TB the
+    snapshot is also where a Bloom filter gets built (the q_dedup_bloom
+    machinery): route only maybe-seen keys through the join, which
+    never changes answers, only skips work.
+
+    Read in the session that ran (or runs) streams: the statestore
+    reader on a RocksDB checkpoint needs the driver's
+    StateStoreCoordinator, which exists only after a streaming query
+    has started in the process -- the natural compaction cadence
+    (snapshot right after an ingest window) satisfies this for free."""
+    raw = (
+        spark.read.format("statestore").option("path", checkpoint_dir).load()
+    )
+    return raw.select(
+        F.col("key.band_idx").alias("band_idx"),
+        F.col("key.band_key").alias("band_key"),
+        F.col("value.groupState.owner").alias("owner"),
+    )
+
+
 def run_near_dup_ingest(
     spark: SparkSession,
     keys: DataFrame,
@@ -175,6 +206,7 @@ def run_near_dup_ingest(
     checkpoint_dir: str,
     use_rocksdb: bool = True,
     ttl_minutes: int | None = None,
+    claimed_index_path: str | None = None,
     _on_batch_end: Callable[[int], None] | None = None,
 ) -> DataFrame:
     """Run the claim stream to a parquet survivor sink; returns the
@@ -186,7 +218,30 @@ def run_near_dup_ingest(
     never span micro-batches), so ``foreachBatch`` reduces the batch
     with one small keyed aggregation and writes ``sink_dir/
     batch_id=<n>`` with overwrite: idempotent under replay, partitioned
-    for downstream batch-id pruning, never driver-materialized."""
+    for downstream batch-id pruning, never driver-materialized.
+
+    ``claimed_index_path`` (a parquet dir holding (band_idx, band_key)
+    rows, e.g. a written :func:`near_dup_index_snapshot`) preloads prior
+    claims into a FRESH stream without preloading state: index-claimed
+    keys are removed from the key stream by a stream-static anti-join
+    BEFORE the stateful op, so a document touching any of them loses
+    that band row and automatically fails the owns-all-``bands``
+    survivor gate -- byte-equivalent to having continued the original
+    stream (the owner identity of an old claim never matters for
+    suppression, only its existence), while the live state grows only
+    with post-snapshot novelty (the corpus-sized index streams through
+    the join; it never touches the driver). At scale, front the join
+    with a Bloom filter built from the same snapshot (the q_dedup_bloom
+    routing rule: maybe-seen keys take the join, definite-new skip it
+    -- never changes answers). tests/test_stream_near_dup_state.py pins
+    the split-vs-continuous equivalence."""
+    if claimed_index_path is not None:
+        # load the static side in the STREAM's session (the private
+        # clone) so both plan halves live in one session.
+        idx = keys.sparkSession.read.parquet(claimed_index_path).select(
+            "band_idx", "band_key"
+        )
+        keys = keys.join(idx, ["band_idx", "band_key"], "left_anti")
     claimed = near_dup_claims(keys, ttl_minutes)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -209,9 +264,15 @@ def run_near_dup_ingest(
             # sink written, commit marker not yet (the replay window).
             _on_batch_end(batch_id)
 
-    prev = spark.conf.get(_PROVIDER_KEY, None)
+    # The stream executes on the PRIVATE cloned session the staged
+    # reader built (engine.stream_session), not the caller's -- the
+    # provider conf must land on THAT session or the default
+    # heap-backed provider silently engages (caught by the .delta-vs-
+    # RocksDB layout pin in tests/test_stream_near_dup_state.py).
+    stream_spark = claimed.sparkSession
+    prev = stream_spark.conf.get(_PROVIDER_KEY, None)
     if use_rocksdb:
-        spark.conf.set(_PROVIDER_KEY, ROCKSDB_PROVIDER)
+        stream_spark.conf.set(_PROVIDER_KEY, ROCKSDB_PROVIDER)
     try:
         q = (
             claimed.writeStream.foreachBatch(sink)
@@ -223,12 +284,13 @@ def run_near_dup_ingest(
         q.awaitTermination()
     finally:
         # the provider conf is captured at query START; restoring after
-        # awaitTermination cannot affect this run, only later sessions.
+        # awaitTermination cannot affect this run, only later queries on
+        # the shared clone.
         if use_rocksdb:
             if prev is None:
-                spark.conf.unset(_PROVIDER_KEY)
+                stream_spark.conf.unset(_PROVIDER_KEY)
             else:
-                spark.conf.set(_PROVIDER_KEY, prev)
+                stream_spark.conf.set(_PROVIDER_KEY, prev)
     return (
         spark.read.option("basePath", sink_dir)
         .parquet(os.path.join(sink_dir, "batch_id=*"))
