@@ -134,3 +134,60 @@ def test_frame_sample_expands_rows(spark):
     sample = out.filter(F.col("id") == 0).orderBy("frame_idx").collect()
     assert [r["frame_idx"] for r in sample] == list(range(len(sample)))
     assert all(r["byte_offset"] == r["frame_idx"] * 40 for r in sample)
+
+
+def _ppm_bytes(w: int, h: int, pixels: bytes) -> bytes:
+    assert len(pixels) == w * h * 3
+    return f"P6\n{w} {h}\n255\n".encode() + pixels
+
+
+def test_ahash_exact_known_image(spark):
+    """Hand-computed aHash: a 4x1 image whose 4 pixels gray to
+    (30, 30, 300, 300) under r+g+b. n=4, bits=16 => pixel i lands in
+    block 4i (blocks 0,4,8,12); total=660, per-block n_j=1, so
+    bit = (gray * 4 >= 660) => pixels 2,3 set => phash =
+    (1<<8) | (1<<12) = 4352."""
+    from weighted_raster_overlay_service_toolbox_spark.operators.multimodal import (
+        ahash_ppm,
+    )
+
+    px = bytes([10, 10, 10, 10, 10, 10, 100, 100, 100, 100, 100, 100])
+    df = spark.createDataFrame(
+        [(1, _ppm_bytes(4, 1, px))], "id long, payload binary"
+    )
+    rows = ahash_ppm(df, "id", "payload").collect()
+    assert [(r.id, r.phash) for r in rows] == [(1, (1 << 8) | (1 << 12))]
+
+
+def test_ahash_brightness_shift_invariance(spark):
+    """The aHash mean-threshold rule is EXACTLY invariant to a uniform
+    brightness shift: adding c to every gray value adds c*n_j*n to both
+    sides of sum_j * n >= total * n_j. A re-exposed copy of an image
+    therefore hashes identically -- the property that makes perceptual
+    dedup catch what checksum dedup cannot."""
+    from weighted_raster_overlay_service_toolbox_spark.operators.multimodal import (
+        ahash_ppm,
+    )
+
+    base = bytes([7, 3, 12, 40, 2, 9, 99, 98, 97, 20, 21, 22,
+                  5, 5, 5, 80, 70, 60])  # 6 pixels, 2x3
+    shifted = bytes(min(255, b + 10) for b in base)
+    assert max(base) + 10 <= 255  # the shift stayed uniform (no clamp)
+    df = spark.createDataFrame(
+        [(1, _ppm_bytes(2, 3, base)), (2, _ppm_bytes(2, 3, shifted))],
+        "id long, payload binary",
+    )
+    got = {r.id: r.phash for r in ahash_ppm(df, "id", "payload").collect()}
+    assert got[1] == got[2], got
+
+
+def test_ahash_rejects_malformed(spark):
+    from weighted_raster_overlay_service_toolbox_spark.operators.multimodal import (
+        ahash_ppm,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"P5\n2 2\n255\n" + b"x" * 12)], "id long, payload binary"
+    )
+    with pytest.raises(Exception, match="P6|PPM"):
+        ahash_ppm(df, "id", "payload").collect()

@@ -33,6 +33,7 @@ from .conftest import SF_SMOKE
 #: documented bulk path, exercised by unit tests.
 PYTHON_EVAL_ALLOWED = {
     "q_multimodal_decode",
+    "q_multimodal_phash_dedup",
     "q_multimodal_framesample",
     "q_multimodal_resize",
     "q_pack_sequences",

@@ -197,3 +197,76 @@ def frame_sample(
     return df.mapInPandas(
         run, "id long, frame_idx int, byte_offset long, frame_checksum string"
     )
+
+
+def parse_ppm_raster(payload: bytes) -> tuple[int, int, bytes]:
+    """Header-parse a P6 payload and return (width, height, raster
+    bytes) -- the raw-pixel access :func:`ahash_ppm` needs (parse_ppm
+    returns aggregate features only). Same validation / failure
+    contract as :func:`parse_ppm`."""
+    toks, off = _header_tokens(payload, 4)
+    if toks[0] != b"P6":
+        raise ValueError(f"not a P6 PPM (magic {toks[0]!r})")
+    width, height, maxval = int(toks[1]), int(toks[2]), int(toks[3])
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad PPM dimensions {width}x{height}")
+    if not 0 < maxval < 256:
+        raise ValueError(f"unsupported PPM maxval {maxval} (1-byte samples only)")
+    n = width * height * 3
+    raster = payload[off : off + n]
+    if len(raster) < n:
+        raise ValueError(f"short PPM raster: need {n} bytes, have {len(raster)}")
+    return width, height, raster
+
+
+def ahash_ppm(
+    df: DataFrame, id_col: str, payload_col: str, bits: int = 16
+) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint of each PPM payload:
+    binary -> (id, phash int). The classic image-dedup sketch
+    (grayscale, coarse spatial pooling, threshold-at-the-mean, one bit
+    per cell) expressed INTEGER-EXACTLY so a SQL oracle can replay it:
+
+    - grayscale per pixel = r + g + b (x3 scaling instead of /3 -- no
+      division anywhere);
+    - pixel i (0-based, raster order) pools into block
+      ``j = i * bits // n`` (n = w*h) -- the balanced contiguous
+      partition both numpy and SQL integer division reproduce;
+    - bit_j = 1 iff ``sum_j * n >= total * n_j`` (cross-multiplied
+      mean comparison -- all BIGINT, no float, no rounding knife edge);
+      blocks with no pixels (n < bits) contribute 0;
+    - phash = sum(bit_j << j).
+
+    Two payloads whose coarse brightness geometry agrees collide --
+    exact duplicates always do, near-variants usually do; that recall/
+    precision trade is the POINT of perceptual hashing (Hamming-near
+    phash variants are the band-join extension, same machinery as the
+    MinHash band trick). Arrow-batched mapInPandas, one row per input,
+    no shuffle; the real parse raises on corrupt payloads."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                w, h, raster = parse_ppm_raster(p)
+                px = np.frombuffer(raster, dtype=np.uint8).reshape(-1, 3)
+                gray = px.astype(np.int64).sum(axis=1)
+                n = gray.shape[0]
+                blk = (np.arange(n, dtype=np.int64) * bits) // n
+                total = int(gray.sum())
+                phash = 0
+                for j in np.unique(blk):
+                    s = int(gray[blk == j].sum())
+                    n_j = int((blk == j).sum())
+                    if s * n >= total * n_j:
+                        phash |= 1 << int(j)
+                ids.append(i)
+                hashes.append(phash)
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "phash": pd.Series(hashes, dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(run, "id long, phash int")

@@ -1081,6 +1081,96 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_phash_dedup",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id,
+               CAST((doc_id % 6) + 2 AS INTEGER) AS w,
+               CAST((doc_id % 4) + 2 AS INTEGER) AS h,
+               rpad(text,
+                    CAST(((doc_id % 6) + 2) * ((doc_id % 4) + 2) * 3 AS INTEGER),
+                    'pixel') AS raster
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, w * h AS n,
+               unnest(range(0, CAST(w * h AS INTEGER))) AS i
+        FROM r
+    ),
+    g AS (
+        SELECT px.doc_id, px.n, px.i,
+               CAST(ord(substring(r.raster, 3 * px.i + 1, 1))
+                  + ord(substring(r.raster, 3 * px.i + 2, 1))
+                  + ord(substring(r.raster, 3 * px.i + 3, 1)) AS BIGINT)
+                   AS gray,
+               (px.i * 16) // px.n AS blk
+        FROM px JOIN r ON r.doc_id = px.doc_id
+    ),
+    blocks AS (
+        SELECT doc_id, n, blk,
+               CAST(SUM(gray) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n_j
+        FROM g GROUP BY doc_id, n, blk
+    ),
+    totals AS (
+        SELECT doc_id, CAST(SUM(gray) AS BIGINT) AS total FROM g
+        GROUP BY doc_id
+    ),
+    hashes AS (
+        SELECT b.doc_id,
+               CAST(SUM(CASE WHEN b.s * b.n >= t.total * b.n_j
+                             THEN 1 << CAST(b.blk AS INTEGER)
+                             ELSE 0 END) AS INTEGER) AS phash
+        FROM blocks b JOIN totals t ON t.doc_id = b.doc_id
+        GROUP BY b.doc_id
+    )
+    SELECT phash, MIN(doc_id) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM hashes GROUP BY phash
+    """,
+)
+def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup (round 11): average-hash each binary
+    PPM payload (operators/multimodal.py ahash_ppm -- grayscale, 16
+    contiguous pixel blocks, threshold-at-the-mean, one bit per block,
+    all integer-exact), then keep one document per hash -- the
+    image-side sibling of q_dedup_exact (byte-identical dups) and
+    q_dedup_minhash (text near-dups): re-encoded or brightness-shifted
+    copies of an image hash together even when their BYTES differ, which
+    is why every multimodal training pipeline dedups on a perceptual
+    hash, not a checksum.
+
+    Oracle-exact: the fixture encoder is deterministic, so DuckDB
+    reconstructs the raster analytically (the q_multimodal_decode
+    pattern) and replays the hash with the same cross-multiplied
+    integer mean comparison -- no float, no rounding anywhere. The
+    Spark side still runs the REAL binary parse over Arrow-batched
+    mapInPandas.
+
+    Scale: hashing is narrow (no shuffle, bytes cross to Python once
+    per Arrow batch); the dedup is one hash-keyed groupBy with map-side
+    partials -- the q_dedup_exact plan over a 16-bit key. A
+    Hamming-tolerant variant bands the hash bits (the MinHash band
+    trick verbatim) and stays equi-join-shaped."""
+    from ..operators.multimodal import ahash_ppm
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        ((F.col("doc_id") % 6) + 2).cast("int").alias("w"),
+        ((F.col("doc_id") % 4) + 2).cast("int").alias("h"),
+    )
+    payloads = d.select(
+        "doc_id", ppm_payload("w", "h", "text").alias("payload")
+    )
+    hashes = ahash_ppm(payloads, "doc_id", "payload", bits=16)
+    return hashes.groupBy("phash").agg(
+        F.min("id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@query(
     "q_multimodal_framesample",
     oracle="""
     WITH p AS (
