@@ -1,0 +1,109 @@
+"""Persisted IVFPQ serving index (operators/ann_index.py).
+
+The production split of q_ann_ivfpq: build once (train codebooks,
+encode, bucket-partitioned parquet), serve many. Pins:
+
+(a) **equivalence** -- ivfpq_search over the stored index returns
+    bit-identical rows to q_ann_ivfpq (same corpus, same knobs), so
+    the serving path inherits the registry row's 3-SF oracle evidence;
+(b) **no retrain on serve** -- a second search leaves every index file
+    untouched;
+(c) **serving scan shape** -- the codes relation physically excludes
+    the embedding column, and a 1-probe search prunes bucket
+    directories (PartitionFilters in the executed plan).
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import re
+import shutil
+
+from pyspark.sql import functions as F
+
+from weighted_raster_overlay_service_toolbox_spark.operators.ann_index import (
+    build_ivfpq_index,
+    ivfpq_search,
+)
+from weighted_raster_overlay_service_toolbox_spark.queries import QUERIES
+from weighted_raster_overlay_service_toolbox_spark.sources import load_table
+
+from .conftest import SF_SMOKE
+
+INDEX_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(__file__)), ".scratch", "ivfpq_index"
+)
+
+
+def _emb(spark):
+    return load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+
+def _file_state(root):
+    out = {}
+    for p in pathlib.Path(root).rglob("*"):
+        if p.is_file():
+            st = p.stat()
+            out[str(p)] = (st.st_mtime_ns, st.st_size)
+    return out
+
+
+def test_search_matches_registry_query_and_never_retrains(spark):
+    shutil.rmtree(INDEX_DIR, ignore_errors=True)
+    mf = build_ivfpq_index(_emb(spark), INDEX_DIR)  # registry knobs
+    assert mf["m"] == 16 and mf["k"] == 64
+
+    probes = _emb(spark).filter(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("probe_id"), "e"
+    )
+    before = _file_state(INDEX_DIR)
+    got = sorted(
+        map(tuple, ivfpq_search(spark, INDEX_DIR, probes).collect())
+    )
+    want = sorted(map(tuple, QUERIES["q_ann_ivfpq"](spark, SF_SMOKE).collect()))
+    assert got == want, (len(got), len(want), got[:3], want[:3])
+
+    # serve again: bit-stable AND no index file touched (no retraining,
+    # no rewrite -- the build/serve split is real)
+    again = sorted(
+        map(tuple, ivfpq_search(spark, INDEX_DIR, probes).collect())
+    )
+    assert again == got
+    assert _file_state(INDEX_DIR) == before
+
+
+def test_codes_relation_carries_no_embedding_bytes(spark):
+    # build() ran in the test above (module order); rebuild if absent
+    if not os.path.isdir(os.path.join(INDEX_DIR, "codes")):
+        build_ivfpq_index(_emb(spark), INDEX_DIR)
+    codes = spark.read.parquet(os.path.join(INDEX_DIR, "codes"))
+    assert "e" not in codes.columns
+    assert set(codes.columns) == {"vec_id", "m", "code", "bucket"}
+    # 16 one-byte codes per vector
+    n_vec = _emb(spark).count()
+    assert codes.count() == 16 * n_vec
+
+
+def test_single_probe_search_prunes_bucket_partitions(spark):
+    if not os.path.isdir(os.path.join(INDEX_DIR, "codes")):
+        build_ivfpq_index(_emb(spark), INDEX_DIR)
+    probe = _emb(spark).filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("probe_id"), "e"
+    )
+    df = ivfpq_search(spark, INDEX_DIR, probe)
+    df.collect()
+    plan = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    pf = [
+        mtext
+        for mtext in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        if "bucket" in mtext
+    ]
+    assert pf, plan
+    # the multi-probe set is 1 own + 4 hamming-1 buckets of 16
+    assert any("bucket IN" in mtext or "bucket#" in mtext for mtext in pf)

@@ -34,6 +34,9 @@ from .conftest import SF_SMOKE
 PYTHON_EVAL_ALLOWED = {
     "q_multimodal_decode",
     "q_multimodal_phash_dedup",
+    # q_multimodal_phash_near_dup's mapInPandas sits BEHIND its pinned
+    # hash relation (Scan ExistingRDD), so the registered plan shows no
+    # python boundary -- it appears in CHECKPOINTED_ALLOWED instead.
     "q_multimodal_framesample",
     "q_multimodal_resize",
     "q_pack_sequences",
@@ -121,6 +124,8 @@ CHECKPOINTED_ALLOWED = {
     "q_knn_graph",        # r8: pinned bucketed vectors feed both join sides
     "q_lang_entropy",     # r8: pinned (source, lang) counts feed totals + terms
     "q_logprob_strata",   # r8: pinned token stream (q_unigram_logprob trade)
+    "q_multimodal_phash_near_dup",  # r11: pinned aHash relation feeds both
+                                    # banded self-join sides (decode runs once)
     "q_ngram_jaccard",
     "q_outliers_mad",     # r8: pinned non-null values feed both rank passes
     "q_pagerank",

@@ -1,0 +1,228 @@
+"""Persisted IVFPQ serving index: train once, serve many.
+
+q_ann_ivfpq demonstrates the IVFADC *algorithm* end-to-end, but it
+retrains the codebooks inside every query -- the right shape for an
+oracle-backed registry row, the wrong one for serving. This module is
+the production split (Jegou et al. 2011 deployment posture):
+
+- :func:`build_ivfpq_index` runs the training ONCE and writes three
+  parquet relations + a manifest:
+
+  * ``codes/``    -- (vec_id, m, code) partitioned by **bucket**: the
+    serving scan, 1 byte of code per subspace per vector, and the
+    hive partitioning turns IVF's "which rows" pruning into literal
+    directory-level partition pruning (a 1-probe search reads 5 of 16
+    bucket dirs and Spark shows it as PartitionFilters);
+  * ``codebook/`` -- (m, cluster, ce): m*k rows, broadcast at serve;
+  * ``vectors/``  -- (vec_id, e): the full 1e-6-quantized vectors,
+    touched ONLY by the shortlist re-rank (25 x 40 rows per query).
+
+- :func:`ivfpq_search` answers probes against the stored index with
+  the exact q_ann_ivfpq arithmetic (integer micro-unit ADC, shortlist,
+  exact re-rank -- every rank gate BIGINT with vec_id tiebreak), so
+  ``search(build(emb)) == q_ann_ivfpq`` bit-for-bit
+  (tests/test_ann_index.py pins the equivalence and that serving
+  never re-trains).
+
+Scale: at 100 TB the build is a periodic batch job (train on a sample,
+encode the corpus -- one broadcast join per subspace batch); serving
+reads code bytes + two broadcasts per query batch. The codes relation
+is ~128x smaller than the embedding column, and bucket partitioning
+adds partition pruning on top -- the two multiplicative I/O cuts IVFPQ
+exists for.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..functions.rounding import duck_round
+from .similarity import dot_expr, hyperplane_bucket
+
+MANIFEST = "_index.json"
+
+
+def build_ivfpq_index(
+    emb: DataFrame,
+    out_dir: str,
+    m: int = 16,
+    sub: int = 4,
+    k: int = 64,
+    iterations: int = 3,
+    n_planes: int = 4,
+) -> dict:
+    """Train PQ codebooks + assign IVF buckets over ``emb`` (vec_id,
+    e array<double>, already-raw -- quantization happens here) and
+    persist the three serving relations under ``out_dir``. Returns the
+    manifest dict (also written as ``_index.json``)."""
+    from .kmeans import kmeans_grouped_codebook_assign, quantize_vec
+
+    emb = emb.select("vec_id", quantize_vec("e").alias("e"))
+    pinned = emb.localCheckpoint(eager=False)
+    vb = hyperplane_bucket(pinned, n_planes=n_planes)
+    sub_parts = [
+        pinned.select(
+            "vec_id",
+            F.lit(j).alias("m"),
+            F.slice("e", j * sub + 1, sub).alias("e"),
+        )
+        for j in range(m)
+    ]
+    vm = sub_parts[0]
+    for spart in sub_parts[1:]:
+        vm = vm.unionAll(spart)
+    codes_full, cents = kmeans_grouped_codebook_assign(
+        vm, k=k, iterations=iterations
+    )
+    codes = (
+        codes_full.select("vec_id", "m", F.col("cluster").alias("code"))
+        .join(vb.select("vec_id", "bucket"), "vec_id")
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    codes.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(os.path.join(out_dir, "codes"))
+    cents.write.mode("overwrite").parquet(os.path.join(out_dir, "codebook"))
+    pinned.write.mode("overwrite").parquet(os.path.join(out_dir, "vectors"))
+    manifest = {
+        "m": m, "sub": sub, "k": k, "iterations": iterations,
+        "n_planes": n_planes,
+    }
+    with open(os.path.join(out_dir, MANIFEST), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def ivfpq_search(
+    spark: SparkSession,
+    index_dir: str,
+    probes: DataFrame,
+    topk: int = 3,
+    shortlist: int = 40,
+) -> DataFrame:
+    """Top-``topk`` neighbors per probe from a persisted index --
+    NO training, no embedding-column scan outside the re-rank.
+
+    ``probes``: (probe_id long, e array<double>) raw probe vectors
+    (quantized here with the index's convention). Returns (probe_id,
+    vec_id, rnk, d2) -- the q_ann_ivfpq schema; against an index built
+    from the same corpus with the registry knobs the rows are
+    bit-identical (the equivalence test).
+
+    Plan shape: the codes scan carries a ``bucket IN (...)`` predicate
+    over the union of the probes' multi-probe sets -- PartitionFilters
+    on the hive layout, so few-probe searches read few bucket dirs;
+    ADC is one integer agg keyed (probe, vec); only the
+    probes x shortlist survivors rejoin the vectors relation."""
+    from .kmeans import quantize_vec
+
+    with open(os.path.join(index_dir, MANIFEST)) as f:
+        mf = json.load(f)
+    m, sub, n_planes = mf["m"], mf["sub"], mf["n_planes"]
+
+    probes = probes.select(
+        F.col("probe_id"), quantize_vec("e").alias("e")
+    )
+    pb = hyperplane_bucket(probes, n_planes=n_planes)
+    probe_buckets = pb.select(
+        "probe_id",
+        F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                for i in range(n_planes)
+            ],
+        ).alias("pbs"),
+    )
+    # driver-side union of the multi-probe sets: a tiny literal IN-list
+    # that reaches the codes scan as a partition filter. Probe sets are
+    # per-query-bounded (the serving contract), never corpus-sized.
+    wanted = sorted(
+        {
+            b
+            for row in probe_buckets.select("pbs").collect()
+            for b in row.pbs
+        }
+    )
+    codes = (
+        spark.read.parquet(os.path.join(index_dir, "codes"))
+        .filter(F.col("bucket").isin(wanted))
+    )
+    cents = spark.read.parquet(os.path.join(index_dir, "codebook"))
+    cand = codes.select("vec_id", "bucket", "m", "code").join(
+        broadcast(probe_buckets),
+        F.array_contains(F.col("pbs"), F.col("bucket"))
+        & (F.col("vec_id") != F.col("probe_id")),
+    )
+    probe_subs = pb.select(
+        F.col("probe_id").alias("pp"),
+        F.posexplode(
+            F.array(*[
+                F.slice("e", j * sub + 1, sub) for j in range(m)
+            ])
+        ).alias("pm", "q"),
+    )
+    pd2 = (
+        dot_expr(F.col("q"), F.col("q"))
+        - 2 * dot_expr(F.col("q"), F.col("ce"))
+        + dot_expr(F.col("ce"), F.col("ce"))
+    )
+    cents_a = cents.select(
+        F.col("m").alias("cm"), F.col("cluster"), F.col("ce")
+    )
+    pj = (
+        cand.join(
+            broadcast(cents_a),
+            (F.col("m") == F.col("cm")) & (F.col("code") == F.col("cluster")),
+        )
+        .join(
+            broadcast(probe_subs),
+            (F.col("m") == F.col("pm")) & (F.col("probe_id") == F.col("pp")),
+        )
+        .select(
+            "probe_id",
+            "vec_id",
+            duck_round(pd2 * F.lit(1_000_000.0)).cast("long").alias("pd2_u"),
+        )
+    )
+    tot = pj.groupBy("probe_id", "vec_id").agg(
+        F.sum("pd2_u").cast("long").alias("d2u")
+    )
+    w = Window.partitionBy("probe_id").orderBy("d2u", "vec_id")
+    sl = (
+        tot.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= shortlist)
+        .select("probe_id", "vec_id")
+    )
+    vectors = spark.read.parquet(os.path.join(index_dir, "vectors"))
+    pf = probes.select(F.col("probe_id").alias("rp"), F.col("e").alias("pe"))
+    ed2 = (
+        dot_expr(F.col("pe"), F.col("pe"))
+        - 2 * dot_expr(F.col("pe"), F.col("e"))
+        + dot_expr(F.col("e"), F.col("e"))
+    )
+    rr = (
+        vectors.join(broadcast(sl), "vec_id")
+        .join(broadcast(pf), F.col("probe_id") == F.col("rp"))
+        .select(
+            "probe_id",
+            "vec_id",
+            duck_round(ed2 * F.lit(1_000_000.0)).cast("long").alias("d2e_u"),
+        )
+    )
+    wr = Window.partitionBy("probe_id").orderBy("d2e_u", "vec_id")
+    return (
+        rr.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= topk)
+        .select(
+            "probe_id",
+            "vec_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            (F.col("d2e_u") / F.lit(1_000_000.0)).cast("double").alias("d2"),
+        )
+    )

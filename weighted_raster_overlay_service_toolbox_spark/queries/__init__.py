@@ -254,11 +254,16 @@ from . import tpch  # noqa: F401,E402
 # integer-exact grayscale/block/threshold arithmetic, analytic-
 # reconstruction oracle, the q_dedup_exact plan over a 16-bit key;
 # 3-SF parity-exact on arrival, r12 window grades it).
+# LATE-R11 ADDITION: q_multimodal_phash_near_dup (registry 249 -> 250:
+# Hamming-banded perceptual near-dup pairs, 4x4-bit LSH bands --
+# LOSSLESS for radius <= 3 by pigeonhole -- + exact bit_count(xor)
+# verify, bounded doc_id<300 block; 3-SF parity-exact on arrival,
+# r12 window grades it).
 # ROUND-12 ROTATION PLAN: after the r11 window grades, cumulative
-# driver-green should be 247/249 (only the late-r11 additions
-# q_stream_near_dup_compact and q_multimodal_phash_dedup
-# unwitnessed). The r12 window = flagships + q_stream_near_dup_compact
-# + q_multimodal_phash_dedup + any r12-changed/added queries + the
+# driver-green should be 247/250 (only the late-r11 additions
+# q_stream_near_dup_compact, q_multimodal_phash_dedup, and
+# q_multimodal_phash_near_dup unwitnessed). The r12 window = flagships
+# + those three + any r12-changed/added queries + the
 # rest of the r5-last re-grade band (q_pack_sequences, q_simhash,
 # q_span_dedup, q_span_dedup_hashed, q_stream_agg_update,
 # q_stream_stateful_custom, q_stream_static_join, q_stream_stream_join,

@@ -1171,6 +1171,146 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_phash_near_dup",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id,
+               CAST((doc_id % 6) + 2 AS INTEGER) AS w,
+               CAST((doc_id % 4) + 2 AS INTEGER) AS h,
+               rpad(text,
+                    CAST(((doc_id % 6) + 2) * ((doc_id % 4) + 2) * 3 AS INTEGER),
+                    'pixel') AS raster
+        FROM documents WHERE doc_id < 300
+    ),
+    px AS (
+        SELECT doc_id, w * h AS n,
+               unnest(range(0, CAST(w * h AS INTEGER))) AS i
+        FROM r
+    ),
+    g AS (
+        SELECT px.doc_id, px.n, px.i,
+               CAST(ord(substring(r.raster, 3 * px.i + 1, 1))
+                  + ord(substring(r.raster, 3 * px.i + 2, 1))
+                  + ord(substring(r.raster, 3 * px.i + 3, 1)) AS BIGINT)
+                   AS gray,
+               (px.i * 16) // px.n AS blk
+        FROM px JOIN r ON r.doc_id = px.doc_id
+    ),
+    blocks AS (
+        SELECT doc_id, n, blk,
+               CAST(SUM(gray) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n_j
+        FROM g GROUP BY doc_id, n, blk
+    ),
+    totals AS (
+        SELECT doc_id, CAST(SUM(gray) AS BIGINT) AS total FROM g
+        GROUP BY doc_id
+    ),
+    hashes AS (
+        SELECT b.doc_id,
+               CAST(SUM(CASE WHEN b.s * b.n >= t.total * b.n_j
+                             THEN 1 << CAST(b.blk AS INTEGER)
+                             ELSE 0 END) AS INTEGER) AS phash
+        FROM blocks b JOIN totals t ON t.doc_id = b.doc_id
+        GROUP BY b.doc_id
+    ),
+    bands AS (
+        SELECT doc_id, phash, bd.k AS band_idx,
+               (phash >> (4 * bd.k)) & 15 AS band_val
+        FROM hashes CROSS JOIN (SELECT unnest(range(0, 4)) AS k) bd
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.phash AS pa, b.phash AS pb
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(pa, pb)) <= 3
+    """,
+)
+def q_multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-banded perceptual near-dup pairs (round 11) -- the
+    approximate companion q_multimodal_phash_dedup's docstring promises:
+    images whose aHashes differ in <= 3 of 16 bits are near-variants
+    (small crops, noise, mild re-grades move a few coarse-brightness
+    bits, not many), and the 4-band x 4-bit LSH split finds EVERY such
+    pair without a quadratic self-join: <= 3 differing bits can touch at
+    most 3 bands, so at least one band matches exactly -- banding is
+    LOSSLESS for this radius (the pigeonhole argument, the same one that
+    sizes MinHash bands), unlike the probabilistic MinHash regime. The
+    exact Hamming gate then runs ONLY on band-collision candidates.
+
+    Oracle-exact: hashes replay analytically (the q_multimodal_phash_dedup
+    CTEs); bands/XOR/bit_count are integer ops both engines evaluate
+    identically.
+
+    Scale: the pair space is banded (equi-join on (band_idx, band_val),
+    never doc x doc); the hash relation is pinned (non-eager
+    localCheckpoint) so the Python decode runs ONCE, not once per join
+    side -- the banded-LSH convention (r6 lesson). Verification is
+    bit_count(xor) -- whole-stage codegen, no Python. The registry form
+    runs a BOUNDED doc_id<300 block (the q_embed_near_dup convention):
+    the fixture's tiny text-derived rasters make ham<=3 genuinely dense
+    (~8 percent of ALL pairs qualify at sf0.01 -- measured before the
+    bound, 977k pairs at sf0.1), so an unbounded pair LISTING is
+    output-quadratic on this data by construction; real image corpora
+    are hash-diffuse, and the production composition is this banded
+    join feeding a keep-one gate (linear output), not a pair dump."""
+    from ..operators.multimodal import ahash_ppm
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 300
+    ).select(
+        "doc_id",
+        "text",
+        ((F.col("doc_id") % 6) + 2).cast("int").alias("w"),
+        ((F.col("doc_id") % 4) + 2).cast("int").alias("h"),
+    )
+    payloads = d.select(
+        "doc_id", ppm_payload("w", "h", "text").alias("payload")
+    )
+    hashes = pin_corpus(ahash_ppm(payloads, "doc_id", "payload", bits=16))
+    bands = hashes.select(
+        "id",
+        "phash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(k).alias("band_idx"),
+                    F.shiftright("phash", 4 * k).bitwiseAND(F.lit(15))
+                    .alias("band_val"),
+                )
+                for k in range(4)
+            ])
+        ).alias("b"),
+    ).select("id", "phash", "b.band_idx", "b.band_val")
+    a = bands.select(
+        F.col("id").alias("doc_a"), F.col("phash").alias("pa"),
+        "band_idx", "band_val",
+    )
+    b = bands.select(
+        F.col("id").alias("doc_b"), F.col("phash").alias("pb"),
+        "band_idx", "band_val",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", "pb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).cast("int")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+@query(
     "q_multimodal_framesample",
     oracle="""
     WITH p AS (
