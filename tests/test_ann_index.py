@@ -107,3 +107,56 @@ def test_single_probe_search_prunes_bucket_partitions(spark):
     assert pf, plan
     # the multi-probe set is 1 own + 4 hamming-1 buckets of 16
     assert any("bucket IN" in mtext or "bucket#" in mtext for mtext in pf)
+
+
+def test_extend_appends_without_touching_existing_files(spark):
+    """Incremental growth (the production cadence): encode new vectors
+    against the FROZEN codebook, append, serve -- no retrain, no
+    rewrite. A byte-duplicate of vector 7 must (a) encode to vector 7's
+    exact codes (frozen-codebook assignment is deterministic), (b)
+    leave every pre-existing index file untouched (parquet append), and
+    (c) become probe 7's rank-1 neighbor immediately (d2 = 0 beats
+    everything; vec_id tiebreak is moot)."""
+    from weighted_raster_overlay_service_toolbox_spark.operators.ann_index import (
+        extend_ivfpq_index,
+    )
+
+    ext_dir = INDEX_DIR + "_ext"
+    shutil.rmtree(ext_dir, ignore_errors=True)
+    build_ivfpq_index(_emb(spark), ext_dir)
+    before = _file_state(ext_dir)
+
+    dup = _emb(spark).filter(F.col("vec_id") == 7).select(
+        F.lit(100007).cast("long").alias("vec_id"), "e"
+    )
+    extend_ivfpq_index(spark, ext_dir, dup)
+
+    # _SUCCESS markers (and their .crc shadows) are re-stamped by every
+    # write -- they carry no data; every DATA file must be untouched.
+    def _data(files):
+        return {
+            p: st for p, st in files.items() if "_SUCCESS" not in p
+        }
+
+    after = _file_state(ext_dir)
+    assert all(
+        after.get(p) == st for p, st in _data(before).items()
+    ), "append rewrote existing index data files"
+    assert len(_data(after)) > len(_data(before))
+
+    codes = spark.read.parquet(os.path.join(ext_dir, "codes"))
+    c7 = {
+        (r.m, r.code, r.bucket)
+        for r in codes.filter(F.col("vec_id") == 7).collect()
+    }
+    cdup = {
+        (r.m, r.code, r.bucket)
+        for r in codes.filter(F.col("vec_id") == 100007).collect()
+    }
+    assert c7 == cdup and len(c7) == 16
+
+    probe7 = _emb(spark).filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("probe_id"), "e"
+    )
+    top = ivfpq_search(spark, ext_dir, probe7).orderBy("rnk").collect()
+    assert top[0].vec_id == 100007 and top[0].d2 == 0.0, top[:3]

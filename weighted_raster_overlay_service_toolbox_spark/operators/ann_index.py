@@ -226,3 +226,71 @@ def ivfpq_search(
             (F.col("d2e_u") / F.lit(1_000_000.0)).cast("double").alias("d2"),
         )
     )
+
+
+def extend_ivfpq_index(
+    spark: SparkSession, index_dir: str, new_emb: DataFrame
+) -> None:
+    """Encode NEW vectors against the FROZEN codebook and append them to
+    the index -- the production cadence: codebooks retrain rarely (when
+    the embedding distribution drifts), while the corpus grows every
+    ingest window. Appending = per-subspace nearest-centroid assignment
+    (the exact kmeans fold arithmetic, against the STORED codebook -- no
+    training step), sign-LSH bucketing, and parquet APPEND into the
+    bucket-partitioned codes/ plus vectors/ -- existing files are never
+    rewritten (tests/test_ann_index.py pins that, and that a duplicate
+    of an indexed vector encodes to identical codes and becomes its
+    probe's rank-1 neighbor immediately after the append).
+
+    ``new_emb``: (vec_id, e array<double>) with vec_ids disjoint from
+    the indexed corpus (caller's contract, same as any append sink)."""
+    from .kmeans import quantize_vec
+
+    with open(os.path.join(index_dir, MANIFEST)) as f:
+        mf = json.load(f)
+    m, sub, n_planes = mf["m"], mf["sub"], mf["n_planes"]
+
+    emb = new_emb.select("vec_id", quantize_vec("e").alias("e"))
+    pinned = emb.localCheckpoint(eager=False)
+    vb = hyperplane_bucket(pinned, n_planes=n_planes)
+    sub_parts = [
+        pinned.select(
+            "vec_id",
+            F.lit(j).alias("m"),
+            F.slice("e", j * sub + 1, sub).alias("e"),
+        )
+        for j in range(m)
+    ]
+    vm = sub_parts[0]
+    for spart in sub_parts[1:]:
+        vm = vm.unionAll(spart)
+    cents = spark.read.parquet(os.path.join(index_dir, "codebook"))
+    # frozen-codebook assignment: the kmeans_grouped_codebook_assign
+    # scoring expressions verbatim (hoisted self-dots, expanded-identity
+    # distance, (d2, cluster) struct-min tiebreak) -- encoding must be
+    # bit-identical to what training-time assignment would have produced
+    # or ADC distances silently bias.
+    v = vm.withColumn("_vv", dot_expr("e", "e"))
+    c = cents.withColumnRenamed("m", "_g").withColumn(
+        "_cc", dot_expr("ce", "ce")
+    )
+    scored = v.join(broadcast(c), F.col("m") == F.col("_g")).select(
+        "vec_id",
+        "m",
+        "cluster",
+        (
+            F.col("_vv")
+            - 2 * dot_expr(F.col("e"), F.col("ce"))
+            + F.col("_cc")
+        ).alias("d2"),
+    )
+    codes = (
+        scored.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "cluster")).alias("best"))
+        .select("vec_id", "m", F.col("best.cluster").alias("code"))
+        .join(vb.select("vec_id", "bucket"), "vec_id")
+    )
+    codes.repartition("bucket").write.mode("append").partitionBy(
+        "bucket"
+    ).parquet(os.path.join(index_dir, "codes"))
+    pinned.write.mode("append").parquet(os.path.join(index_dir, "vectors"))
