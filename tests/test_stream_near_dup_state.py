@@ -253,3 +253,74 @@ def test_snapshot_preload_equals_continuous_stream(spark):
         .count()
     )
     assert n_b + n_idx == n_full, (n_b, n_idx, n_full)
+
+
+def test_bloom_routed_preload_equals_plain_anti_join(spark):
+    """bloom_route must be pure routing: the survivor set of a preloaded
+    window is identical with and without the Bloom front (the sketch
+    decides who pays the join, never the answer -- the q_dedup_bloom
+    contract, restated for the stream-static preload)."""
+    import glob
+
+    base = os.path.join(SCRATCH, "neardup_bloom")
+    for d in ("b1", "b2", "sink_b1", "sink_b2", "ckpt_b1", "ckpt_b2"):
+        shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+
+    # reuse the split fixture's window A snapshot + window B staging
+    split_base = os.path.join(SCRATCH, "neardup_split")
+    idx_path = os.path.join(split_base, "idx")
+    half_b = os.path.join(split_base, "b")
+    if not (os.path.isdir(idx_path) and os.path.isdir(half_b)):
+        # the split test has not run in this session: build the inputs
+        staged = stage_document_files(spark, SF_SMOKE, "neardup_splitsrc")
+        parts = sorted(glob.glob(os.path.join(staged, "batch_*.parquet")))
+        os.makedirs(half_b, exist_ok=True)
+        for p in parts[2:]:
+            dst = os.path.join(half_b, os.path.basename(p))
+            if not os.path.isdir(dst):
+                shutil.copytree(p, dst)
+        half_a = os.path.join(split_base, "a")
+        os.makedirs(half_a, exist_ok=True)
+        for p in parts[:2]:
+            dst = os.path.join(half_a, os.path.basename(p))
+            if not os.path.isdir(dst):
+                shutil.copytree(p, dst)
+        shutil.rmtree(os.path.join(split_base, "ckpt_a"), ignore_errors=True)
+        docs_a = read_document_stream(spark, half_a, files_per_trigger=1)
+        run_near_dup_ingest(
+            spark,
+            near_dup_band_keys(docs_a, TOKS(), k=_SND_K, bands=_SND_BANDS),
+            _SND_BANDS,
+            os.path.join(split_base, "sink_a"),
+            os.path.join(split_base, "ckpt_a"),
+        )
+        near_dup_index_snapshot(
+            spark, os.path.join(split_base, "ckpt_a")
+        ).write.mode("overwrite").parquet(idx_path)
+
+    def ingest_b(tag, bloom):
+        docs = read_document_stream(spark, half_b, files_per_trigger=1)
+        keys = near_dup_band_keys(docs, TOKS(), k=_SND_K, bands=_SND_BANDS)
+        return run_near_dup_ingest(
+            spark, keys, _SND_BANDS,
+            os.path.join(base, f"sink_{tag}"),
+            os.path.join(base, f"ckpt_{tag}"),
+            claimed_index_path=idx_path,
+            bloom_route=bloom,
+        )
+
+    with_bloom = sorted(map(tuple, ingest_b("b1", True).collect()))
+    without = sorted(map(tuple, ingest_b("b2", False).collect()))
+    assert with_bloom == without, (len(with_bloom), len(without))
+    # survivors may legitimately be empty at this SF (window A's claims
+    # cover window B densely); the routing equivalence must also hold
+    # for the STATE the two runs build -- same novelty, same count.
+    n1 = (
+        spark.read.format("statestore")
+        .option("path", os.path.join(base, "ckpt_b1")).load().count()
+    )
+    n2 = (
+        spark.read.format("statestore")
+        .option("path", os.path.join(base, "ckpt_b2")).load().count()
+    )
+    assert n1 == n2 > 0, (n1, n2)

@@ -207,6 +207,7 @@ def run_near_dup_ingest(
     use_rocksdb: bool = True,
     ttl_minutes: int | None = None,
     claimed_index_path: str | None = None,
+    bloom_route: bool = True,
     _on_batch_end: Callable[[int], None] | None = None,
 ) -> DataFrame:
     """Run the claim stream to a parquet survivor sink; returns the
@@ -230,18 +231,44 @@ def run_near_dup_ingest(
     stream (the owner identity of an old claim never matters for
     suppression, only its existence), while the live state grows only
     with post-snapshot novelty (the corpus-sized index streams through
-    the join; it never touches the driver). At scale, front the join
-    with a Bloom filter built from the same snapshot (the q_dedup_bloom
-    routing rule: maybe-seen keys take the join, definite-new skip it
-    -- never changes answers). tests/test_stream_near_dup_state.py pins
-    the split-vs-continuous equivalence."""
+    the join; it never touches the driver). ``bloom_route`` (default
+    True) fronts the join with a Bloom word table built from the same
+    snapshot -- the q_dedup_bloom routing rule: definitely-new keys
+    skip the anti-join, maybe-seen keys pay the exact verify; the
+    answer is identical either way. tests/test_stream_near_dup_state.py
+    pins both the split-vs-continuous equivalence and
+    bloom-vs-plain-anti-join equality.
+    """
     if claimed_index_path is not None:
         # load the static side in the STREAM's session (the private
         # clone) so both plan halves live in one session.
         idx = keys.sparkSession.read.parquet(claimed_index_path).select(
             "band_idx", "band_key"
         )
-        keys = keys.join(idx, ["band_idx", "band_key"], "left_anti")
+        if bloom_route:
+            # the q_dedup_bloom routing rule, applied to the preload
+            # join: keys that are DEFINITELY not in the snapshot (bloom
+            # negative -- no false negatives by construction) skip the
+            # anti-join entirely; only maybe-seen keys pay the exact
+            # verify. Answer-identical for any false-positive rate (the
+            # sketch decides who pays the join, never the result --
+            # pinned against the plain anti-join in
+            # tests/test_stream_near_dup_state.py); at 100 TB the
+            # years-deep index side stops being a per-batch join input
+            # and becomes an m_bits/64-row broadcast word table.
+            from ..operators.dedup import bloom_prefiltered_new_keys
+
+            kc = F.concat_ws(
+                "\u001f", F.col("band_idx").cast("string"),
+                F.col("band_key"),
+            )
+            keys = bloom_prefiltered_new_keys(
+                keys.withColumn("_ndk", kc),
+                idx.select(kc.alias("_ndk")),
+                key="_ndk",
+            ).drop("_ndk")
+        else:
+            keys = keys.join(idx, ["band_idx", "band_key"], "left_anti")
     claimed = near_dup_claims(keys, ttl_minutes)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
