@@ -399,3 +399,144 @@ def test_neardup_sigkill_on_rocksdb_still_matches_oracle():
         ).fetchall()
     )
     assert got == want, (len(got), len(want), got[:5], want[:5])
+
+
+# Fourth witness (round 12, VERDICT r11 #3): a STREAM-STREAM join's
+# buffer state on the RocksDB provider -- the round-12 generalization of
+# the near-dup posture to the rest of the stateful family (the provider
+# now defaults to RocksDB on engine.stream_session's clone, so the child
+# below sets NOTHING; the layout assertion proves the default engaged).
+# Crash point = start of batch 2, AFTER batches 0-1 committed: clicks
+# and purchases buffered in batches 0-1 whose partners arrive in batches
+# 2-3 can only match if the join buffers are restored from the state
+# store (the offset log marks files 0-1 done; they are never re-read).
+# Final joined set across both runs must equal the batch inner join.
+_CHILD_SSJOIN = r"""
+import json, os, signal, sys
+sf_dir, log_path, ckpt, crash_at = (
+    sys.argv[1], sys.argv[2], sys.argv[3], int(sys.argv[4]))
+from pyspark.sql import functions as F
+from weighted_raster_overlay_service_toolbox_spark.session import get_spark
+from weighted_raster_overlay_service_toolbox_spark.streaming.engine import (
+    read_event_stream,
+    stage_event_files,
+)
+
+spark = get_spark("crashrec-ssjoin", cpus=4)
+staged_a = stage_event_files(spark, sf_dir, "crashrec_ssj_a")
+staged_b = stage_event_files(spark, sf_dir, "crashrec_ssj_b")
+
+clicks = (
+    read_event_stream(spark, staged_a, files_per_trigger=1)
+    .filter(F.col("event_type") == "click")
+    .select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    .withWatermark("click_ts", "2 hours")
+)
+purchases = (
+    read_event_stream(spark, staged_b, files_per_trigger=1)
+    .filter(F.col("event_type") == "purchase")
+    .select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    .withWatermark("purchase_ts", "2 hours")
+)
+joined = clicks.join(
+    purchases,
+    (F.col("user_id") == F.col("p_user_id"))
+    & (F.col("purchase_ts") >= F.col("click_ts"))
+    & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("interval 1 hour")),
+    "inner",
+).select("click_id", "purchase_id")
+
+def sink(batch_df, batch_id):
+    if batch_id == crash_at:
+        os.killpg(0, signal.SIGKILL)  # BEFORE reading: batch not logged
+    rows = [[batch_id, r["click_id"], r["purchase_id"]]
+            for r in batch_df.collect()]
+    with open(log_path, "a") as fh:
+        for row in rows:
+            fh.write(json.dumps(row) + "\n")
+
+q = (
+    joined.writeStream.foreachBatch(sink)
+    .outputMode("append")
+    .option("checkpointLocation", ckpt)
+    .trigger(availableNow=True)
+    .start()
+)
+q.awaitTermination()
+"""
+
+SSJOIN_LOG = SCRATCH / "crashrec_ssjoin_log.jsonl"
+SSJOIN_CKPT = SCRATCH / "crashrec_ssjoin_ckpt"
+
+
+def _run_ssjoin_child(crash_at: int) -> subprocess.CompletedProcess:
+    env = dict(os.environ, PYTHONPATH=str(REPO))
+    return subprocess.run(
+        [sys.executable, "-c", _CHILD_SSJOIN, SF_SMOKE, str(SSJOIN_LOG),
+         str(SSJOIN_CKPT), str(crash_at)],
+        cwd=str(REPO),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+        start_new_session=True,
+    )
+
+
+def test_ssjoin_sigkill_restores_join_buffers_from_rocksdb():
+    import json
+
+    shutil.rmtree(SSJOIN_CKPT, ignore_errors=True)
+    SSJOIN_LOG.unlink(missing_ok=True)
+
+    r1 = _run_ssjoin_child(crash_at=2)
+    assert r1.returncode == -signal.SIGKILL, (r1.returncode, r1.stderr[-2000:])
+    commits = {
+        f for f in os.listdir(SSJOIN_CKPT / "commits") if not f.startswith(".")
+    }
+    assert {"0", "1"} <= commits and "2" not in commits, commits
+
+    # the stream_session RocksDB DEFAULT engaged (the child sets no
+    # provider conf): a heap-backed checkpoint would hold .delta files.
+    state_root = SSJOIN_CKPT / "state"
+    deltas = [
+        f
+        for root, _dirs, files in os.walk(state_root)
+        for f in files
+        if f.endswith(".delta")
+    ]
+    assert not deltas, (
+        f"heap-backed provider engaged (found {len(deltas)} .delta files)"
+    )
+
+    r2 = _run_ssjoin_child(crash_at=-1)
+    assert r2.returncode == 0, r2.stderr[-4000:]
+
+    got_rows = [tuple(json.loads(line)) for line in open(SSJOIN_LOG)]
+    got = sorted((c, p) for _b, c, p in got_rows)
+    # exactly-once: no pair emitted twice across the crash boundary
+    assert len(got) == len(set(got)), "duplicate join emissions"
+
+    con = duckdb.connect()
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""
+            SELECT a.event_id AS click_id, b.event_id AS purchase_id
+            FROM '{SF_SMOKE}/events.parquet' a
+            JOIN '{SF_SMOKE}/events.parquet' b
+              ON a.user_id = b.user_id
+             AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+            WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+            """
+        ).fetchall()
+    )
+    assert got == want, (len(got), len(want), got[:3], want[:3])

@@ -258,7 +258,21 @@ def stream_session(spark: SparkSession, n: int = 8) -> SparkSession:
     SQL conf) keeps concurrent batch work on the caller's session
     untouched -- no session-global conf write, no restore window.
     The correctness confs (UTC, nanos-as-long) are re-pinned because a
-    driver-provided session may not come from ``session.get_spark``."""
+    driver-provided session may not come from ``session.get_spark``.
+
+    Round 12 (VERDICT r11 #3): the clone also defaults the state-store
+    provider to **RocksDB** for EVERY stateful op that runs on it --
+    windowed/session aggregations, dropDuplicates state,
+    applyInPandasWithState, and stream-stream join buffers -- not just
+    the near-dup ingest (round 11). Rationale: at 100 TB the join
+    buffers and dedup state are billions of keys, exactly the regime
+    where the default HDFSBackedStateStoreProvider (every version of
+    every key in executor heap) falls over; RocksDB spills to local SSD
+    with incremental checkpointing. The provider never changes ANSWERS
+    (pinned: all streaming registry rows stayed oracle-green across the
+    switch), only the state residency. Opt out per-session via
+    ``WROS_SPARK_HEAP_STATE_STORE=1`` (a comparison/debug escape hatch;
+    the statestore reader and crash tests pin the RocksDB layout)."""
     key = (id(spark._jsparkSession), n)
     s = _STREAM_SESSIONS.get(key)
     if s is None:
@@ -266,6 +280,10 @@ def stream_session(spark: SparkSession, n: int = 8) -> SparkSession:
         s.conf.set("spark.sql.shuffle.partitions", str(n))
         s.conf.set("spark.sql.session.timeZone", "UTC")
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if not os.environ.get("WROS_SPARK_HEAP_STATE_STORE"):
+            from .near_dup import ROCKSDB_PROVIDER, _PROVIDER_KEY
+
+            s.conf.set(_PROVIDER_KEY, ROCKSDB_PROVIDER)
         _STREAM_SESSIONS[key] = s
     return s
 

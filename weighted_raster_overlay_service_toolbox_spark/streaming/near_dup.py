@@ -300,6 +300,17 @@ def run_near_dup_ingest(
     prev = stream_spark.conf.get(_PROVIDER_KEY, None)
     if use_rocksdb:
         stream_spark.conf.set(_PROVIDER_KEY, ROCKSDB_PROVIDER)
+        # assert the conf landed on the session the stream will START on
+        # (VERDICT r11 "What's wrong" #4: the first "RocksDB crash
+        # witness" silently ran on the heap provider because the conf
+        # targeted the wrong session clone -- fail loudly here instead
+        # of relying on the checkpoint-layout pin alone).
+        got = stream_spark.conf.get(_PROVIDER_KEY, None)
+        if got != ROCKSDB_PROVIDER:  # pragma: no cover - config bug guard
+            raise RuntimeError(
+                "RocksDB provider conf did not engage on the stream "
+                f"session: {_PROVIDER_KEY}={got!r}"
+            )
     try:
         q = (
             claimed.writeStream.foreachBatch(sink)
