@@ -191,3 +191,35 @@ def test_ahash_rejects_malformed(spark):
     )
     with pytest.raises(Exception, match="P6|PPM"):
         ahash_ppm(df, "id", "payload").collect()
+
+
+def test_phash_components_merges_within_radius_and_chains(spark):
+    from weighted_raster_overlay_service_toolbox_spark.operators.multimodal import (
+        phash_components,
+    )
+
+    # 0b0 -- 0b111 (d=3: merged) -- 0b1111 (d=1 from 0b111: chains in,
+    # even though d=4 from 0b0); 0xF0F0 is isolated (d > 3 from all).
+    hashes = spark.createDataFrame(
+        [(0,), (0b111,), (0b1111,), (0xF0F0,)], "phash int"
+    )
+    comp = {
+        r["phash"]: r["component"]
+        for r in phash_components(hashes, bits=16, radius=3).collect()
+    }
+    assert comp[0] == comp[0b111] == comp[0b1111] == 0
+    assert comp[0xF0F0] == 0xF0F0
+
+
+def test_phash_components_rejects_lossy_band_geometry(spark):
+    import pytest
+
+    from weighted_raster_overlay_service_toolbox_spark.operators.multimodal import (
+        phash_components,
+    )
+
+    hashes = spark.createDataFrame([(0,)], "phash int")
+    with pytest.raises(ValueError):
+        phash_components(hashes, bits=16, radius=4, bands=4)
+    with pytest.raises(ValueError):
+        phash_components(hashes, bits=16, radius=2, bands=5)

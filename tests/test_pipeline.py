@@ -92,3 +92,29 @@ def test_fixture_corpus_end_to_end(spark):
     assert sum(st.values()) == n_docs
     assert kept.count() == st["kept"]
     assert kept.count() + dropped.count() == n_docs
+
+
+def test_image_near_dup_stage_keeps_one_per_hash_family(spark):
+    def ppm(vals):  # 2x2 P6, one uniform gray value per pixel
+        return bytearray(
+            b"P6\n2 2\n255\n" + b"".join(bytes([v, v, v]) for v in vals)
+        )
+
+    rows = [
+        # doc 1 and 2: same coarse brightness geometry (2 is 1 shifted
+        # +10) -> identical aHash -> one family, min id (1) survives
+        (1, "alpha beta gamma delta epsilon zeta", "s", ppm([10, 10, 200, 200])),
+        (2, "one two three four five six seven", "s", ppm([20, 20, 210, 210])),
+        # doc 3: inverted pattern, Hamming distance 4 > radius 3 -> kept
+        (3, "red orange yellow green blue indigo", "s", ppm([200, 200, 10, 10])),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, payload binary"
+    )
+    kept, dropped, stats = curate_corpus(
+        docs, min_tokens=5, image_payload_col="payload"
+    )
+    reasons = {r["doc_id"]: r["reason"] for r in dropped.collect()}
+    assert reasons == {2: "image_near_duplicate"}
+    assert {r["doc_id"] for r in kept.collect()} == {1, 3}
+    assert set(kept.columns) == {"doc_id", "text", "source", "payload"}

@@ -126,6 +126,9 @@ CHECKPOINTED_ALLOWED = {
     "q_logprob_strata",   # r8: pinned token stream (q_unigram_logprob trade)
     "q_multimodal_phash_near_dup",  # r11: pinned aHash relation feeds both
                                     # banded self-join sides (decode runs once)
+    "q_multimodal_phash_keep_one",  # r12: pinned (phash, rep_id, n_docs) hash
+                                    # universe feeds the banded CC + the final
+                                    # rollup (decode + corpus shuffle run once)
     "q_ngram_jaccard",
     "q_outliers_mad",     # r8: pinned non-null values feed both rank passes
     "q_pagerank",

@@ -270,3 +270,80 @@ def ahash_ppm(
             )
 
     return df.mapInPandas(run, "id long, phash int")
+
+
+def phash_components(
+    hashes: DataFrame,
+    bits: int = 16,
+    radius: int = 3,
+    bands: int = 4,
+    num_partitions: int | None = 8,
+) -> DataFrame:
+    """Merge perceptual hashes into Hamming-radius families: distinct
+    ``phash`` values whose pairwise distance chains within ``radius``
+    share a ``component`` label (MIN reachable hash). Returns
+    ``(phash int, component long)`` -- one row per DISTINCT hash.
+
+    This is the piece that makes perceptual keep-one dedup linear END TO
+    END: callers collapse the corpus to its hash universe first (one
+    groupBy), and every quadratic-looking step here runs on that
+    universe -- capped at ``2^bits`` rows for a short hash and at
+    |distinct hashes| generally, a function of image DIVERSITY, never
+    corpus size. Edges come from a banded equi-join (``bands`` slices of
+    ``bits // bands`` bits): <= ``radius`` flipped bits touch <=
+    ``radius`` bands, so with ``bands > radius`` at least one band
+    matches exactly -- LOSSLESS recall by pigeonhole (deterministic,
+    unlike MinHash banding), then ``bit_count(xor) <= radius`` gates
+    exactly. Components via min-label pointer jumping
+    (operators/graph.py), O(log diameter) rounds over the hash-edge
+    list."""
+    if bands <= radius:
+        raise ValueError(
+            f"bands={bands} must exceed radius={radius} for lossless banding"
+        )
+    width = bits // bands
+    if width * bands != bits:
+        raise ValueError(f"bands={bands} must divide bits={bits}")
+    from pyspark.sql import functions as F
+
+    from .graph import connected_components
+
+    dh = hashes.select("phash").distinct()
+    mask = (1 << width) - 1
+    band_cols = dh.select(
+        "phash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(k).alias("band_idx"),
+                    F.shiftright("phash", width * k)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("band_val"),
+                )
+                for k in range(bands)
+            ])
+        ).alias("b"),
+    ).select("phash", "b.band_idx", "b.band_val")
+    a = band_cols.select(F.col("phash").alias("pa"), "band_idx", "band_val")
+    b = band_cols.select(F.col("phash").alias("pb"), "band_idx", "band_val")
+    edges = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+        .filter(
+            F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+            <= F.lit(radius)
+        )
+    )
+    comp = connected_components(
+        edges, "pa", "pb", num_partitions=num_partitions
+    )
+    return dh.join(
+        comp, dh["phash"].cast("long") == comp["node"], "left"
+    ).select(
+        "phash",
+        F.coalesce("component", F.col("phash").cast("long")).alias(
+            "component"
+        ),
+    )

@@ -40,6 +40,9 @@ def curate_corpus(
     near_dup_est_jaccard: float = 0.5,
     near_dup_exact_jaccard: float | None = None,
     docs_per_source: int | None = None,
+    image_payload_col: str | None = None,
+    image_hash_bits: int = 16,
+    image_hamming_radius: int = 3,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Run the curation cascade; return ``(kept, dropped, stats)``.
 
@@ -62,7 +65,13 @@ def curate_corpus(
        (operators/dedup.py minhash_verified_edges -- exact precision,
        banded recall); otherwise the estimated-similarity threshold
        ``near_dup_est_jaccard`` decides alone;
-    5. ``domain_capped`` (opt-in) -- deterministic md5-ordered cap per
+    5. ``image_near_duplicate`` (opt-in, ``image_payload_col``) -- the
+       image-modality stage: aHash each binary PPM payload
+       (operators/multimodal.py ahash_ppm), merge hashes within
+       ``image_hamming_radius`` into families over the DISTINCT-hash
+       universe (phash_components -- banded, lossless, never
+       corpus-quadratic), keep the min-id doc per family;
+    6. ``domain_capped`` (opt-in) -- deterministic md5-ordered cap per
        source.
     """
     id_ = F.col(id_col)
@@ -129,7 +138,41 @@ def curate_corpus(
             .drop("_nd_reason")
         )
 
-    # stage 5 (opt-in): domain balancing among survivors
+    # stage 5 (opt-in): image-modality perceptual keep-one among survivors
+    if image_payload_col is not None:
+        from .operators.multimodal import ahash_ppm, phash_components
+
+        alive_img = docs.join(
+            staged.filter(F.col("_reason").isNull()).select(id_col),
+            id_col,
+            "left_semi",
+        ).select(id_col, image_payload_col)
+        hashes = ahash_ppm(alive_img, id_col, image_payload_col,
+                           bits=image_hash_bits)
+        comp = phash_components(
+            hashes, bits=image_hash_bits, radius=image_hamming_radius
+        )
+        labeled = hashes.join(comp, "phash").select(
+            F.col("id").alias("_img_id"), "component"
+        )
+        keep_img = labeled.groupBy("component").agg(
+            F.min("_img_id").alias("_img_keep")
+        )
+        img_drop = (
+            labeled.join(keep_img, "component")
+            .filter(F.col("_img_id") != F.col("_img_keep"))
+            .select(
+                F.col("_img_id").alias(id_col),
+                F.lit("image_near_duplicate").alias("_img_reason"),
+            )
+        )
+        staged = (
+            staged.join(img_drop, id_col, "left")
+            .withColumn("_reason", F.coalesce("_reason", "_img_reason"))
+            .drop("_img_reason")
+        )
+
+    # stage 6 (opt-in): domain balancing among survivors
     if docs_per_source is not None:
         w = Window.partitionBy(source_col).orderBy(
             F.md5(id_.cast("string")), id_

@@ -259,16 +259,68 @@ from . import tpch  # noqa: F401,E402
 # LOSSLESS for radius <= 3 by pigeonhole -- + exact bit_count(xor)
 # verify, bounded doc_id<300 block; 3-SF parity-exact on arrival,
 # r12 window grades it).
-# ROUND-12 ROTATION PLAN: after the r11 window grades, cumulative
-# driver-green should be 247/250 (only the late-r11 additions
-# q_stream_near_dup_compact, q_multimodal_phash_dedup, and
-# q_multimodal_phash_near_dup unwitnessed). The r12 window = flagships
-# + those three + any r12-changed/added queries + the
-# rest of the r5-last re-grade band (q_pack_sequences, q_simhash,
-# q_span_dedup, q_span_dedup_hashed, q_stream_agg_update,
-# q_stream_stateful_custom, q_stream_static_join, q_stream_stream_join,
-# q_text_normalize, ...) + the oldest r6-last entries.
+# R12 ADDITION: q_multimodal_phash_keep_one (registry 250 -> 251: the
+# PRODUCTION composition of the phash family, VERDICT r11 #2 -- banded
+# Hamming candidates over the DISTINCT-hash universe feeding a
+# connected-components keep-one gate; linear output, UNBOUNDED (the
+# doc_id<300 block the pair-listing row needs is unnecessary once no
+# doc-level pair materializes); 3-SF parity-exact on arrival, r12
+# window grades it). Also r12: the state-store provider for the WHOLE
+# stateful streaming family defaulted to RocksDB (VERDICT r11 #3,
+# engine.stream_session) -- value-identical (all 15 q_stream_* rows
+# re-verified green at sf0.01 on the new provider), but the changed
+# stateful rows are queued below so their next grade witnesses the
+# shipped posture.
+# ROUND-13 ROTATION PLAN: after the r12 window grades, cumulative
+# driver-green should be 251/251 (zero witness debt). The r13 window =
+# flagships + any r13-changed/added queries + the remaining r6-last
+# re-grade band (q_tpch_q12, q_tpch_q13, q_tpch_q15, q_tpch_q16,
+# q_tpch_q18, q_tpch_q19, q_tpch_q20, q_tpch_q21, q_tpch_q22) + the
+# oldest r7-last entries.
 _DRIVER_WINDOW = [
+    # == ROUND-12 WINDOW ==
+    # Executes VERDICT r11 'Next round' #1 as written (+#2's addition):
+    # flagships + ALL three never-driver-graded rows (the late-r11
+    # additions q_stream_near_dup_compact / q_multimodal_phash_dedup /
+    # q_multimodal_phash_near_dup) + the r12 addition
+    # q_multimodal_phash_keep_one + the full remaining r5-last re-grade
+    # band (13) + 24 r6-last fills, leading with the four stateful
+    # streaming rows whose provider posture changed this round. Done =
+    # CORRECTNESS_r12 50/50 green => cumulative driver-green 251/251
+    # (zero witness debt at full registry) AND no row older than r6
+    # evidence.
+    #
+    # -- permanent flagships (q_sink_partitioned keeps the
+    #    every-window-exercises-a-sink invariant of tests/test_registry.py)
+    "q_wro_overlay", "q_sink_partitioned",
+    "q_dedup_exact", "q_cosine_topk", "q_tfidf", "q_corpus_pipeline",
+    "q_sql_api", "q_agg_group", "q_win_rank",
+    #
+    # -- never driver-graded: late-r11 + r12 additions --
+    "q_stream_near_dup_compact", "q_multimodal_phash_dedup",
+    "q_multimodal_phash_near_dup", "q_multimodal_phash_keep_one",
+    #
+    # -- the full remaining r5-last re-grade band --
+    "q_pack_sequences", "q_simhash", "q_span_dedup",
+    "q_span_dedup_hashed", "q_stream_agg_update",
+    "q_stream_stateful_custom", "q_stream_static_join",
+    "q_stream_stream_join", "q_text_normalize", "q_tpch_q5",
+    "q_wro_catalog_update", "q_wro_equal_interval", "q_wro_label_match",
+    #
+    # -- r6-last fills: the remaining RocksDB-posture-changed stateful
+    #    streaming rows first, then q_scan_bucket_pruned (scan-family
+    #    invariant) and the oldest TPC-H/operator tail --
+    "q_stream_dedup", "q_stream_stream_left_join", "q_stream_upsert",
+    "q_stream_watermark", "q_scan_bucket_pruned",
+    "q_approx_topk", "q_catalog_diff", "q_catalog_merge",
+    "q_decontaminate", "q_interval_join_binned", "q_join_multikey",
+    "q_pagerank", "q_retention_cohorts", "q_schema_evolution",
+    "q_tpch_q1", "q_tpch_q2", "q_tpch_q3", "q_tpch_q4", "q_tpch_q6",
+    "q_tpch_q7", "q_tpch_q9", "q_tpch_q10", "q_tpch_q11",
+    "q_udtf_flatmap",
+]
+
+_ROUND11_WINDOW = [
     # == ROUND-11 WINDOW ==
     # Executes VERDICT r10 'Next round' #1 (+#2's additions): flagships
     # + ALL five never-driver-graded rows -- the three late-r10
@@ -309,55 +361,6 @@ _DRIVER_WINDOW = [
     "q_hof_funcs", "q_join_inner", "q_join_salted", "q_map_funcs",
     "q_multimodal_decode", "q_multimodal_struct", "q_scan_dpp",
 ]
-
-_ROUND10_WINDOW = [
-    # == ROUND-10 WINDOW ==
-    # Executes VERDICT r9 'Next round' #2 exactly: flagships + the two
-    # never-driver-graded late-r9 additions (q_source_overlap_sketch,
-    # q_split_leakage_safe -- both 3-SF parity-exact on arrival) + the
-    # two r9 value-preserving HOF-projection fixes that still need a
-    # driver witness (q_repetition_ratio, q_embed_quantize) + the one
-    # query whose Spark side CHANGES in r10 (q_entity_resolution:
-    # bounded within-block occupancy cap becomes the default, VERDICT
-    # r9 #3, oracle mirrored) + ALL nine remaining r1-only re-grades
-    # (closing the oldest-evidence tail for good) + the full r3-last
-    # re-grade band + two r4 family fills. Done = CORRECTNESS_r10
-    # 50/50 green => cumulative driver-green 242/242 AND no registry
-    # row older than r5 evidence.
-    #
-    # -- permanent flagships --
-    "q_wro_overlay", "q_sink_partitioned",
-    "q_dedup_exact", "q_cosine_topk", "q_tfidf", "q_corpus_pipeline",
-    "q_sql_api", "q_agg_group", "q_win_rank",
-    #
-    # -- never driver-graded (late-r9 additions) --
-    "q_source_overlap_sketch", "q_split_leakage_safe",
-    #
-    # -- r9 value-preserving changes, first post-change witness --
-    "q_repetition_ratio", "q_embed_quantize",
-    #
-    # -- changed in r10: bounded within-block pair cap is the default;
-    #    kNN family pins n_planes=4 explicitly (registry/oracle
-    #    convention) while the library default became "auto" --
-    #    value-identical at fixture scale (pinned), witnessed anyway --
-    "q_entity_resolution", "q_knn_graph", "q_semantic_clusters",
-    #
-    # -- the last nine r1-only re-grades --
-    "q_filter_compound", "q_filter_null", "q_filter_string_preds",
-    "q_intersect", "q_str_regex", "q_str_split_index",
-    "q_topk_per_group", "q_union_all", "q_union_distinct",
-    #
-    # -- r3-last re-grade band (oldest remaining evidence) --
-    "q_agg_approx_distinct", "q_agg_percentile", "q_cte_recursive",
-    "q_domain_cap", "q_fingerprint", "q_gapfill", "q_join_asof",
-    "q_join_bucketed", "q_pivot", "q_profile_columns",
-    "q_scan_filter_pushdown", "q_sessionize", "q_stream_session",
-    "q_stream_sliding", "q_text_tokenize", "q_wro_class_labels",
-    "q_wro_contiguity", "q_wro_decode_ranges", "q_wro_dup_names",
-    "q_wro_minmax_validate", "q_wro_nodata", "q_wro_overlay_catalog",
-    "q_wro_remap", "q_wro_schema_check", "q_wro_unique_ranges",
-]
-
 
 
 def _prioritize() -> None:

@@ -1311,6 +1311,152 @@ def q_multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_phash_keep_one",
+    oracle="""
+    WITH RECURSIVE
+    r AS (
+        SELECT doc_id,
+               CAST((doc_id % 6) + 2 AS INTEGER) AS w,
+               CAST((doc_id % 4) + 2 AS INTEGER) AS h,
+               rpad(text,
+                    CAST(((doc_id % 6) + 2) * ((doc_id % 4) + 2) * 3 AS INTEGER),
+                    'pixel') AS raster
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, w * h AS n,
+               unnest(range(0, CAST(w * h AS INTEGER))) AS i
+        FROM r
+    ),
+    g AS (
+        SELECT px.doc_id, px.n, px.i,
+               CAST(ord(substring(r.raster, 3 * px.i + 1, 1))
+                  + ord(substring(r.raster, 3 * px.i + 2, 1))
+                  + ord(substring(r.raster, 3 * px.i + 3, 1)) AS BIGINT)
+                   AS gray,
+               (px.i * 16) // px.n AS blk
+        FROM px JOIN r ON r.doc_id = px.doc_id
+    ),
+    blocks AS (
+        SELECT doc_id, n, blk,
+               CAST(SUM(gray) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n_j
+        FROM g GROUP BY doc_id, n, blk
+    ),
+    totals AS (
+        SELECT doc_id, CAST(SUM(gray) AS BIGINT) AS total FROM g
+        GROUP BY doc_id
+    ),
+    hashes AS (
+        SELECT b.doc_id,
+               CAST(SUM(CASE WHEN b.s * b.n >= t.total * b.n_j
+                             THEN 1 << CAST(b.blk AS INTEGER)
+                             ELSE 0 END) AS INTEGER) AS phash
+        FROM blocks b JOIN totals t ON t.doc_id = b.doc_id
+        GROUP BY b.doc_id
+    ),
+    hgroups AS (
+        SELECT phash, MIN(doc_id) AS rep_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM hashes GROUP BY phash
+    ),
+    hedges AS (
+        SELECT a.phash AS src, b.phash AS dst
+        FROM hgroups a JOIN hgroups b ON a.phash < b.phash
+        WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    ),
+    sym AS (
+        SELECT src, dst FROM hedges
+        UNION SELECT dst, src FROM hedges
+        UNION SELECT phash, phash FROM hgroups
+    ),
+    walk(node, lbl) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT w.node, s.dst FROM walk w JOIN sym s ON w.lbl = s.src
+    ),
+    comp AS (
+        SELECT node AS phash, MIN(lbl) AS component
+        FROM walk GROUP BY node
+    )
+    SELECT CAST(MIN(g.rep_id) AS BIGINT) AS survivor,
+           CAST(SUM(g.n_docs) AS BIGINT) AS n_variants,
+           CAST(COUNT(*) AS BIGINT) AS n_hashes
+    FROM hgroups g JOIN comp c ON c.phash = g.phash
+    GROUP BY c.component
+    """,
+)
+def q_multimodal_phash_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup KEEP-ONE (round 12, VERDICT r11 #2) -- the
+    production composition q_multimodal_phash_near_dup's docstring
+    promised: banded Hamming candidates feeding a canonical-survivor
+    gate, LINEAR output, **unbounded** (no doc_id block): one row per
+    near-dup image family -- (survivor = min doc_id, n_variants = docs
+    absorbed, n_hashes = distinct aHashes merged).
+
+    The trick that makes it linear END TO END (work, not just output):
+    collapse to DISTINCT hashes FIRST. The corpus-sized relation is
+    touched exactly twice, both linearly -- the Arrow mapInPandas aHash
+    pass and one hash-keyed groupBy (the q_dedup_exact plan) producing
+    (phash, rep_id = min doc_id, n_docs). Everything quadratic-looking
+    then runs on the HASH UNIVERSE, which a 16-bit aHash caps at 2^16
+    rows and a 64-bit production hash caps at |distinct hashes| -- a
+    function of image DIVERSITY, never corpus size (the same
+    novelty-not-volume law as the streaming dedup index). Banded
+    equi-join (4 bands x 4 bits, lossless at radius <= 3 by pigeonhole)
+    proposes hash pairs, bit_count(xor) <= 3 gates them exactly, and
+    min-label pointer-jumping (operators/graph.py) merges transitive
+    families in O(log diameter) rounds over the hash-edge list. The
+    doc_id<300 bound the pair-LISTING row needs is gone precisely
+    because no doc-level pair is ever materialized: the fixture's
+    ham<=3 density (49 percent of all doc pairs at sf0.1) costs nothing
+    when pairs live between 2.4k distinct hashes instead of 5k docs.
+
+    Oracle: the q_multimodal_phash_dedup analytic hash replay +
+    pairwise distinct-hash edges + the q_dedup_clusters recursive
+    transitive closure, tractable in DuckDB because the hash universe
+    is small; the Spark side never materializes reachability.
+
+    100 TB: hash pass linear (bytes cross to Python once per Arrow
+    batch); one corpus shuffle (hash groupBy, map-side partials); the
+    CC rounds shuffle only the hash-edge list. Image-modality stage of
+    pipeline.curate_corpus.
+    """
+    from ..operators.multimodal import ahash_ppm, phash_components
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        ((F.col("doc_id") % 6) + 2).cast("int").alias("w"),
+        ((F.col("doc_id") % 4) + 2).cast("int").alias("h"),
+    )
+    payloads = d.select(
+        "doc_id", ppm_payload("w", "h", "text").alias("payload")
+    )
+    hashes = ahash_ppm(payloads, "doc_id", "payload", bits=16)
+    # corpus -> hash universe: the ONLY corpus-sized shuffle in the query
+    hgroups = pin_corpus(
+        hashes.groupBy("phash").agg(
+            F.min("id").alias("rep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+    # hash-universe CC: edge list is <= |hashes| x 697 (radius-3 ball of
+    # a 16-bit hash), metadata-sized -- bound the per-round task count.
+    comp = phash_components(
+        hgroups, bits=16, radius=3, bands=4, num_partitions=8
+    ).withColumnRenamed("phash", "c_phash")
+    labeled = hgroups.join(
+        comp, hgroups["phash"] == comp["c_phash"]
+    ).select("component", "rep_id", "n_docs")
+    return labeled.groupBy("component").agg(
+        F.min("rep_id").cast("long").alias("survivor"),
+        F.sum("n_docs").cast("long").alias("n_variants"),
+        F.count(F.lit(1)).cast("long").alias("n_hashes"),
+    ).drop("component")
+
+
+@query(
     "q_multimodal_framesample",
     oracle="""
     WITH p AS (
