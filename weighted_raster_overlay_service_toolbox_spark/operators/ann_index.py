@@ -24,6 +24,13 @@ the production split (Jegou et al. 2011 deployment posture):
   (tests/test_ann_index.py pins the equivalence and that serving
   never re-trains).
 
+- :func:`extend_ivfpq_index` grows the corpus against the FROZEN
+  codebook (parquet append, bit-identical encoding), and
+  :func:`ivfpq_drift_probe` is the retrain trigger that closes the
+  lifecycle: compare a new sample's mean ADC quantization residual to
+  the manifest's build-time baseline; past the threshold, the codebook
+  no longer fits the distribution -- rebuild.
+
 Scale: at 100 TB the build is a periodic batch job (train on a sample,
 encode the corpus -- one broadcast join per subspace batch); serving
 reads code bytes + two broadcasts per query batch. The codes relation
@@ -65,17 +72,7 @@ def build_ivfpq_index(
     emb = emb.select("vec_id", quantize_vec("e").alias("e"))
     pinned = emb.localCheckpoint(eager=False)
     vb = hyperplane_bucket(pinned, n_planes=n_planes)
-    sub_parts = [
-        pinned.select(
-            "vec_id",
-            F.lit(j).alias("m"),
-            F.slice("e", j * sub + 1, sub).alias("e"),
-        )
-        for j in range(m)
-    ]
-    vm = sub_parts[0]
-    for spart in sub_parts[1:]:
-        vm = vm.unionAll(spart)
+    vm = _subspace_split(pinned, m, sub)
     codes_full, cents = kmeans_grouped_codebook_assign(
         vm, k=k, iterations=iterations
     )
@@ -89,9 +86,25 @@ def build_ivfpq_index(
     ).parquet(os.path.join(out_dir, "codes"))
     cents.write.mode("overwrite").parquet(os.path.join(out_dir, "codebook"))
     pinned.write.mode("overwrite").parquet(os.path.join(out_dir, "vectors"))
+    # training-residual baseline for ivfpq_drift_probe: mean ADC
+    # quantization residual of the corpus the codebook was fit to
+    # (one frozen-assignment pass against the FINAL codebook --
+    # codes_full's assignment distances are iteration-internal).
+    res = (
+        _assign_frozen(vm, cents)
+        .groupBy("vec_id")
+        .agg(F.sum("d2u").alias("ru"))
+        .agg(
+            F.sum("ru").cast("long").alias("total_u"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .collect()[0]
+    )
     manifest = {
         "m": m, "sub": sub, "k": k, "iterations": iterations,
         "n_planes": n_planes,
+        "train_residual_total_u": int(res["total_u"]),
+        "train_residual_n": int(res["n"]),
     }
     with open(os.path.join(out_dir, MANIFEST), "w") as f:
         json.dump(manifest, f)
@@ -228,6 +241,130 @@ def ivfpq_search(
     )
 
 
+def _subspace_split(pinned: DataFrame, m: int, sub: int) -> DataFrame:
+    """(vec_id, e) -> (vec_id, m, e-sub): the PQ subspace melt both the
+    build and every frozen-codebook pass share."""
+    sub_parts = [
+        pinned.select(
+            "vec_id",
+            F.lit(j).alias("m"),
+            F.slice("e", j * sub + 1, sub).alias("e"),
+        )
+        for j in range(m)
+    ]
+    vm = sub_parts[0]
+    for spart in sub_parts[1:]:
+        vm = vm.unionAll(spart)
+    return vm
+
+
+def _assign_frozen(vm: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment of subspace slices against a FROZEN
+    codebook: (vec_id, m, code, d2u) where d2u is the quantization
+    residual in integer micro-units (duck_round(d2 * 1e6) -- the ADC
+    unit, so residual bookkeeping is commutative-exact). The scoring
+    expressions are kmeans_grouped_codebook_assign's verbatim (hoisted
+    self-dots, expanded-identity distance, (d2, cluster) struct-min
+    tiebreak): encoding must be bit-identical to training-time
+    assignment or ADC distances silently bias."""
+    v = vm.withColumn("_vv", dot_expr("e", "e"))
+    c = cents.withColumnRenamed("m", "_g").withColumn(
+        "_cc", dot_expr("ce", "ce")
+    )
+    scored = v.join(broadcast(c), F.col("m") == F.col("_g")).select(
+        "vec_id",
+        "m",
+        "cluster",
+        (
+            F.col("_vv")
+            - 2 * dot_expr(F.col("e"), F.col("ce"))
+            + F.col("_cc")
+        ).alias("d2"),
+    )
+    return (
+        scored.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "cluster")).alias("best"))
+        .select(
+            "vec_id",
+            "m",
+            F.col("best.cluster").alias("code"),
+            duck_round(F.col("best.d2") * F.lit(1_000_000.0))
+            .cast("long")
+            .alias("d2u"),
+        )
+    )
+
+
+def ivfpq_drift_probe(
+    spark: SparkSession,
+    index_dir: str,
+    sample_emb: DataFrame,
+    retrain_ratio: float = 2.0,
+) -> dict:
+    """Cheap drift detector for the frozen codebook (the retrain
+    trigger ``extend_ivfpq_index``'s docstring names): encode a SAMPLE
+    of newly-arriving vectors against the stored codebook and compare
+    their mean quantization residual (sum over subspaces of the
+    vector-to-assigned-centroid ADC distance, integer micro-units) to
+    the training corpus's mean residual recorded in the manifest at
+    build time.
+
+    A codebook quantizes the distribution it was trained on; when the
+    embedding distribution drifts (new encoder checkpoint, new domain
+    mix), new vectors land FAR from every centroid and their residual
+    inflates -- recall decays for exactly the rows the index was
+    extended with. Returns ``{"train_mean_residual_u",
+    "sample_mean_residual_u", "ratio", "needs_retrain"}``;
+    ``needs_retrain`` fires when ratio > ``retrain_ratio``.
+
+    Threshold rationale: the baseline is IN-SAMPLE (the codebook was
+    fit to exactly those vectors), so it is optimistic by construction
+    -- even a same-distribution sample probes somewhat above 1.0 (the
+    k-means generalization gap; ~1.5x on the small fixtures, smaller
+    as corpus/k grows). The default 2.0 therefore reads as "new
+    vectors sit twice as far from their centroids as training data
+    did": past any generalization gap, and the regime where the PQ
+    shortlist starts missing true neighbors (the re-rank can only fix
+    what the shortlist retains). Deployments wanting a tight trigger
+    calibrate empirically: probe a held-out same-distribution sample
+    right after build and set the threshold a margin above THAT ratio.
+    Production cadence: run the probe on each ingest window's sample;
+    on fire, retrain via :func:`build_ivfpq_index` on fresh data and
+    re-encode (the codes relation is rebuilt; the vectors relation is
+    reusable as-is).
+
+    Cost: one broadcast join over |sample| x m rows + one agg -- no
+    index I/O beyond the m*k-row codebook."""
+    from .kmeans import quantize_vec
+
+    with open(os.path.join(index_dir, MANIFEST)) as f:
+        mf = json.load(f)
+    m, sub = mf["m"], mf["sub"]
+    train_mean = mf["train_residual_total_u"] / mf["train_residual_n"]
+
+    emb = sample_emb.select("vec_id", quantize_vec("e").alias("e"))
+    vm = _subspace_split(emb.localCheckpoint(eager=False), m, sub)
+    cents = spark.read.parquet(os.path.join(index_dir, "codebook"))
+    row = (
+        _assign_frozen(vm, cents)
+        .groupBy("vec_id")
+        .agg(F.sum("d2u").alias("ru"))
+        .agg(
+            F.sum("ru").cast("long").alias("total_u"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .collect()[0]
+    )
+    sample_mean = row["total_u"] / row["n"]
+    ratio = sample_mean / train_mean if train_mean else float("inf")
+    return {
+        "train_mean_residual_u": train_mean,
+        "sample_mean_residual_u": sample_mean,
+        "ratio": ratio,
+        "needs_retrain": ratio > retrain_ratio,
+    }
+
+
 def extend_ivfpq_index(
     spark: SparkSession, index_dir: str, new_emb: DataFrame
 ) -> None:
@@ -253,41 +390,13 @@ def extend_ivfpq_index(
     emb = new_emb.select("vec_id", quantize_vec("e").alias("e"))
     pinned = emb.localCheckpoint(eager=False)
     vb = hyperplane_bucket(pinned, n_planes=n_planes)
-    sub_parts = [
-        pinned.select(
-            "vec_id",
-            F.lit(j).alias("m"),
-            F.slice("e", j * sub + 1, sub).alias("e"),
-        )
-        for j in range(m)
-    ]
-    vm = sub_parts[0]
-    for spart in sub_parts[1:]:
-        vm = vm.unionAll(spart)
+    vm = _subspace_split(pinned, m, sub)
     cents = spark.read.parquet(os.path.join(index_dir, "codebook"))
-    # frozen-codebook assignment: the kmeans_grouped_codebook_assign
-    # scoring expressions verbatim (hoisted self-dots, expanded-identity
-    # distance, (d2, cluster) struct-min tiebreak) -- encoding must be
-    # bit-identical to what training-time assignment would have produced
-    # or ADC distances silently bias.
-    v = vm.withColumn("_vv", dot_expr("e", "e"))
-    c = cents.withColumnRenamed("m", "_g").withColumn(
-        "_cc", dot_expr("ce", "ce")
-    )
-    scored = v.join(broadcast(c), F.col("m") == F.col("_g")).select(
-        "vec_id",
-        "m",
-        "cluster",
-        (
-            F.col("_vv")
-            - 2 * dot_expr(F.col("e"), F.col("ce"))
-            + F.col("_cc")
-        ).alias("d2"),
-    )
+    # frozen-codebook assignment (shared with ivfpq_drift_probe):
+    # bit-identical to training-time assignment by construction.
     codes = (
-        scored.groupBy("vec_id", "m")
-        .agg(F.min(F.struct("d2", "cluster")).alias("best"))
-        .select("vec_id", "m", F.col("best.cluster").alias("code"))
+        _assign_frozen(vm, cents)
+        .select("vec_id", "m", "code")
         .join(vb.select("vec_id", "bucket"), "vec_id")
     )
     codes.repartition("bucket").write.mode("append").partitionBy(
