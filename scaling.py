@@ -6,8 +6,10 @@ per-decade ratio a tracked artifact like bench.py's wall-clock. It
 - regenerates the realistic 10x fixtures if absent (``make_sf1.py`` ->
   ``.scratch/sf1r``; ``--grow-pools`` -> ``.scratch/sf1rg`` for the
   entity-resolution regime pair),
-- runs the scaling probe set at sf0.1 and sf1r (min-of-2, warm session,
-  noop sink -- same timing discipline as bench.py),
+- runs the scaling probe set at sf0.1 and sf1r (min-of-3 since r12 --
+  SCALING_r11's sentinel moved 2.4x on identical code vs r10's 1.96x,
+  so min-of-2 was not pinning the host floor; warm session, noop sink
+  -- same timing discipline as bench.py),
 - runs q_entity_resolution ALSO at sf1rg (grown name pools), because its
   cost is a DATA-regime property: fixed-name pools grow blocks linearly
   (the driver fixture's convention), grown pools keep the block-size
@@ -104,7 +106,7 @@ def main() -> None:
 
     def timed(name: str, sf_dir: str) -> float:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             QUERIES[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
@@ -150,7 +152,7 @@ def main() -> None:
 
     def timed_auto(sf_dir: str) -> float:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             edges, _ = _mutual_knn_edges(spark, sf_dir, n_planes="auto")
             edges.write.format("noop").mode("overwrite").save()
