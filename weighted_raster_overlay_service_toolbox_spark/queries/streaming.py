@@ -981,3 +981,144 @@ def q_stream_near_dup_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "batch_id", (F.col("batch_id") + F.lit(n_a)).cast("int")
         )
     )
+
+
+def _stream_phash_dedup_oracle(n_files: int = 4) -> str:
+    """DuckDB oracle for q_stream_phash_dedup: replay the deterministic
+    staging split (the q_stream_near_dup batch model over doc_id order),
+    rebuild the aHash analytically (the q_multimodal_phash_dedup CTEs),
+    then apply the claim rule as one join: a document is DROPPED iff an
+    earlier document -- (batch_id, doc_id)-lexicographically: earlier
+    batches' claims are already in the state store, in-batch ties go to
+    the lower doc_id -- carries the SAME hash."""
+    return f"""
+    WITH ranked AS (
+        SELECT doc_id, text, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn,
+               COUNT(*) OVER () AS total
+        FROM documents
+    ),
+    docs AS (
+        SELECT doc_id, text,
+               CAST((rn - 1) // (total // {n_files} + 1) AS INTEGER)
+                   AS batch_id
+        FROM ranked
+    ),
+    r AS (
+        SELECT doc_id,
+               CAST((doc_id % 6) + 2 AS INTEGER) AS w,
+               CAST((doc_id % 4) + 2 AS INTEGER) AS h,
+               rpad(text,
+                    CAST(((doc_id % 6) + 2) * ((doc_id % 4) + 2) * 3
+                         AS INTEGER),
+                    'pixel') AS raster
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, w * h AS n,
+               unnest(range(0, CAST(w * h AS INTEGER))) AS i
+        FROM r
+    ),
+    g AS (
+        SELECT px.doc_id, px.n, px.i,
+               CAST(ord(substring(r.raster, 3 * px.i + 1, 1))
+                  + ord(substring(r.raster, 3 * px.i + 2, 1))
+                  + ord(substring(r.raster, 3 * px.i + 3, 1)) AS BIGINT)
+                   AS gray,
+               (px.i * 16) // px.n AS blk
+        FROM px JOIN r ON r.doc_id = px.doc_id
+    ),
+    blocks AS (
+        SELECT doc_id, n, blk,
+               CAST(SUM(gray) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n_j
+        FROM g GROUP BY doc_id, n, blk
+    ),
+    totals AS (
+        SELECT doc_id, CAST(SUM(gray) AS BIGINT) AS total FROM g
+        GROUP BY doc_id
+    ),
+    hashes AS (
+        SELECT b.doc_id,
+               CAST(SUM(CASE WHEN b.s * b.n >= t.total * b.n_j
+                             THEN 1 << CAST(b.blk AS INTEGER)
+                             ELSE 0 END) AS INTEGER) AS phash
+        FROM blocks b JOIN totals t ON t.doc_id = b.doc_id
+        GROUP BY b.doc_id
+    ),
+    hb AS (
+        SELECT h.doc_id, h.phash, d.batch_id
+        FROM hashes h JOIN docs d ON d.doc_id = h.doc_id
+    ),
+    dropped AS (
+        SELECT DISTINCT b.doc_id
+        FROM hb a JOIN hb b
+          ON a.phash = b.phash
+         AND (a.batch_id < b.batch_id
+              OR (a.batch_id = b.batch_id AND a.doc_id < b.doc_id))
+    )
+    SELECT d.batch_id, d.doc_id FROM docs d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+    """
+
+
+@query("q_stream_phash_dedup", oracle=_stream_phash_dedup_oracle())
+def q_stream_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INGEST-TIME perceptual image dedup (round 12): the streaming form
+    of q_multimodal_phash_dedup, composing the image modality with the
+    q_stream_near_dup claim machinery VERBATIM -- documents arrive in
+    batches, each image's PPM payload is aHashed in-stream (Arrow
+    mapInPandas on the streaming DataFrame -- stateless, so Structured
+    Streaming allows it before the stateful stage), and the 16-bit hash
+    is claimed in the state store as a single "band": a document
+    survives iff it owns its hash key (first presenting batch wins,
+    in-batch ties to the lower doc_id). Re-encoded or brightness-shifted
+    copies of an already-ingested image hash identically and are dropped
+    AT THE DOOR -- the multimodal sibling of the MinHash ingest dedup,
+    and the reason bands=1 needs no new machinery: exact-key keep-one is
+    the radius-0 point of the same claim algebra (the Hamming-banded
+    generalization is q_multimodal_phash_keep_one's batch composition;
+    at ingest, radius-0 plus a periodic batch keep-one sweep is the
+    standard split).
+
+    Scale: hashing is narrow (bytes cross to Python once per Arrow
+    batch, no shuffle); the stateful stage pays ONE shuffle keyed by the
+    hash, which is also the state-store partitioning; state is one long
+    per DISTINCT hash -- bounded by image diversity (<= 2^16 here), not
+    corpus size. RocksDB provider + parquet batch_id-partitioned
+    survivor sink + idempotent replay, all inherited from
+    run_near_dup_ingest (the crash witness covers this exact pipeline
+    shape). Oracle: deterministic staging => batch assignment replays in
+    SQL; the hash replays analytically (q_multimodal_phash_dedup CTEs);
+    the claim rule is the lexicographic-collision join."""
+    import shutil
+
+    from ..operators.multimodal import ahash_ppm, ppm_payload
+    from ..streaming.near_dup import run_near_dup_ingest
+
+    scratch_root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ".scratch",
+    )
+    sink_dir = os.path.join(scratch_root, "stream_phash_sink")
+    ckpt_dir = os.path.join(scratch_root, "stream_phash_ckpt")
+    shutil.rmtree(sink_dir, ignore_errors=True)
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+    staged = stage_document_files(spark, sf_dir, "phash_dedup")
+    docs = read_document_stream(spark, staged, files_per_trigger=1).select(
+        "doc_id",
+        "text",
+        ((F.col("doc_id") % 6) + 2).cast("int").alias("w"),
+        ((F.col("doc_id") % 4) + 2).cast("int").alias("h"),
+    )
+    payloads = docs.select(
+        "doc_id", ppm_payload("w", "h", "text").alias("payload")
+    )
+    keys = ahash_ppm(payloads, "doc_id", "payload", bits=16).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0).alias("band_idx"),
+        F.col("phash").cast("string").alias("band_key"),
+    )
+    return run_near_dup_ingest(
+        spark, keys, 1, sink_dir, ckpt_dir, use_rocksdb=True
+    )
