@@ -119,6 +119,9 @@ def main() -> None:
         # round-11 additions (the IVFADC serving composition)
         "q_ann_ivfpq",             # IVF prune + ADC shortlist + re-rank
         "q_ann_ivfpq_recall",      # IVFPQ-vs-exact recall harness
+        # round-12 additions (the perceptual-hash production pair)
+        "q_multimodal_phash_keep_one",  # hash-universe banded CC keep-one
+        "q_stream_phash_dedup",         # ingest-time radius-0 hash claim
     ]
 
     def materialize(df) -> None:
@@ -159,6 +162,9 @@ def main() -> None:
             (engine.stage_with_sentinel, "ss_left_b", {}),
         ],
         "q_stream_near_dup": [(engine.stage_document_files, "near_dup", {})],
+        "q_stream_phash_dedup": [
+            (engine.stage_document_files, "phash_dedup", {})
+        ],
     }
     for name in headline:
         if name.startswith("q_stream_"):
