@@ -223,3 +223,47 @@ def test_phash_components_rejects_lossy_band_geometry(spark):
         phash_components(hashes, bits=16, radius=4, bands=4)
     with pytest.raises(ValueError):
         phash_components(hashes, bits=16, radius=2, bands=5)
+
+
+def test_wav_codec_roundtrip_and_validation():
+    from weighted_raster_overlay_service_toolbox_spark.operators.multimodal import (
+        parse_wav,
+        wav_payload_bytes,
+    )
+
+    pcm = bytes(range(0, 200, 7))
+    p = wav_payload_bytes(pcm, sample_rate=8000)
+    # canonical WAVE form: 44-byte header, declared sizes match
+    assert p[:4] == b"RIFF" and p[8:12] == b"WAVE" and len(p) == 44 + len(pcm)
+    rate, got = parse_wav(p)
+    assert (rate, got) == (8000, pcm)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        parse_wav(b"RIFX" + p[4:])  # bad magic
+    with pytest.raises(ValueError):
+        parse_wav(p[:40])  # truncated header
+    bad_bits = bytearray(p)
+    bad_bits[34] = 16  # declare 16-bit samples
+    with pytest.raises(ValueError):
+        parse_wav(bytes(bad_bits))
+    short_data = p[:-3]  # declared n, missing bytes
+    with pytest.raises(ValueError):
+        parse_wav(short_data)
+
+
+def test_audio_features_hand_computed(spark):
+    from weighted_raster_overlay_service_toolbox_spark.operators.multimodal import (
+        audio_features,
+        wav_payload,
+    )
+
+    # n=7, text 'abc' -> pcm = 'abcaudi' (rpad with cyclic 'audio')
+    df = spark.createDataFrame([(1, "abc", 7)], "doc_id long, text string, n int")
+    payloads = wav_payload(df, "doc_id", "n", "text")
+    row = audio_features(payloads, "id", "payload").collect()[0]
+    pcm = b"abcaudi"
+    assert row["n_samples"] == 7 and row["sample_rate"] == 8000
+    assert row["peak_amp"] == max(pcm)
+    assert row["mean_amp"] == sum(pcm) / 7

@@ -32,6 +32,8 @@ from .conftest import SF_SMOKE
 #: plans are now fully whole-stage-codegen; dot_pandas remains the
 #: documented bulk path, exercised by unit tests.
 PYTHON_EVAL_ALLOWED = {
+    "q_multimodal_audio_features",  # r12: WAV encode seam + validating
+                                    # parse, two chained Arrow passes
     "q_multimodal_decode",
     "q_multimodal_phash_dedup",
     # q_multimodal_phash_near_dup's mapInPandas sits BEHIND its pinned

@@ -347,3 +347,128 @@ def phash_components(
             "component"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# pure-Python RIFF/WAV codec (audio modality; no media libraries required)
+# --------------------------------------------------------------------------
+
+
+def wav_payload_bytes(pcm: bytes, sample_rate: int = 8000) -> bytes:
+    """A REAL minimal RIFF/WAVE container around 8-bit mono PCM samples:
+    the audio fixture encoder (struct-packed little-endian chunk sizes,
+    canonical 16-byte fmt chunk) -- the WAV sibling of
+    :func:`ppm_payload`. Byte layout is the published canonical WAVE
+    form, so any standard reader parses it."""
+    import struct
+
+    n = len(pcm)
+    return b"".join([
+        b"RIFF", struct.pack("<I", 36 + n), b"WAVE",
+        b"fmt ", struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                             sample_rate, 1, 8),
+        b"data", struct.pack("<I", n), pcm,
+    ])
+
+
+def parse_wav(payload: bytes) -> tuple[int, bytes]:
+    """Header-parse a canonical 8-bit mono PCM WAV payload; returns
+    (sample_rate, sample bytes). REAL validation -- magic, fmt chunk
+    size, PCM format code, channel count, bit depth, declared data
+    length -- with ``ValueError`` on any mismatch (the
+    :func:`parse_ppm` failure contract)."""
+    import struct
+
+    if len(payload) < 44:
+        raise ValueError(f"short WAV payload: {len(payload)} bytes")
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError(f"not a RIFF/WAVE payload (magic {payload[0:4]!r})")
+    if payload[12:16] != b"fmt ":
+        raise ValueError("missing fmt chunk")
+    fmt_size, audio_fmt, channels, rate, _byte_rate, _align, bits = (
+        struct.unpack("<IHHIIHH", payload[16:36])
+    )
+    if fmt_size != 16 or audio_fmt != 1:
+        raise ValueError(f"unsupported WAV fmt (size {fmt_size}, code {audio_fmt})")
+    if channels != 1 or bits != 8:
+        raise ValueError(f"unsupported layout: {channels}ch {bits}-bit (mono 8-bit only)")
+    if payload[36:40] != b"data":
+        raise ValueError("missing data chunk")
+    (n,) = struct.unpack("<I", payload[40:44])
+    pcm = payload[44 : 44 + n]
+    if len(pcm) < n:
+        raise ValueError(f"short WAV data: need {n} bytes, have {len(pcm)}")
+    return rate, pcm
+
+
+def wav_payload(
+    df: DataFrame, id_col: str, n_col: str, fill_col: str,
+    sample_rate: int = 8000, out_col: str = "payload",
+) -> DataFrame:
+    """Fixture-side audio encoder: (id, n, fill-text) -> (id, payload
+    binary) where payload is a REAL WAV container whose PCM samples are
+    the first ``n`` bytes of the fill text padded cyclically with
+    ``'audio'`` (SQL ``rpad`` semantics, mirrored exactly so a DuckDB
+    oracle can reconstruct the samples analytically). Arrow-batched
+    mapInPandas; a production pipeline reads payload bytes from storage
+    instead -- this seam exists so the DECODE side is exercised against
+    genuine container bytes, not a synthetic shortcut."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, k, f in zip(pdf[id_col], pdf[n_col], pdf[fill_col]):
+                k = int(k)
+                text = f if f is not None else ""
+                pcm = (text + "audio" * (k // 5 + 1))[:k].encode("ascii")
+                ids.append(i)
+                payloads.append(wav_payload_bytes(pcm, sample_rate))
+            yield pd.DataFrame(
+                {"id": pd.Series(ids, dtype="int64"),
+                 out_col: pd.Series(payloads, dtype=object)}
+            )
+
+    return df.mapInPandas(run, f"id long, {out_col} binary")
+
+
+def audio_features(
+    df: DataFrame, id_col: str, payload_col: str
+) -> DataFrame:
+    """binary WAV -> (id, sample_rate, n_samples, mean_amp, peak_amp):
+    one output row per input, REAL parse (ValueError propagates).
+    Aggregates are integer-exact (uint8 samples summed as int64; the
+    mean is one BIGINT/INT division both engines evaluate identically),
+    so a SQL oracle replays them bit-for-bit. Arrow-batched
+    mapInPandas, no shuffle -- the audio member of the decode family
+    (:func:`decode_ppm_features` is the image one)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"id": [], "sample_rate": [], "n_samples": [],
+                   "mean_amp": [], "peak_amp": []}
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                rate, pcm = parse_wav(p)
+                amps = np.frombuffer(pcm, dtype=np.uint8)
+                out["id"].append(i)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(amps))
+                out["mean_amp"].append(
+                    int(amps.astype(np.int64).sum()) / len(amps)
+                    if len(amps) else 0.0
+                )
+                out["peak_amp"].append(
+                    int(amps.max()) if len(amps) else 0
+                )
+            yield pd.DataFrame({
+                "id": pd.Series(out["id"], dtype="int64"),
+                "sample_rate": pd.Series(out["sample_rate"], dtype="int32"),
+                "n_samples": pd.Series(out["n_samples"], dtype="int32"),
+                "mean_amp": pd.Series(out["mean_amp"], dtype="float64"),
+                "peak_amp": pd.Series(out["peak_amp"], dtype="int32"),
+            })
+
+    return df.mapInPandas(
+        run,
+        "id long, sample_rate int, n_samples int, "
+        "mean_amp double, peak_amp int",
+    )

@@ -1502,6 +1502,69 @@ def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(payloads, "doc_id", "payload", every_n_bytes=64)
 
 
+@query(
+    "q_multimodal_audio_features",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               CAST((doc_id % 50) + 10 AS INTEGER) AS n,
+               rpad(text, CAST((doc_id % 50) + 10 AS INTEGER), 'audio')
+                   AS pcm
+        FROM documents
+    ),
+    px AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM s),
+    g AS (
+        SELECT px.doc_id, px.n,
+               ord(substring(s.pcm, px.i + 1, 1)) AS amp
+        FROM px JOIN s ON s.doc_id = px.doc_id
+    )
+    SELECT doc_id AS id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(n AS INTEGER) AS n_samples,
+           CAST(CAST(SUM(amp) AS BIGINT) / n AS DOUBLE) AS mean_amp,
+           CAST(MAX(amp) AS INTEGER) AS peak_amp
+    FROM g GROUP BY doc_id, n
+    """,
+)
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO decode + feature extraction (round 12): the audio member of
+    the multimodal decode family -- image is q_multimodal_decode (P6
+    PPM), video-frame extraction is q_multimodal_framesample; this row
+    completes the triple. The corpus's text derives a REAL RIFF/WAVE
+    container per document (operators/multimodal.py wav_payload:
+    struct-packed little-endian chunks, canonical 16-byte fmt, 8-bit
+    mono PCM at 8 kHz -- any standard reader parses these bytes), which
+    then crosses the engine as an OPAQUE binary column and is decoded by
+    a REAL validating parser (parse_wav: magic / fmt-size / PCM code /
+    channel / bit-depth / data-length checks, ValueError on any
+    mismatch) extracting (sample_rate, n_samples, mean_amp, peak_amp).
+
+    Oracle exactness: the fixture encoder is deterministic and the
+    samples are the first n bytes of rpad(text, n, 'audio') (ASCII
+    corpus => character ops == byte ops), so DuckDB reconstructs the PCM
+    analytically and replays the aggregates -- uint8 samples summed as
+    BIGINT, the mean one BIGINT/INT division both engines evaluate as
+    the same IEEE double, peak an integer MAX. The WAV container bytes
+    themselves are exercised Spark-side only (encode -> binary column ->
+    parse), which is the point: the oracle checks the FEATURES, the unit
+    tests check the CONTAINER (roundtrip + malformed rejection).
+
+    Scale: two Arrow mapInPandas passes (encode seam, decode), both
+    narrow -- no shuffle until the driver's comparator sorts; in
+    production the encode seam disappears (payloads come from storage)
+    and the decode parser body swaps for librosa/ffmpeg with IDENTICAL
+    Spark plumbing (schema, batch shape, one-row-per-input contract)."""
+    from ..operators.multimodal import audio_features, wav_payload
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        ((F.col("doc_id") % 50) + 10).cast("int").alias("n"),
+    )
+    payloads = wav_payload(d, "doc_id", "n", "text", sample_rate=8000)
+    return audio_features(payloads, "id", "payload")
+
+
 def _kmeans_ctes(
     k: int = 8,
     iterations: int = 3,
