@@ -80,6 +80,11 @@ PROBES = [
     # gate + shortlist re-rank -- the heaviest training stage in the
     # ANN family, so its decade ratio gets tracked)
     "q_ann_ivfpq",
+    # r12 additions: the hash-universe keep-one (CC rounds over the
+    # distinct-hash graph -- the linearity claim is exactly what a
+    # decade ratio tests) and the ingest-time radius-0 hash claim
+    "q_multimodal_phash_keep_one",
+    "q_stream_phash_dedup",
     # host-drift sentinel (unchanged since r1)
     "q_join_inner",
 ]
