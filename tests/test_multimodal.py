@@ -267,3 +267,41 @@ def test_audio_features_hand_computed(spark):
     assert row["n_samples"] == 7 and row["sample_rate"] == 8000
     assert row["peak_amp"] == max(pcm)
     assert row["mean_amp"] == sum(pcm) / 7
+
+
+def test_frame_signatures_and_scene_change_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from weighted_raster_overlay_service_toolbox_spark.operators.multimodal import (
+        frame_signatures,
+    )
+
+    # 3 frames of 4 bytes: [1,1,1,1], [1,1,1,1], [100,100,100,100]
+    payload = bytearray([1] * 8 + [100] * 4)
+    df = spark.createDataFrame([(7, payload)], "doc_id long, stream binary")
+    sigs = frame_signatures(df, "doc_id", "stream", every_n_bytes=4)
+    rows = {r["frame_idx"]: r["sig"] for r in sigs.collect()}
+    assert rows == {0: 4, 1: 4, 2: 400}
+    # the cut is frame 1 -> 2 only
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("frame_idx")
+    cuts = (
+        sigs.withColumn("delta", F.abs(F.col("sig") - F.lag("sig").over(w)))
+        .filter(F.col("delta") > 200)
+        .collect()
+    )
+    assert [(r["frame_idx"], r["delta"]) for r in cuts] == [(2, 396)]
+
+
+def test_frame_signatures_tail_frame_is_partial(spark):
+    from weighted_raster_overlay_service_toolbox_spark.operators.multimodal import (
+        frame_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray([10] * 5))], "doc_id long, stream binary"
+    )
+    rows = {r["frame_idx"]: r["sig"]
+            for r in frame_signatures(df, "doc_id", "stream", 4).collect()}
+    assert rows == {0: 40, 1: 10}

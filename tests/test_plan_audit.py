@@ -34,6 +34,8 @@ from .conftest import SF_SMOKE
 PYTHON_EVAL_ALLOWED = {
     "q_multimodal_audio_features",  # r12: WAV encode seam + validating
                                     # parse, two chained Arrow passes
+    "q_multimodal_scene_change",    # r12: frame byte-sum signatures; the
+                                    # detection window stays JVM-side
     "q_multimodal_decode",
     "q_multimodal_phash_dedup",
     # q_multimodal_phash_near_dup's mapInPandas sits BEHIND its pinned

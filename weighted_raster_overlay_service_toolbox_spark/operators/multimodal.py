@@ -472,3 +472,37 @@ def audio_features(
         "id long, sample_rate int, n_samples int, "
         "mean_amp double, peak_amp int",
     )
+
+
+def frame_signatures(
+    df: DataFrame, id_col: str, payload_col: str, every_n_bytes: int
+) -> DataFrame:
+    """binary -> one (id, frame_idx, sig) row per ``every_n_bytes``
+    window, sig = the frame's byte sum as BIGINT -- the integer-exact
+    per-frame signature scene-change detection differences (a checksum
+    can only say "different"; a magnitude signature says "how much",
+    which is what a cut detector thresholds). The byte crunch is the
+    only Python here (Arrow-batched, N rows per input -- the
+    :func:`frame_sample` shape); the detection itself stays JVM-side
+    (a lag window over (id, frame_idx)), the right split between a
+    codec seam and analytics."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sigs = [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                buf = np.frombuffer(p, dtype=np.uint8)
+                for k in range(0, len(buf), every_n_bytes):
+                    ids.append(i)
+                    idxs.append(k // every_n_bytes)
+                    sigs.append(int(buf[k : k + every_n_bytes]
+                                    .astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "sig": pd.Series(sigs, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(run, "id long, frame_idx int, sig long")

@@ -283,13 +283,19 @@ from . import tpch  # noqa: F401,E402
 # binary column -> REAL validating parse extracting integer-exact PCM
 # features; analytic rpad-PCM oracle; 3-SF parity-exact on arrival,
 # r13 window grades it).
+# LATE-R12 ADDITION: q_multimodal_scene_change (registry 253 -> 254:
+# cut detection over a frame stream -- integer byte-sum frame
+# signatures via Arrow mapInPandas, detection as a pure-Catalyst lag
+# window + strict integer threshold; analytic rpad-stream oracle;
+# 3-SF parity-exact on arrival, r13 window grades it).
 # ROUND-13 ROTATION PLAN: after the r12 window grades, cumulative
-# driver-green should be 251/253 (only the late-r12 additions
-# q_stream_phash_dedup and q_multimodal_audio_features unwitnessed).
-# The r13 window = flagships + those two + any r13-changed/added
-# queries + the remaining r6-last re-grade band (q_tpch_q12,
-# q_tpch_q13, q_tpch_q15, q_tpch_q16, q_tpch_q18, q_tpch_q19,
-# q_tpch_q20, q_tpch_q21, q_tpch_q22) + the oldest r7-last entries.
+# driver-green should be 251/254 (only the late-r12 additions
+# q_stream_phash_dedup, q_multimodal_audio_features, and
+# q_multimodal_scene_change unwitnessed). The r13 window = flagships +
+# those three + any r13-changed/added queries + the remaining r6-last
+# re-grade band (q_tpch_q12, q_tpch_q13, q_tpch_q15, q_tpch_q16,
+# q_tpch_q18, q_tpch_q19, q_tpch_q20, q_tpch_q21, q_tpch_q22) + the
+# oldest r7-last entries.
 _DRIVER_WINDOW = [
     # == ROUND-12 WINDOW ==
     # Executes VERDICT r11 'Next round' #1 as written (+#2's addition):

@@ -1565,6 +1565,81 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(payloads, "id", "payload")
 
 
+@query(
+    "q_multimodal_scene_change",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               CAST(((doc_id % 7) + 4) * 64 AS INTEGER) AS n,
+               rpad(text, CAST(((doc_id % 7) + 4) * 64 AS INTEGER),
+                    'video') AS stream
+        FROM documents
+    ),
+    j AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM p),
+    sums AS (
+        SELECT j.doc_id, CAST(j.i // 64 AS INTEGER) AS k,
+               CAST(SUM(ord(substring(p.stream, j.i + 1, 1))) AS BIGINT)
+                   AS sig
+        FROM j JOIN p ON p.doc_id = j.doc_id
+        GROUP BY j.doc_id, j.i // 64
+    ),
+    s AS (
+        SELECT doc_id, k, sig,
+               lag(sig) OVER (PARTITION BY doc_id ORDER BY k) AS prev
+        FROM sums
+    )
+    SELECT doc_id AS id, CAST(k AS INTEGER) AS frame_idx,
+           CAST(abs(sig - prev) AS BIGINT) AS delta
+    FROM s WHERE prev IS NOT NULL AND abs(sig - prev) > 200
+    """,
+)
+def q_multimodal_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCENE-CHANGE (cut) detection over a frame stream (round 12) --
+    the analytics layer on top of q_multimodal_framesample's extraction
+    shape: each document derives a raw byte stream of 4-10 exact
+    64-byte "frames" (the opaque-video convention: a production
+    pipeline feeds real decoded frames through the identical plumbing),
+    every frame gets an integer byte-sum signature
+    (operators/multimodal.py frame_signatures, Arrow mapInPandas), and
+    a cut is reported wherever consecutive signatures jump by more than
+    200 -- (id, frame_idx, delta) per detected cut, the row a
+    frame-sampling curriculum keeps (sample at cuts, skip static
+    stretches -- the standard way video training data avoids
+    near-identical frame floods).
+
+    The plan split is the point: Python touches bytes ONCE (the
+    signature crunch, N rows per input, no shuffle), and the detection
+    is pure Catalyst -- a lag window keyed (id, frame_idx) + an integer
+    threshold, whole-stage-codegen all the way. Threshold semantics are
+    knife-edge-free: signatures and deltas are exact BIGINTs, the gate
+    is a strict integer compare (measured at sf0.01: 25 percent of
+    frame transitions qualify at T=200 -- both branches exercised).
+
+    Oracle: the stream replays analytically (rpad byte == character on
+    the ASCII corpus), per-frame sums group by i // 64, and the same
+    lag/threshold runs in DuckDB SQL.
+
+    Scale: signatures are linear in payload bytes; the only shuffle is
+    the per-document window (tiny keys, bounded frames-per-doc); at
+    100 TB the window partitions by (video, shard) exactly as here."""
+    from ..operators.multimodal import frame_signatures
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "cast(rpad(text, ((doc_id % 7) + 4) * 64, 'video') as binary)"
+        ).alias("stream"),
+    )
+    sigs = frame_signatures(d, "doc_id", "stream", every_n_bytes=64)
+    w = Window.partitionBy("id").orderBy("frame_idx")
+    delta = F.abs(F.col("sig") - F.lag("sig").over(w))
+    return (
+        sigs.withColumn("delta", delta.cast("long"))
+        .filter(F.col("delta") > 200)
+        .select("id", "frame_idx", "delta")
+    )
+
+
 def _kmeans_ctes(
     k: int = 8,
     iterations: int = 3,
