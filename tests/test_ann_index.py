@@ -196,3 +196,14 @@ def test_drift_probe_fires_on_distribution_shift_only(spark):
     drifted = ivfpq_drift_probe(spark, drift_dir, shifted)
     assert drifted["needs_retrain"], drifted
     assert drifted["ratio"] > 2.0, drifted
+
+    # degenerate inputs fail loudly, not with an opaque TypeError
+    import pytest
+
+    empty = held_out.filter(F.lit(False))
+    with pytest.raises(ValueError, match="empty"):
+        ivfpq_drift_probe(spark, drift_dir, empty)
+    empty_dir = INDEX_DIR + "_empty"
+    shutil.rmtree(empty_dir, ignore_errors=True)
+    with pytest.raises(Exception, match="empty|no element|max\\(\\)"):
+        build_ivfpq_index(empty, empty_dir)

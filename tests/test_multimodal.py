@@ -251,6 +251,8 @@ def test_wav_codec_roundtrip_and_validation():
     short_data = p[:-3]  # declared n, missing bytes
     with pytest.raises(ValueError):
         parse_wav(short_data)
+    with pytest.raises(ValueError):
+        parse_wav(p + b"JUNK")  # trailing bytes after the data chunk
 
 
 def test_audio_features_hand_computed(spark):

@@ -118,3 +118,24 @@ def test_image_near_dup_stage_keeps_one_per_hash_family(spark):
     assert reasons == {2: "image_near_duplicate"}
     assert {r["doc_id"] for r in kept.collect()} == {1, 3}
     assert set(kept.columns) == {"doc_id", "text", "source", "payload"}
+
+    # knob plumbing (ADVICE r12): radius >= default bands used to raise
+    # from deep inside phash_components; now bands auto-derives (radius 4
+    # -> bands 8 for 16-bit hashes) or is caller-set, and impossible
+    # combinations fail with a clear, named error at the curate_corpus
+    # seam.
+    kept4, dropped4, _ = curate_corpus(
+        docs, min_tokens=5, image_payload_col="payload",
+        image_hamming_radius=4,
+    )
+    assert {r["doc_id"] for r in kept4.collect()} == {1}  # dist 4 merges
+    kept_b, _, _ = curate_corpus(
+        docs, min_tokens=5, image_payload_col="payload",
+        image_hamming_radius=3, image_bands=8,
+    )
+    assert {r["doc_id"] for r in kept_b.collect()} == {1, 3}
+    import pytest
+
+    with pytest.raises(ValueError, match="band"):
+        curate_corpus(docs, min_tokens=5, image_payload_col="payload",
+                      image_hash_bits=16, image_hamming_radius=16)

@@ -100,6 +100,11 @@ def build_ivfpq_index(
         )
         .collect()[0]
     )
+    if res["n"] == 0 or res["total_u"] is None:
+        raise ValueError(
+            "build_ivfpq_index: training set is empty -- emb produced "
+            "no vectors to fit the codebook/residual baseline on"
+        )
     manifest = {
         "m": m, "sub": sub, "k": k, "iterations": iterations,
         "n_planes": n_planes,
@@ -355,6 +360,12 @@ def ivfpq_drift_probe(
         )
         .collect()[0]
     )
+    if row["n"] == 0 or row["total_u"] is None:
+        raise ValueError(
+            "ivfpq_drift_probe: sample_emb is empty -- the probe needs "
+            "at least one vector to compare against the training "
+            "residual baseline"
+        )
     sample_mean = row["total_u"] / row["n"]
     ratio = sample_mean / train_mean if train_mean else float("inf")
     return {

@@ -398,6 +398,14 @@ def parse_wav(payload: bytes) -> tuple[int, bytes]:
     pcm = payload[44 : 44 + n]
     if len(pcm) < n:
         raise ValueError(f"short WAV data: need {n} bytes, have {len(pcm)}")
+    if len(payload) != 44 + n:
+        # strict canonical form: the container is exactly header + data
+        # (wav_payload_bytes's shape); trailing garbage after the
+        # declared data chunk is a malformed payload, not padding
+        raise ValueError(
+            f"trailing bytes after WAV data chunk: payload {len(payload)}"
+            f" bytes, declared {44 + n}"
+        )
     return rate, pcm
 
 

@@ -43,6 +43,7 @@ def curate_corpus(
     image_payload_col: str | None = None,
     image_hash_bits: int = 16,
     image_hamming_radius: int = 3,
+    image_bands: int | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Run the curation cascade; return ``(kept, dropped, stats)``.
 
@@ -70,7 +71,12 @@ def curate_corpus(
        (operators/multimodal.py ahash_ppm), merge hashes within
        ``image_hamming_radius`` into families over the DISTINCT-hash
        universe (phash_components -- banded, lossless, never
-       corpus-quadratic), keep the min-id doc per family;
+       corpus-quadratic), keep the min-id doc per family. Lossless
+       banding needs a band count that BOTH divides ``image_hash_bits``
+       and exceeds ``image_hamming_radius``; pass ``image_bands`` to
+       pick it explicitly, or leave ``None`` to use the smallest such
+       divisor (``ValueError`` if no divisor of ``image_hash_bits``
+       exceeds the radius -- e.g. radius >= bits);
     6. ``domain_capped`` (opt-in) -- deterministic md5-ordered cap per
        source.
     """
@@ -147,10 +153,28 @@ def curate_corpus(
             id_col,
             "left_semi",
         ).select(id_col, image_payload_col)
+        bands = image_bands
+        if bands is None:
+            # smallest divisor of bits that exceeds the radius keeps the
+            # per-band width (and thus candidate fan-out) maximal while
+            # preserving the pigeonhole recall guarantee
+            bands = next(
+                (b for b in range(image_hamming_radius + 1,
+                                  image_hash_bits + 1)
+                 if image_hash_bits % b == 0),
+                None,
+            )
+            if bands is None:
+                raise ValueError(
+                    f"no band count divides image_hash_bits="
+                    f"{image_hash_bits} and exceeds image_hamming_radius="
+                    f"{image_hamming_radius}; pass compatible knobs"
+                )
         hashes = ahash_ppm(alive_img, id_col, image_payload_col,
                            bits=image_hash_bits)
         comp = phash_components(
-            hashes, bits=image_hash_bits, radius=image_hamming_radius
+            hashes, bits=image_hash_bits, radius=image_hamming_radius,
+            bands=bands,
         )
         labeled = hashes.join(comp, "phash").select(
             F.col("id").alias("_img_id"), "component"

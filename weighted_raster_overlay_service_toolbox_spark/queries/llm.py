@@ -5095,8 +5095,15 @@ _PQ_M, _PQ_SUB, _PQ_K, _PQ_ITERS = 4, 16, 16, 3
 # embeddings relation, so a regenerated fixture invalidates), and every
 # training knob. Values are unchanged by construction; only repeated
 # WORK is skipped -- the same contract as pin_corpus, held across
-# queries instead of across subtrees.
-_PQ_TRAIN_MEMO: dict = {}
+# queries instead of across subtrees. Keyed on the live Python
+# SparkSession via WeakKeyDictionary (NOT id(jvm session): CPython can
+# reuse a collected wrapper's id for a new session, which would serve
+# checkpointed DataFrames of a dead SparkContext); entries -- and the
+# checkpointed frames they pin -- are released when the session is
+# garbage-collected.
+import weakref as _weakref
+
+_PQ_TRAIN_MEMO: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
 
 
 def _emb_fingerprint(sf_dir: str) -> str:
@@ -5120,11 +5127,12 @@ def _trained_codebook(
 
     from ..operators.kmeans import kmeans_grouped_codebook_assign
 
+    per_session = _PQ_TRAIN_MEMO.setdefault(spark, {})
     key = (
-        id(spark._jsparkSession), os.path.abspath(sf_dir),
+        os.path.abspath(sf_dir),
         _emb_fingerprint(sf_dir), m, sub, k, iterations,
     )
-    hit = _PQ_TRAIN_MEMO.get(key)
+    hit = per_session.get(key)
     if hit is None:
         codes_full, cents = kmeans_grouped_codebook_assign(
             vm, k=k, iterations=iterations
@@ -5133,7 +5141,7 @@ def _trained_codebook(
             codes_full.localCheckpoint(eager=False),
             cents.localCheckpoint(eager=False),
         )
-        _PQ_TRAIN_MEMO[key] = hit
+        per_session[key] = hit
     return hit
 _PQ_PROBES, _PQ_TOPK = 5, 3
 
