@@ -101,6 +101,21 @@ def main() -> int:
         # otherwise masquerade as engine cost.
         return entry
 
+    # Host-drift sentinel INSIDE the artifact (VERDICT r12 #9): min-of-5
+    # of the bench sentinel (q_join_inner, code unchanged since r1)
+    # through the same noop sink, measured before the sweep. Cross-round
+    # sweep wall-clocks should be read as (elapsed_new / elapsed_old) /
+    # (sentinel_new / sentinel_old) without cross-referencing PLANS.md
+    # prose.
+    sentinel_name = "q_join_inner"
+    sentinel_best = float("inf")
+    for _ in range(5):
+        ts = time.perf_counter()
+        QUERIES[sentinel_name](spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        sentinel_best = min(sentinel_best, time.perf_counter() - ts)
+
     t0 = time.time()
     results: dict[str, dict] = {}
     batch_names = [n for n in QUERIES if not n.startswith("q_stream")]
@@ -133,6 +148,8 @@ def main() -> int:
         "rows_only_pass": sum(results[n]["ok"] for n in rows_only),
         "failed": failed,
         "elapsed_sec": round(time.time() - t0, 1),
+        "sentinel_query": sentinel_name,
+        "sentinel_sec": round(sentinel_best, 3),
         "slowest_20_spark": sorted(
             ((n, e.get("spark_sec", 0.0)) for n, e in results.items()),
             key=lambda kv: -kv[1],

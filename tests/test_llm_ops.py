@@ -401,3 +401,71 @@ def test_semantic_dedup_max_block_cap(spark):
     }
     assert base <= capped, "an active cap must never drop MORE vectors"
     assert len(capped) <= n
+
+
+def test_semantic_decontaminate_invariants(spark):
+    """semantic_decontaminate: (a) output is exactly the train rows
+    minus the contaminated set (eval rows never appear); (b) NO
+    surviving train vector has a same-cell eval member at or above the
+    threshold; (c) every dropped train vector has such an eval witness
+    (the asymmetric role contract distinguishing this from
+    semantic_dedup: eval members are never dropped and train-train
+    proximity never drops anyone)."""
+    from weighted_raster_overlay_service_toolbox_spark.operators.kmeans import (
+        kmeans,
+    )
+    from weighted_raster_overlay_service_toolbox_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    v = load_table(spark, SF_ORACLE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    ev_ids = {
+        r["doc_id"]
+        for r in load_table(spark, SF_ORACLE, "documents")
+        .filter(F.col("source") == "src0")
+        .select("doc_id")
+        .collect()
+    }
+    ev = spark.createDataFrame(
+        [(i,) for i in sorted(ev_ids)], "vec_id long"
+    )
+    tau = 0.35
+    out = {
+        r["vec_id"]: r["cluster"]
+        for r in semantic_decontaminate(
+            v, ev, k=8, iterations=3, threshold=tau
+        ).collect()
+    }
+    assert out and not (set(out) & ev_ids)  # (a) eval never emitted
+
+    assigned, _ = kmeans(v, k=8, iterations=3)
+    rows = assigned.collect()
+
+    import numpy as np
+
+    vecs = {r["vec_id"]: np.array(r["e"]) for r in rows}
+    clus = {r["vec_id"]: r["cluster"] for r in rows}
+    train = [i for i in vecs if i not in ev_ids]
+    assert set(out) <= set(train)
+
+    def cos(i, j):
+        a, b = vecs[i], vecs[j]
+        return round(float(a @ b / (np.sqrt(a @ a) * np.sqrt(b @ b))), 4)
+
+    ev_by_cell: dict[int, list[int]] = {}
+    for i in ev_ids:
+        if i in clus:
+            ev_by_cell.setdefault(clus[i], []).append(i)
+    n_dropped = 0
+    for i in train:
+        witnesses = [
+            j for j in ev_by_cell.get(clus[i], []) if cos(i, j) >= tau
+        ]
+        if i in out:
+            assert not witnesses, (i, witnesses)  # (b)
+        else:
+            n_dropped += 1
+            assert witnesses, i  # (c)
+    assert n_dropped > 0  # fixture exercises the drop branch

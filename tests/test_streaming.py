@@ -293,3 +293,20 @@ def test_stream_near_dup_suppresses_across_batches_deterministically(spark):
         )
     )
     assert out1 == want
+
+
+def test_no_registry_streaming_row_collects_batches():
+    """Posture pin (round 13, VERDICT r12 #2): the collect-based
+    emission capture (engine.run_foreach_batch) is a TEST-ONLY harness.
+    Every registry streaming query must capture executor-side -- memory
+    sink for bounded finalized-window outputs, run_to_parquet_log /
+    run_near_dup_ingest's batch_id-partitioned parquet sink for
+    update-mode emission logs (key-cardinality-sized at scale). A
+    reintroduced driver collect in queries/streaming.py fails here."""
+    import inspect
+
+    import weighted_raster_overlay_service_toolbox_spark.queries.streaming as qs
+
+    src = inspect.getsource(qs)
+    assert "run_foreach_batch" not in src
+    assert ".collect()" not in src

@@ -310,3 +310,67 @@ def semantic_dedup(
     return assigned.join(dropped, "vec_id", "left_anti").select(
         "vec_id", "cluster"
     )
+
+
+def semantic_decontaminate(
+    vectors: DataFrame,
+    eval_ids: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Embedding-space eval-set decontamination (round 13, VERDICT r12
+    #7): the :func:`semantic_dedup` cluster-then-compare machinery with
+    train-vs-eval ASYMMETRIC roles -- a TRAIN vector is dropped iff some
+    eval-suite member in its k-means cell sits within ``threshold``
+    rounded-4dp cosine. This is the paraphrase gate the shingle-overlap
+    decontaminator (q_decontaminate) structurally misses: a reworded
+    eval answer shares no 16-gram but lands next to the original in
+    embedding space.
+
+    ``vectors``: ``(vec_id long, e array<double>)`` for the FULL corpus
+    (train AND eval -- clustering sees both, so an eval member and its
+    paraphrase land in the same cell). ``eval_ids``: a ``vec_id``
+    relation marking the eval suite. Returns surviving train rows as
+    ``(vec_id, cluster)``.
+
+    Scale: clustering is the shared deterministic Lloyd's (broadcast
+    centroids, (cluster, dim) shuffle per iteration); the compare join
+    is cluster-keyed train x eval, NOT a self-join -- pair work is
+    ``|train ∩ cell| x |eval ∩ cell|``, linear in the corpus because the
+    eval suite is bounded by construction (a benchmark registry, not a
+    crawl; the broadcast below encodes exactly that boundedness). No
+    lane cap is needed: the bounded side already caps the per-row fan-
+    out, the same argument as the ANN probe joins.
+
+    Determinism/oracle: inherits the exact-arithmetic kmeans and the
+    rounded-4dp sequential-fold cosine convention (the GATING value, so
+    fold order must bit-match DuckDB), making the whole operator
+    replayable as unrolled-CTE SQL."""
+    from .kmeans import kmeans
+
+    assigned, _ = kmeans(vectors, k=k, iterations=iterations)
+    assigned = assigned.transform(pin_corpus)
+    sides = with_norm(assigned)
+    # eval-suite-bounded: the broadcast side is the eval slice of the
+    # corpus (benchmark-sized by construction, see docstring).
+    ev = broadcast(
+        sides.join(eval_ids, "vec_id", "left_semi").select(
+            F.col("e").alias("ee"),
+            F.col("nrm").alias("ne"),
+            F.col("cluster").alias("cluster_e"),
+        )
+    )
+    tr = sides.join(eval_ids, "vec_id", "left_anti")
+    cos = duck_round(
+        dot_expr(F.col("e"), F.col("ee")) / (F.col("nrm") * F.col("ne")), 4
+    ).cast("double")
+    contaminated = (
+        tr.join(ev, F.col("cluster") == F.col("cluster_e"))
+        .filter(cos >= threshold)
+        .select("vec_id")
+        .distinct()
+    )
+    return tr.join(contaminated, "vec_id", "left_anti").select(
+        "vec_id", "cluster"
+    )

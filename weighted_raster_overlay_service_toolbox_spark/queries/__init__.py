@@ -297,6 +297,59 @@ from . import tpch  # noqa: F401,E402
 # q_tpch_q18, q_tpch_q19, q_tpch_q20, q_tpch_q21, q_tpch_q22) + the
 # oldest r7-last entries.
 _DRIVER_WINDOW = [
+    # == ROUND-13 WINDOW ==
+    # Executes VERDICT r12 'Next round' #1 as written: flagships + the
+    # three never-driver-graded late-r12 rows (q_stream_phash_dedup,
+    # q_multimodal_audio_features, q_multimodal_scene_change) + every
+    # row whose Spark side or oracle CHANGED this round (the two
+    # update-mode streaming rows now captured through the parquet
+    # emission sink, q_knn_graph on the production auto-plane path, and
+    # the new q_semantic_decontaminate) + the full r6-last re-grade
+    # band (9 TPC-H rows) + q_stream_tumbling (the RocksDB A/B row,
+    # also r7-last) + q_scan_prune (scan-family invariant; oldest scan
+    # row, r8-last) + the first 23 of the r7-last band. Done =
+    # CORRECTNESS_r13 50/50 green => cumulative driver-green 255/255 at
+    # the 255-query registry (zero witness debt) AND no row older than
+    # r7 evidence except the 10 r7-last names queued first for r14
+    # (q_scd2, q_seasonality_matrix, q_split_train_val_test,
+    # q_str_funcs2, q_subquery_scalar, q_timeseries_gapfill,
+    # q_udtf_lateral, q_win_frame_range, q_win_time_range,
+    # q_zorder_layout).
+    #
+    # -- permanent flagships (q_sink_partitioned keeps the
+    #    every-window-exercises-a-sink invariant of tests/test_registry.py)
+    "q_wro_overlay", "q_sink_partitioned",
+    "q_dedup_exact", "q_cosine_topk", "q_tfidf", "q_corpus_pipeline",
+    "q_sql_api", "q_agg_group", "q_win_rank",
+    #
+    # -- never driver-graded: late-r12 additions --
+    "q_stream_phash_dedup", "q_multimodal_audio_features",
+    "q_multimodal_scene_change",
+    #
+    # -- r13-changed/new rows --
+    "q_stream_agg_update", "q_stream_stateful_custom",
+    "q_knn_graph", "q_semantic_decontaminate",
+    #
+    # -- the full r6-last re-grade band --
+    "q_tpch_q12", "q_tpch_q13", "q_tpch_q15", "q_tpch_q16",
+    "q_tpch_q18", "q_tpch_q19", "q_tpch_q20", "q_tpch_q21",
+    "q_tpch_q22",
+    #
+    # -- provider-cost A/B row + scan-family invariant --
+    "q_stream_tumbling", "q_scan_prune",
+    #
+    # -- r7-last re-grade band, first 23 fills --
+    "q_agg_grouping_sets", "q_block_dedup", "q_corpus_mixture",
+    "q_dedup_clusters", "q_dedup_incremental", "q_dedup_keep_one",
+    "q_downsample_rollup", "q_except", "q_except_distinct",
+    "q_funnel_ordered", "q_histogram_equidepth", "q_histogram_numeric",
+    "q_hll_rollup", "q_impute_group_mean", "q_intersect_all",
+    "q_join_asof_forward", "q_join_full", "q_join_null_safe",
+    "q_json_typed", "q_multimodal_framesample", "q_multimodal_resize",
+    "q_rollup_two_level", "q_sample_stratified",
+]
+
+_ROUND12_WINDOW = [
     # == ROUND-12 WINDOW ==
     # Executes VERDICT r11 'Next round' #1 as written (+#2's addition):
     # flagships + ALL three never-driver-graded rows (the late-r11

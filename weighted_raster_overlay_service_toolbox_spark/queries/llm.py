@@ -1748,6 +1748,45 @@ def _semantic_dedup_oracle(
     )
 
 
+def _semantic_decontaminate_oracle(
+    k: int = 8, iterations: int = 3, dim: int = 64, threshold: float = 0.35
+) -> str:
+    """DuckDB oracle for q_semantic_decontaminate: the shared unrolled
+    Lloyd's CTE chain over the FULL embeddings table, eval/train roles
+    split on documents.source = 'src0' (the q_decontaminate eval-set
+    convention; embeddings.vec_id and documents.doc_id share a domain),
+    then ONE cluster-restricted train x eval join dropping every train
+    vector whose rounded-4dp cosine against any same-cell eval member
+    reaches the threshold."""
+    ctes = _kmeans_ctes(k, iterations, dim)
+    a = f"a{iterations}"
+    cos = (
+        "ROUND(list_dot_product(t.e, e.e)"
+        " / (sqrt(list_dot_product(t.e, t.e))"
+        " * sqrt(list_dot_product(e.e, e.e))), 4)"
+    )
+    ctes.append(
+        "evid AS (SELECT doc_id FROM documents WHERE source = 'src0')"
+    )
+    ctes.append(
+        f"ev AS (SELECT x.vec_id, x.e, x.cluster FROM {a} x"
+        f" JOIN evid ON evid.doc_id = x.vec_id)"
+    )
+    ctes.append(
+        f"tr AS (SELECT x.vec_id, x.e, x.cluster FROM {a} x"
+        f" WHERE x.vec_id NOT IN (SELECT doc_id FROM evid))"
+    )
+    ctes.append(
+        f"contaminated AS (SELECT DISTINCT t.vec_id FROM tr t JOIN ev e"
+        f" ON t.cluster = e.cluster WHERE {cos} >= {threshold})"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT vec_id, CAST(cluster AS INTEGER) AS cluster"
+        " FROM tr WHERE vec_id NOT IN (SELECT vec_id FROM contaminated)"
+    )
+
+
 @query("q_kmeans", oracle=_kmeans_oracle())
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Lloyd's k-means assignments (k=8, 3 iterations) over
@@ -1805,6 +1844,47 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     return semantic_dedup(v, k=8, iterations=3, threshold=0.35, max_block="auto")
+
+
+@query("q_semantic_decontaminate", oracle=_semantic_decontaminate_oracle())
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval-set decontamination (round 13, VERDICT r12
+    #7): q_semantic_dedup's cluster-then-compare machinery with
+    train-vs-eval asymmetric roles. The eval suite is the src0 document
+    slice (the q_decontaminate convention); every train vector whose
+    rounded cosine against ANY same-cell eval member reaches 0.35 is
+    dropped, and the surviving train rows return as (vec_id, cluster).
+
+    This closes the contamination family's semantic gap: q_contamination
+    / q_decontaminate catch verbatim and shingled overlap, but a
+    PARAPHRASED eval answer shares no 16-gram with its source -- in
+    embedding space it still lands next to the original, inside the same
+    k-means cell (clustering runs over train AND eval together, so a
+    pair within threshold is also a pair the cell partition keeps
+    together at fixture scale's occupancy).
+
+    Scale: pair work is |train-cell| x |eval-cell| with the eval side
+    broadcast -- the eval suite is benchmark-sized by construction, so
+    the compare is linear in the corpus; no lane cap needed (the bounded
+    side caps per-row fan-out, the ANN probe-join argument). Threshold
+    0.35 matches the registry's semantic-dedup setting so both branches
+    are exercised at every fixture SF; production paraphrase gates run
+    tighter (0.9+) against real encoder geometry.
+
+    Oracle-exact: unrolled Lloyd's CTEs + one cluster-restricted
+    train x eval join (the same integer-exact k-means replay and
+    rounded-4dp fold-order cosine convention as q_semantic_dedup)."""
+    from ..operators.similarity import semantic_decontaminate
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    ev = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("source") == "src0")
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    return semantic_decontaminate(v, ev, k=8, iterations=3, threshold=0.35)
 
 
 @query(
@@ -4595,27 +4675,49 @@ def _knn_lane_cap_sql(n_planes: int = 4) -> str:
 
 
 def _knn_graph_oracle() -> str:
-    """DuckDB oracle for q_knn_graph: same inlined hyperplane bucket
-    literals as _ann_ivf_oracle, the r9 auto-cap lane striping (mirrors
-    _mutual_knn_edges' bounded default -- lanes == 1 wherever buckets
-    sit under the cap, so fixture results are unchanged), then the
+    """DuckDB oracle for q_knn_graph: the PRODUCTION auto-plane path
+    (round 13, VERDICT r12 #8 -- the registry row no longer pins
+    n_planes=4). The full AUTO_PLANES_MAX-bit hyperplane code is built
+    from the same inlined plane literals as _ann_ivf_oracle, then masked
+    to the census-derived width with a scalar subquery -- the
+    q_semantic_dedup lane-cap mirroring pattern applied to the plane
+    knob: planes = clamp(ceil(log2(n/AUTO_PLANES_TARGET)), 4, 16),
+    identical double math (log2 then ceil) to _mutual_knn_edges'
+    column expression, and code % 2^p IS the p-plane bucket (bit i of
+    the code is plane i's sign). At every fixture SF (n <= 4096) p
+    resolves to 4 and the bucket equals the old inlined-literal oracle
+    bit-for-bit; at sf1r (20k vectors) p = 7, so the SCALING probe now
+    measures the production path. The r9 auto-cap lane striping keeps
+    the same clamp(ceil(2n/2^p), 256, 1024) mirror, then the
     (bucket, lane)-restricted directed 3-NN via window rank and the
     mutual filter as a reversed-pair self-join."""
-    from ..operators.similarity import _plane
+    from ..operators.similarity import AUTO_BLOCK_MAX, AUTO_BLOCK_MIN, _plane
 
     lits = [
-        "[" + ", ".join(repr(x) for x in _plane(64, s)) + "]" for s in range(4)
+        "[" + ", ".join(repr(x) for x in _plane(64, s)) + "]"
+        for s in range(AUTO_PLANES_MAX)
     ]
-    bucket = " + ".join(
+    code = " + ".join(
         f"(CASE WHEN list_dot_product(e, {lits[i]}) >= 0"
         f" THEN {1 << i} ELSE 0 END)"
-        for i in range(4)
+        for i in range(AUTO_PLANES_MAX)
+    )
+    planes = (
+        f"LEAST({AUTO_PLANES_MAX}, GREATEST({AUTO_PLANES_MIN},"
+        f" CAST(CEIL(LOG2((SELECT COUNT(*) FROM v)"
+        f" / {AUTO_PLANES_TARGET}.0)) AS BIGINT)))"
+    )
+    lane_cap = (
+        f"LEAST({AUTO_BLOCK_MAX}, GREATEST({AUTO_BLOCK_MIN},"
+        f" CAST(CEIL(2.0 * (SELECT COUNT(*) FROM v)"
+        f" / (SELECT nb FROM pp)) AS BIGINT)))"
     )
     return f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    pp AS (SELECT CAST(POW(2.0, {planes}) AS BIGINT) AS nb),
     vb0 AS (
         SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm,
-               {bucket} AS bucket
+               ({code}) % (SELECT nb FROM pp) AS bucket
         FROM v
     ),
     st AS (
@@ -4626,7 +4728,7 @@ def _knn_graph_oracle() -> str:
     ),
     vb AS (
         SELECT vec_id, e, nrm, bucket,
-               (rn - 1) % CAST(CEIL(c_n / {_knn_lane_cap_sql()}) AS BIGINT)
+               (rn - 1) % CAST(CEIL(c_n / {lane_cap}) AS BIGINT)
                    AS lane
         FROM st
     ),
@@ -4844,13 +4946,17 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair space is ~N^2/B per skew-free bucket, and a hot bucket is
     the q_semantic_dedup max-block story (salt oversized buckets, or
     add planes: B doubles per plane). Directed edges are N*k rows; the
-    mutual join is (src, dst)-keyed -- uniform, broadcast-free."""
-    # Registry pins n_planes=4: the oracle inlines those plane literals,
-    # and the 16-bit auto code costs ~+40% plane dots at fixture scale
-    # for a mask that resolves to the same 4 bits anyway (measured r10;
-    # auto == 4 is pinned by tests/test_plans.py). Library callers get
-    # the auto production default; scaling.py tracks the auto path.
-    edges, _nodes = _mutual_knn_edges(spark, sf_dir, n_planes=4)
+    mutual join is (src, dst)-keyed -- uniform, broadcast-free.
+
+    Round 13 (VERDICT r12 #8): the registry row runs the PRODUCTION
+    n_planes="auto" path -- the oracle mirrors the census-derived plane
+    count as a scalar subquery (the q_semantic_dedup lane-cap pattern),
+    so the graded plan and the scaling probe are the same code. At
+    every fixture SF auto masks to the same 4 bits the old pinned
+    oracle inlined (results unchanged, pinned by tests/test_plans.py);
+    past ~4096 vectors the bucket count grows with the corpus and the
+    per-bucket pair space stays flat."""
+    edges, _nodes = _mutual_knn_edges(spark, sf_dir)
     return edges
 
 

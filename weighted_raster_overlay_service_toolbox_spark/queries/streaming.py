@@ -30,8 +30,8 @@ from ..sources import load_table
 from ..streaming.engine import (
     read_document_stream,
     read_event_stream,
-    run_foreach_batch,
     run_to_memory,
+    run_to_parquet_log,
     stage_document_files,
     stage_event_files,
     stage_with_sentinel,
@@ -39,6 +39,20 @@ from ..streaming.engine import (
 from ..functions.langmix import LANG_MIX_ORACLE
 from .llm import qc_oracle_cte
 from .registry import query
+
+
+def _emission_scratch(name: str) -> tuple[str, str]:
+    """(sink_dir, checkpoint_dir) under the package .scratch root for a
+    run_to_parquet_log capture -- reset by the runner per invocation so
+    the availableNow replay is deterministic end to end."""
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ".scratch",
+    )
+    return (
+        os.path.join(root, f"{name}_sink"),
+        os.path.join(root, f"{name}_ckpt"),
+    )
 
 
 @query(
@@ -360,20 +374,27 @@ def q_stream_agg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     under maxFilesPerTrigger=1), so update-mode's emission log IS a SQL
     statement -- for each batch, every event_type present in that chunk
     re-emits its running count. The DuckDB oracle rebuilds exactly that
-    from the batch assignment ``(rn-1) // (total//4 + 1)``."""
+    from the batch assignment ``(rn-1) // (total//4 + 1)``.
+
+    Production capture (round 13, VERDICT r12 #2): the emission log is
+    written executor-side to a batch_id-partitioned parquet sink
+    (engine.run_to_parquet_log -- the q_stream_near_dup survivor-sink
+    contract) and read back for the compare; at 100x the update-mode
+    log is key-cardinality-sized per batch and never touches the
+    driver."""
     staged = stage_event_files(spark, sf_dir, "agg_update")
     agg = (
         read_event_stream(spark, staged)
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    emitted = run_foreach_batch(agg, "update")
-    rows = [
-        (int(batch_id), r["event_type"], int(r["n"]))
-        for batch_id, batch_rows in emitted
-        for r in batch_rows
-    ]
-    return spark.createDataFrame(rows, "batch_id int, event_type string, n long")
+    sink_dir, ckpt_dir = _emission_scratch("stream_agg_update")
+    run_to_parquet_log(agg, "update", sink_dir, ckpt_dir)
+    return spark.read.parquet(sink_dir).select(
+        F.col("batch_id").cast("int").alias("batch_id"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+    )
 
 
 @query(
@@ -418,6 +439,8 @@ def q_stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrival order and could not hash-match SQL); with the deterministic
     4-file staging, the per-batch emission log is a windowed running sum
     over the batch assignment -- same argument as q_stream_agg_update.
+    Capture is the same batch_id-partitioned parquet sink (round 13):
+    executor-written, never driver-collected.
     """
     import pandas as pd  # noqa: F401  (worker-side)
 
@@ -453,14 +476,13 @@ def q_stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    emitted = run_foreach_batch(out, "update")
-    rows = [
-        (int(batch_id), int(r["user_id"]), int(r["n_events"]), float(r["sum_value"]))
-        for batch_id, batch_rows in emitted
-        for r in batch_rows
-    ]
-    return spark.createDataFrame(
-        rows, "batch_id int, user_id long, n_events long, sum_value double"
+    sink_dir, ckpt_dir = _emission_scratch("stream_stateful")
+    run_to_parquet_log(out, "update", sink_dir, ckpt_dir)
+    return spark.read.parquet(sink_dir).select(
+        F.col("batch_id").cast("int").alias("batch_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
     )
 
 
