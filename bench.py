@@ -124,6 +124,24 @@ def main() -> None:
         "q_stream_phash_dedup",         # ingest-time radius-0 hash claim
     ]
 
+    # Artifact hygiene (VERDICT r12 #4, root-caused this round): reading
+    # a foreachBatch parquet sink back through the batch_id=* glob trips
+    # FileStreamSink's has-metadata probe, which WARN-logs a full
+    # java.io.FileNotFoundException stack (bottom frames: the py4j
+    # command loop) even though the read succeeds -- exactly the
+    # truncated stack fragment BENCH_r12.json's tail captured (benign,
+    # rc=0, JSON intact; reproduced locally with stderr split out).
+    # Silence that one logger for the bench process so the driver's
+    # combined-output tail stays clean JSON.
+    jvm = spark._jvm
+    jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+        # Spark 4.x package (the class moved under streaming.sinks --
+        # verified against the bundled spark-sql jar; the 3.x name
+        # silently suppresses nothing)
+        "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
+        jvm.org.apache.logging.log4j.Level.ERROR,
+    )
+
     def materialize(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 

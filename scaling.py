@@ -85,6 +85,11 @@ PROBES = [
     # decade ratio tests) and the ingest-time radius-0 hash claim
     "q_multimodal_phash_keep_one",
     "q_stream_phash_dedup",
+    # r13 addition: the eval-decontamination compare (train x eval
+    # within cells, eval side broadcast -- the claim is linear-in-
+    # corpus because the eval suite is bounded; the decade ratio tests
+    # exactly that)
+    "q_semantic_decontaminate",
     # host-drift sentinel (unchanged since r1)
     "q_join_inner",
 ]
