@@ -139,3 +139,40 @@ def test_image_near_dup_stage_keeps_one_per_hash_family(spark):
     with pytest.raises(ValueError, match="band"):
         curate_corpus(docs, min_tokens=5, image_payload_col="payload",
                       image_hash_bits=16, image_hamming_radius=16)
+
+
+def test_contamination_stage_drops_near_eval_train_docs(spark):
+    """Stage 6 (round 13): embedding-space decontamination inside
+    curate_corpus. Train doc 2's embedding is a near-copy of eval doc
+    100's; docs 1/3 are near-orthogonal to it; doc 4 has NO embedding
+    row. Expect: 2 dropped as 'contaminated', 1/3/4 kept (4 passes
+    untouched -- only embedding-covered docs can be judged), and the
+    eval doc never appears in either output (it isn't in `docs`)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon", "s"),
+            (2, "one two three four five six", "s"),
+            (3, "red orange yellow green blue", "s"),
+            (4, "lorem ipsum dolor sit amet", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 0.99, 0.1, 0.0]),
+            (3, [0.0, 0.0, 0.0, 1.0]),
+            (100, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, e array<double>",
+    )
+    ev = spark.createDataFrame([(100,)], "vec_id long")
+    kept, dropped, stats = curate_corpus(
+        docs, min_tokens=3,
+        embeddings=emb, eval_ids=ev, contamination_k=2,
+    )
+    reasons = {r["doc_id"]: r["reason"] for r in dropped.collect()}
+    assert reasons == {2: "contaminated"}
+    assert {r["doc_id"] for r in kept.collect()} == {1, 3, 4}
+    s = {r["reason"]: r["n"] for r in stats.collect()}
+    assert s == {"kept": 3, "contaminated": 1}

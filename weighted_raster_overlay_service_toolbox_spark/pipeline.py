@@ -44,6 +44,10 @@ def curate_corpus(
     image_hash_bits: int = 16,
     image_hamming_radius: int = 3,
     image_bands: int | None = None,
+    embeddings: DataFrame | None = None,
+    eval_ids: DataFrame | None = None,
+    contamination_threshold: float = 0.35,
+    contamination_k: int = 8,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Run the curation cascade; return ``(kept, dropped, stats)``.
 
@@ -77,7 +81,15 @@ def curate_corpus(
        pick it explicitly, or leave ``None`` to use the smallest such
        divisor (``ValueError`` if no divisor of ``image_hash_bits``
        exceeds the radius -- e.g. radius >= bits);
-    6. ``domain_capped`` (opt-in) -- deterministic md5-ordered cap per
+    6. ``contaminated`` (opt-in, ``embeddings`` + ``eval_ids``) --
+       embedding-space eval decontamination
+       (operators/similarity.py semantic_decontaminate): k-means over
+       the embedding relation ``(vec_id, e array<double>)``, then drop
+       every surviving doc whose rounded cosine against any same-cell
+       ``eval_ids`` member reaches ``contamination_threshold``. The
+       eval docs themselves are never part of ``docs`` survival --
+       they gate, they don't flow;
+    7. ``domain_capped`` (opt-in) -- deterministic md5-ordered cap per
        source.
     """
     id_ = F.col(id_col)
@@ -196,7 +208,47 @@ def curate_corpus(
             .drop("_img_reason")
         )
 
-    # stage 6 (opt-in): domain balancing among survivors
+    # stage 6 (opt-in): embedding-space eval decontamination among
+    # survivors. semantic_decontaminate clusters the FULL embedding
+    # relation (train + eval together -- a paraphrase pair must share a
+    # cell) and returns surviving train ids; the contaminated set is
+    # its complement among the docs still alive here.
+    if embeddings is not None and eval_ids is not None:
+        from .operators.similarity import semantic_decontaminate
+
+        survivors_emb = semantic_decontaminate(
+            embeddings,
+            eval_ids,
+            k=contamination_k,
+            threshold=contamination_threshold,
+        ).select(F.col("vec_id").alias(id_col))
+        contaminated = (
+            staged.filter(F.col("_reason").isNull())
+            .select(id_col)
+            # only docs the embedding relation covers can be judged --
+            # a doc with no embedding passes this stage untouched
+            .join(
+                embeddings.select(F.col("vec_id").alias(id_col)),
+                id_col,
+                "left_semi",
+            )
+            # not an eval doc and not a surviving train doc => dropped
+            # by the decontaminator
+            .join(survivors_emb, id_col, "left_anti")
+            .join(
+                eval_ids.select(F.col(eval_ids.columns[0]).alias(id_col)),
+                id_col,
+                "left_anti",
+            )
+            .select(id_col, F.lit("contaminated").alias("_ct_reason"))
+        )
+        staged = (
+            staged.join(contaminated, id_col, "left")
+            .withColumn("_reason", F.coalesce("_reason", "_ct_reason"))
+            .drop("_ct_reason")
+        )
+
+    # stage 7 (opt-in): domain balancing among survivors
     if docs_per_source is not None:
         w = Window.partitionBy(source_col).orderBy(
             F.md5(id_.cast("string")), id_

@@ -307,14 +307,14 @@ _DRIVER_WINDOW = [
     # the new q_semantic_decontaminate) + the full r6-last re-grade
     # band (9 TPC-H rows) + q_stream_tumbling (the RocksDB A/B row,
     # also r7-last) + q_scan_prune (scan-family invariant; oldest scan
-    # row, r8-last) + the first 23 of the r7-last band. Done =
+    # row, r8-last) + the first 22 of the r7-last band. Done =
     # CORRECTNESS_r13 50/50 green => cumulative driver-green 255/255 at
     # the 255-query registry (zero witness debt) AND no row older than
-    # r7 evidence except the 10 r7-last names queued first for r14
-    # (q_scd2, q_seasonality_matrix, q_split_train_val_test,
-    # q_str_funcs2, q_subquery_scalar, q_timeseries_gapfill,
-    # q_udtf_lateral, q_win_frame_range, q_win_time_range,
-    # q_zorder_layout).
+    # r7 evidence except the 11 r7-last names queued first for r14
+    # (q_sample_stratified, q_scd2, q_seasonality_matrix,
+    # q_split_train_val_test, q_str_funcs2, q_subquery_scalar,
+    # q_timeseries_gapfill, q_udtf_lateral, q_win_frame_range,
+    # q_win_time_range, q_zorder_layout).
     #
     # -- permanent flagships (q_sink_partitioned keeps the
     #    every-window-exercises-a-sink invariant of tests/test_registry.py)
@@ -326,9 +326,10 @@ _DRIVER_WINDOW = [
     "q_stream_phash_dedup", "q_multimodal_audio_features",
     "q_multimodal_scene_change",
     #
-    # -- r13-changed/new rows --
+    # -- r13-changed/new rows (q_pagerank: checkpoint-cadence replan,
+    #    values unchanged and 3-SF re-verified, graded on the new plan) --
     "q_stream_agg_update", "q_stream_stateful_custom",
-    "q_knn_graph", "q_semantic_decontaminate",
+    "q_knn_graph", "q_semantic_decontaminate", "q_pagerank",
     #
     # -- the full r6-last re-grade band --
     "q_tpch_q12", "q_tpch_q13", "q_tpch_q15", "q_tpch_q16",
@@ -338,7 +339,7 @@ _DRIVER_WINDOW = [
     # -- provider-cost A/B row + scan-family invariant --
     "q_stream_tumbling", "q_scan_prune",
     #
-    # -- r7-last re-grade band, first 23 fills --
+    # -- r7-last re-grade band, first 22 fills --
     "q_agg_grouping_sets", "q_block_dedup", "q_corpus_mixture",
     "q_dedup_clusters", "q_dedup_incremental", "q_dedup_keep_one",
     "q_downsample_rollup", "q_except", "q_except_distinct",
@@ -346,7 +347,7 @@ _DRIVER_WINDOW = [
     "q_hll_rollup", "q_impute_group_mean", "q_intersect_all",
     "q_join_asof_forward", "q_join_full", "q_join_null_safe",
     "q_json_typed", "q_multimodal_framesample", "q_multimodal_resize",
-    "q_rollup_two_level", "q_sample_stratified",
+    "q_rollup_two_level",
 ]
 
 _ROUND12_WINDOW = [
