@@ -150,11 +150,17 @@ CHECKPOINTED_ALLOWED = {
     "q_source_drift",     # r8: pinned (source, word) counts feed 3 marginals
     "q_source_overlap",   # r8: pinned (source, shingle) sets feed sizes + join
     "q_vocab_coverage",   # r8: pinned (source, tok) counts feed vocab + join
-    "q_stream_agg_update",
-    # q_stream_near_dup LEFT this set in r11: survivors now land in a
-    # parquet sink (streaming/near_dup.py run_near_dup_ingest) and the
+    # q_stream_near_dup LEFT this set in r11, and q_stream_agg_update /
+    # q_stream_stateful_custom left it in r13, all for the same reason:
+    # emissions now land in a batch_id-partitioned parquet sink
+    # (run_near_dup_ingest / engine.run_to_parquet_log) and the
     # registered plan is a plain partitioned parquet scan.
-    "q_stream_stateful_custom",
+    "q_semantic_decontaminate",  # r13: inherits semantic_dedup's pinned
+                                 # assignment relation + pinned eval-id
+                                 # slice (the registry row derives eval
+                                 # ids from a corpus-sized documents
+                                 # filter; pinning it keeps the filter
+                                 # one-scan across the tr/ev consumers)
     "q_tfidf",
     "q_timeseries_gapfill",
     "q_tpch_q21",

@@ -352,6 +352,13 @@ def semantic_decontaminate(
     assigned, _ = kmeans(vectors, k=k, iterations=iterations)
     assigned = assigned.transform(pin_corpus)
     sides = with_norm(assigned)
+    # Pin the eval-id relation: it feeds the ev semi-join AND the tr
+    # anti-join, and tr itself is planned twice (contaminated derives
+    # from tr, then gates it) -- without the pin a caller whose eval
+    # ids derive from a corpus-sized filter (the registry row filters
+    # documents by source) pays that scan three times. The relation is
+    # benchmark-sized, so the pin is bytes-cheap.
+    eval_ids = eval_ids.localCheckpoint(eager=False)
     # eval-suite-bounded: the broadcast side is the eval slice of the
     # corpus (benchmark-sized by construction, see docstring).
     ev = broadcast(
