@@ -296,6 +296,18 @@ from . import tpch  # noqa: F401,E402
 # re-grade band (q_tpch_q12, q_tpch_q13, q_tpch_q15, q_tpch_q16,
 # q_tpch_q18, q_tpch_q19, q_tpch_q20, q_tpch_q21, q_tpch_q22) + the
 # oldest r7-last entries.
+# ROUND-14 ROTATION PLAN: the registry FROZE at 255 for r13 with every
+# r13 addition/change inside the r13 window -- after that window
+# grades, cumulative driver-green is 255/255 with ZERO unwitnessed
+# rows for the first time at a frozen registry. The r14 window =
+# flagships + any r14-changed/added queries + the 11 remaining r7-last
+# names (q_sample_stratified, q_scd2, q_seasonality_matrix,
+# q_split_train_val_test, q_str_funcs2, q_subquery_scalar,
+# q_timeseries_gapfill, q_udtf_lateral, q_win_frame_range,
+# q_win_time_range, q_zorder_layout) + the oldest r8-last entries to
+# fill 50 (alphabetical from q_agg_corr; keep one scan-family name --
+# q_scan_prune re-grades in r13, so q_scan_full r9-last is the oldest
+# scan row after that).
 _DRIVER_WINDOW = [
     # == ROUND-13 WINDOW ==
     # Executes VERDICT r12 'Next round' #1 as written: flagships + the
