@@ -122,6 +122,8 @@ def main() -> None:
         # round-12 additions (the perceptual-hash production pair)
         "q_multimodal_phash_keep_one",  # hash-universe banded CC keep-one
         "q_stream_phash_dedup",         # ingest-time radius-0 hash claim
+        # round-13 addition (the embedding-space eval-leakage gate)
+        "q_semantic_decontaminate",     # clustered train x eval compare
     ]
 
     # Artifact hygiene (VERDICT r12 #4, root-caused this round): reading
