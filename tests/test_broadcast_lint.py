@@ -45,7 +45,9 @@ _WHITELIST: dict[tuple[str, str], tuple[int, str]] = {
     ("operators/kmeans.py", "assign_clusters"): (1, "k-sized centroids"),
     ("operators/similarity.py", "cosine_scores"): (1, "probe-bounded"),
     ("operators/similarity.py", "semantic_dedup"): (1, "scalar-1row: occupancy-census count for the auto cap"),
-    ("operators/similarity.py", "semantic_decontaminate"): (1, "eval-suite-bounded: the benchmark-registry slice of the corpus (decontamination's small side by construction)"),
+    # semantic_decontaminate carries NO hint (r13 review): eval
+    # cardinality is the caller's property, so AQE decides from runtime
+    # stats -- the doc-cardinality hint rule.
     ("operators/text.py", "tfidf"): (2, "vocab-capped df table + scalar-1row corpus count"),
     ("queries/aggregations.py", "q_hll_rollup"): (2, "dim-const: nation + region-cardinality rollup"),
     ("queries/extended.py", "q_decay_agg"): (1, "scalar-1row: anchor timestamp"),

@@ -162,3 +162,33 @@ def test_pagerank_damping_survives_large_rank_mass(spark, monkeypatch):
     }
     expect = (big * 15) // 100 + (big * 85) // 100
     assert got == {"a": expect, "b": expect}
+
+
+def test_pagerank_checkpoint_cadence_is_value_invariant(spark):
+    """checkpoint_every is a lineage knob, never a semantics knob:
+    cadence 1/2/4 produce identical scores, and invalid cadences fail
+    loudly instead of ZeroDivisionError deep in the loop."""
+    import pytest
+
+    from weighted_raster_overlay_service_toolbox_spark.operators.pagerank import (
+        pagerank_quantized,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")],
+        "src string, dst string",
+    )
+    base = sorted(
+        (r["node"], r["score"])
+        for r in pagerank_quantized(edges, iterations=4).collect()
+    )
+    for ck in (1, 2):
+        got = sorted(
+            (r["node"], r["score"])
+            for r in pagerank_quantized(
+                edges, iterations=4, checkpoint_every=ck
+            ).collect()
+        )
+        assert got == base, ck
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        pagerank_quantized(edges, checkpoint_every=0)

@@ -254,6 +254,20 @@ def test_wav_codec_roundtrip_and_validation():
     with pytest.raises(ValueError):
         parse_wav(p + b"JUNK")  # trailing bytes after the data chunk
 
+    # RIFF word alignment: an odd-sized data chunk may carry exactly
+    # one zero pad byte (standard encoders emit it) -- accepted; a
+    # non-zero trailer or a pad on an EVEN chunk stays rejected.
+    odd = bytes(range(101))
+    p_odd = wav_payload_bytes(odd)
+    assert parse_wav(p_odd) == (8000, odd)          # unpadded odd ok
+    assert parse_wav(p_odd + b"\x00") == (8000, odd)  # padded odd ok
+    with pytest.raises(ValueError):
+        parse_wav(p_odd + b"\x01")  # non-zero trailer
+    even = bytes(range(100))
+    p_even = wav_payload_bytes(even)
+    with pytest.raises(ValueError):
+        parse_wav(p_even + b"\x00")  # pad byte on an even-sized chunk
+
 
 def test_audio_features_hand_computed(spark):
     from weighted_raster_overlay_service_toolbox_spark.operators.multimodal import (

@@ -174,5 +174,26 @@ def test_contamination_stage_drops_near_eval_train_docs(spark):
     reasons = {r["doc_id"]: r["reason"] for r in dropped.collect()}
     assert reasons == {2: "contaminated"}
     assert {r["doc_id"] for r in kept.collect()} == {1, 3, 4}
+
+    # Eval members present in `docs` must NOT ship in the curated
+    # corpus (r13 review: the first cut kept them): same fixture with
+    # eval doc 100 as a docs row, using a doc_id-named eval relation
+    # (the first-column contract).
+    docs_with_eval = docs.union(
+        spark.createDataFrame(
+            [(100, "held out eval prompt answer text", "s")],
+            "doc_id long, text string, source string",
+        )
+    )
+    ev_named = spark.createDataFrame([(100,)], "doc_id long")
+    kept_e, dropped_e, stats_e = curate_corpus(
+        docs_with_eval, min_tokens=3,
+        embeddings=emb, eval_ids=ev_named, contamination_k=2,
+    )
+    reasons_e = {r["doc_id"]: r["reason"] for r in dropped_e.collect()}
+    assert reasons_e == {2: "contaminated", 100: "eval_member"}
+    assert {r["doc_id"] for r in kept_e.collect()} == {1, 3, 4}
+    s_e = {r["reason"]: r["n"] for r in stats_e.collect()}
+    assert s_e == {"kept": 3, "contaminated": 1, "eval_member": 1}
     s = {r["reason"]: r["n"] for r in stats.collect()}
     assert s == {"kept": 3, "contaminated": 1}

@@ -80,16 +80,14 @@ def build_ivfpq_index(
         codes_full.select("vec_id", "m", F.col("cluster").alias("code"))
         .join(vb.select("vec_id", "bucket"), "vec_id")
     )
-    os.makedirs(out_dir, exist_ok=True)
-    codes.repartition("bucket").write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(os.path.join(out_dir, "codes"))
-    cents.write.mode("overwrite").parquet(os.path.join(out_dir, "codebook"))
-    pinned.write.mode("overwrite").parquet(os.path.join(out_dir, "vectors"))
     # training-residual baseline for ivfpq_drift_probe: mean ADC
     # quantization residual of the corpus the codebook was fit to
     # (one frozen-assignment pass against the FINAL codebook --
     # codes_full's assignment distances are iteration-internal).
+    # Computed BEFORE any file lands in out_dir (r13 review): an empty
+    # training frame must fail cleanly here, not after writing
+    # index-shaped directories with no manifest (a later ivfpq_search
+    # on that husk would die on an opaque missing-manifest error).
     res = (
         _assign_frozen(vm, cents)
         .groupBy("vec_id")
@@ -105,6 +103,12 @@ def build_ivfpq_index(
             "build_ivfpq_index: training set is empty -- emb produced "
             "no vectors to fit the codebook/residual baseline on"
         )
+    os.makedirs(out_dir, exist_ok=True)
+    codes.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(os.path.join(out_dir, "codes"))
+    cents.write.mode("overwrite").parquet(os.path.join(out_dir, "codebook"))
+    pinned.write.mode("overwrite").parquet(os.path.join(out_dir, "vectors"))
     manifest = {
         "m": m, "sub": sub, "k": k, "iterations": iterations,
         "n_planes": n_planes,

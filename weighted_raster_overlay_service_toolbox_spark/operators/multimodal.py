@@ -398,13 +398,21 @@ def parse_wav(payload: bytes) -> tuple[int, bytes]:
     pcm = payload[44 : 44 + n]
     if len(pcm) < n:
         raise ValueError(f"short WAV data: need {n} bytes, have {len(pcm)}")
-    if len(payload) != 44 + n:
-        # strict canonical form: the container is exactly header + data
-        # (wav_payload_bytes's shape); trailing garbage after the
-        # declared data chunk is a malformed payload, not padding
+    # strict canonical form: the container is exactly header + data
+    # (wav_payload_bytes's shape), PLUS the RIFF word-alignment rule --
+    # a data chunk of odd size is followed by exactly one zero pad
+    # byte in spec-compliant encoders, so accept that single pad too
+    # (r13 review: rejecting it would refuse standard encoders' output
+    # for odd sample counts). Anything else after the data chunk is a
+    # malformed payload, not padding.
+    expected = 44 + n
+    if len(payload) == expected + 1 and n % 2 == 1 and payload[-1] == 0:
+        pass  # RIFF pad byte for the odd-sized data chunk
+    elif len(payload) != expected:
         raise ValueError(
             f"trailing bytes after WAV data chunk: payload {len(payload)}"
-            f" bytes, declared {44 + n}"
+            f" bytes, declared {expected}"
+            f" (+1 zero pad allowed for odd data size)"
         )
     return rate, pcm
 

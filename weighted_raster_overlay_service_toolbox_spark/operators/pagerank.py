@@ -60,6 +60,12 @@ def pagerank_quantized(
     plan without bound. Set 1 to restore the old always-pin behavior
     for memory-tight clusters where mid-loop recompute-on-failure
     matters more than wall-clock."""
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}"
+            " (the final iteration always pins; there is no"
+            " never-checkpoint mode)"
+        )
     reset = (BASE * (damping_den - damping_num)) // damping_den
     # checkpoint the EDGE LIST itself first: fan and nodes are separate
     # materializations, and without this each would independently re-run

@@ -337,11 +337,16 @@ def semantic_decontaminate(
     Scale: clustering is the shared deterministic Lloyd's (broadcast
     centroids, (cluster, dim) shuffle per iteration); the compare join
     is cluster-keyed train x eval, NOT a self-join -- pair work is
-    ``|train ∩ cell| x |eval ∩ cell|``, linear in the corpus because the
-    eval suite is bounded by construction (a benchmark registry, not a
-    crawl; the broadcast below encodes exactly that boundedness). No
-    lane cap is needed: the bounded side already caps the per-row fan-
-    out, the same argument as the ANN probe joins.
+    ``|train ∩ cell| x |eval ∩ cell|``, linear in the corpus WHEN the
+    eval suite is bounded (a benchmark registry, not a crawl) -- that
+    boundedness is the CALLER's contract, not something this operator
+    can enforce, so the eval side carries no forced broadcast (AQE
+    broadcasts a genuinely small suite from runtime stats) and callers
+    feeding a corpus-fraction "eval" should grow ``k`` with the corpus
+    exactly as the SemDeDup regime prescribes (per-cell pair work is
+    ``~n * n_eval / k^2`` under balanced occupancy). No lane cap is
+    needed for the bounded-eval case: the small side caps the per-row
+    fan-out, the same argument as the ANN probe joins.
 
     Determinism/oracle: inherits the exact-arithmetic kmeans and the
     rounded-4dp sequential-fold cosine convention (the GATING value, so
@@ -352,6 +357,10 @@ def semantic_decontaminate(
     assigned, _ = kmeans(vectors, k=k, iterations=iterations)
     assigned = assigned.transform(pin_corpus)
     sides = with_norm(assigned)
+    # Column contract: the first column of eval_ids IS the id column,
+    # whatever its name (callers pass doc_id-named relations; the join
+    # below needs vec_id).
+    eval_ids = eval_ids.select(F.col(eval_ids.columns[0]).alias("vec_id"))
     # Pin the eval-id relation: it feeds the ev semi-join AND the tr
     # anti-join, and tr itself is planned twice (contaminated derives
     # from tr, then gates it) -- without the pin a caller whose eval
@@ -359,14 +368,16 @@ def semantic_decontaminate(
     # documents by source) pays that scan three times. The relation is
     # benchmark-sized, so the pin is bytes-cheap.
     eval_ids = eval_ids.localCheckpoint(eager=False)
-    # eval-suite-bounded: the broadcast side is the eval slice of the
-    # corpus (benchmark-sized by construction, see docstring).
-    ev = broadcast(
-        sides.join(eval_ids, "vec_id", "left_semi").select(
-            F.col("e").alias("ee"),
-            F.col("nrm").alias("ne"),
-            F.col("cluster").alias("cluster_e"),
-        )
+    # NO forced broadcast on the eval side (the repo hint rule: only
+    # provably bounded sides carry hints, and eval cardinality is the
+    # CALLER's property -- a true benchmark suite is tiny and AQE will
+    # broadcast it from runtime stats; a corpus-fraction eval slice
+    # (the fixture's src0 stand-in) must be free to shuffle-join
+    # instead of being forced through the driver).
+    ev = sides.join(eval_ids, "vec_id", "left_semi").select(
+        F.col("e").alias("ee"),
+        F.col("nrm").alias("ne"),
+        F.col("cluster").alias("cluster_e"),
     )
     tr = sides.join(eval_ids, "vec_id", "left_anti")
     cos = duck_round(

@@ -86,9 +86,10 @@ def curate_corpus(
        (operators/similarity.py semantic_decontaminate): k-means over
        the embedding relation ``(vec_id, e array<double>)``, then drop
        every surviving doc whose rounded cosine against any same-cell
-       ``eval_ids`` member reaches ``contamination_threshold``. The
-       eval docs themselves are never part of ``docs`` survival --
-       they gate, they don't flow;
+       ``eval_ids`` member reaches ``contamination_threshold``. Eval
+       docs never flow: an ``eval_ids`` member present in ``docs``
+       drops with its own reason ``eval_member`` (the suite gates the
+       corpus AND is excluded from it);
     7. ``domain_capped`` (opt-in) -- deterministic md5-ordered cap per
        source.
     """
@@ -222,9 +223,21 @@ def curate_corpus(
             k=contamination_k,
             threshold=contamination_threshold,
         ).select(F.col("vec_id").alias(id_col))
+        ev_keyed = eval_ids.select(
+            F.col(eval_ids.columns[0]).alias(id_col)
+        )
+        alive = staged.filter(F.col("_reason").isNull()).select(id_col)
+        # Eval members present in `docs` drop with their own reason:
+        # 'they gate, they don't flow' means the eval suite itself must
+        # never ship in the curated training corpus (r13 review -- the
+        # first cut anti-joined eval out of the contaminated set and
+        # thereby KEPT eval rows in `kept`, the literal leakage this
+        # stage exists to remove).
+        eval_members = alive.join(ev_keyed, id_col, "left_semi").select(
+            id_col, F.lit("eval_member").alias("_ct_reason")
+        )
         contaminated = (
-            staged.filter(F.col("_reason").isNull())
-            .select(id_col)
+            alive
             # only docs the embedding relation covers can be judged --
             # a doc with no embedding passes this stage untouched
             .join(
@@ -235,15 +248,13 @@ def curate_corpus(
             # not an eval doc and not a surviving train doc => dropped
             # by the decontaminator
             .join(survivors_emb, id_col, "left_anti")
-            .join(
-                eval_ids.select(F.col(eval_ids.columns[0]).alias(id_col)),
-                id_col,
-                "left_anti",
-            )
+            .join(ev_keyed, id_col, "left_anti")
             .select(id_col, F.lit("contaminated").alias("_ct_reason"))
         )
         staged = (
-            staged.join(contaminated, id_col, "left")
+            staged.join(
+                eval_members.unionByName(contaminated), id_col, "left"
+            )
             .withColumn("_reason", F.coalesce("_reason", "_ct_reason"))
             .drop("_ct_reason")
         )

@@ -5195,18 +5195,25 @@ _PQ_M, _PQ_SUB, _PQ_K, _PQ_ITERS = 4, 16, 16, 3
 # second invocation of either) recomputes bit-identical rows. The memo
 # returns the SAME non-eager localCheckpoint, so a parity/bench sweep
 # trains each config once per session instead of twice (the recall twin
-# reuses its base query's leg). Keyed by session JVM id (checkpointed
-# blocks die with the session -- the engine.stream_session convention),
-# absolute fixture dir + source fingerprint (mtime/size of the
-# embeddings relation, so a regenerated fixture invalidates), and every
-# training knob. Values are unchanged by construction; only repeated
-# WORK is skipped -- the same contract as pin_corpus, held across
-# queries instead of across subtrees. Keyed on the live Python
-# SparkSession via WeakKeyDictionary (NOT id(jvm session): CPython can
-# reuse a collected wrapper's id for a new session, which would serve
-# checkpointed DataFrames of a dead SparkContext); entries -- and the
-# checkpointed frames they pin -- are released when the session is
-# garbage-collected.
+# reuses its base query's leg). Keyed on the live Python SparkSession
+# object via WeakKeyDictionary (NOT id(jvm session): CPython can reuse
+# a collected wrapper's id for a new session, which would serve
+# checkpointed DataFrames of a dead SparkContext), then by absolute
+# fixture dir + source fingerprint (mtime/size of the embeddings
+# relation, so a regenerated fixture invalidates) + every training
+# knob. Values are unchanged by construction; only repeated WORK is
+# skipped -- the same contract as pin_corpus, held across queries
+# instead of across subtrees.
+#
+# Lifecycle caveat (r13 review): the memo VALUES are DataFrames, and a
+# DataFrame strongly references its SparkSession -- i.e. the value
+# references the weak KEY, so weak keying alone cannot release a dead
+# session's entry (the classic WeakKeyDictionary pitfall). The
+# explicit clear in _trained_codebook handles it: this repo runs one
+# live session per process (the get_spark convention), so when a NEW
+# session first trains, every other session's entries are dropped --
+# dead sessions and their checkpointed frames release at the next
+# training call instead of accumulating for the process lifetime.
 import weakref as _weakref
 
 _PQ_TRAIN_MEMO: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
@@ -5233,6 +5240,12 @@ def _trained_codebook(
 
     from ..operators.kmeans import kmeans_grouped_codebook_assign
 
+    if spark not in _PQ_TRAIN_MEMO:
+        # one live session per process (get_spark convention): a new
+        # session's first training call evicts every other session's
+        # entries, releasing dead sessions the value->session strong
+        # reference would otherwise pin forever (see memo comment).
+        _PQ_TRAIN_MEMO.clear()
     per_session = _PQ_TRAIN_MEMO.setdefault(spark, {})
     key = (
         os.path.abspath(sf_dir),

@@ -45,13 +45,11 @@ def _emission_scratch(name: str) -> tuple[str, str]:
     """(sink_dir, checkpoint_dir) under the package .scratch root for a
     run_to_parquet_log capture -- reset by the runner per invocation so
     the availableNow replay is deterministic end to end."""
-    root = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
-        ".scratch",
-    )
+    from ..streaming.engine import _SCRATCH
+
     return (
-        os.path.join(root, f"{name}_sink"),
-        os.path.join(root, f"{name}_ckpt"),
+        os.path.join(_SCRATCH, f"{name}_sink"),
+        os.path.join(_SCRATCH, f"{name}_ckpt"),
     )
 
 

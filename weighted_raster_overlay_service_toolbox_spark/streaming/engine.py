@@ -330,8 +330,6 @@ def run_to_parquet_log(
     once per micro-batch; here it never leaves the executors.
     tests/test_streaming.py pins that no registry streaming query uses
     the collect-based capture."""
-    import shutil
-
     shutil.rmtree(sink_dir, ignore_errors=True)
     shutil.rmtree(checkpoint_dir, ignore_errors=True)
 
