@@ -136,13 +136,27 @@ def main() -> None:
     # Silence that one logger for the bench process so the driver's
     # combined-output tail stays clean JSON.
     jvm = spark._jvm
-    jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-        # Spark 4.x package (the class moved under streaming.sinks --
-        # verified against the bundled spark-sql jar; the 3.x name
-        # silently suppresses nothing)
+    for noisy_logger in (
+        # FileStreamSink's has-metadata probe: set BOTH the Spark 4.x
+        # name (under streaming.sinks -- verified against the bundled
+        # spark-sql jar) and the pre-4.x name so the clean-tail
+        # guarantee survives a Spark up/downgrade (ADVICE r13; setting
+        # a level on a logger name that never logs is harmless).
         "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
-        jvm.org.apache.logging.log4j.Level.ERROR,
-    )
+        "org.apache.spark.sql.execution.streaming.FileStreamSink",
+        # WindowExec's "No Partition Defined for Window" advisory: the
+        # two fact-sized offenders were re-planned in r14 (q_logprob_
+        # strata, q_win_percent_rank -- the two-pass range-partitioned
+        # rank); the remaining unpartitioned windows are over BOUNDED
+        # relations (range arrays, k-row centroid init, catalog-sized
+        # value tables, TPC-H Q15's aggregated supplier relation) where
+        # the warning is noise, not a scale signal. Suppressed for the
+        # bench process only so the driver's tail stays clean JSON.
+        "org.apache.spark.sql.execution.window.WindowExec",
+    ):
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            noisy_logger, jvm.org.apache.logging.log4j.Level.ERROR
+        )
 
     def materialize(df) -> None:
         df.write.format("noop").mode("overwrite").save()

@@ -40,6 +40,7 @@ _WHITELIST: dict[tuple[str, str], tuple[int, str]] = {
     ("operators/ann_index.py", "ivfpq_search"): (5, "probe-bounded bucket sets + k-sized codebook (m*k rows) + probe-bounded sub-vectors + probe-bounded shortlist + probe-bounded re-rank vectors (the q_ann_ivfpq sites, serving form)"),
     ("operators/ann_index.py", "_assign_frozen"): (1, "k-sized: frozen codebook (m*k rows) for append-time / drift-probe assignment (r12 factor-out of extend_ivfpq_index)"),
     ("operators/dedup.py", "bloom_prefiltered_new_keys"): (1, "word-table"),
+    ("operators/rank.py", "global_rank"): (1, "P-sized: per-range-partition cumulative offsets (num_partitions rows)"),
     ("operators/dedup.py", "jaccard_pairs"): (1, "vocab-capped: df-capped hot-token filter"),
     ("operators/kmeans.py", "_assign_groups"): (1, "k-sized: G*k grouped centroids (PQ codebook, 64 rows)"),
     ("operators/kmeans.py", "assign_clusters"): (1, "k-sized centroids"),

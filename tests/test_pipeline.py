@@ -197,3 +197,21 @@ def test_contamination_stage_drops_near_eval_train_docs(spark):
     assert s_e == {"kept": 3, "contaminated": 1, "eval_member": 1}
     s = {r["reason"]: r["n"] for r in stats.collect()}
     assert s == {"kept": 3, "contaminated": 1}
+
+
+def test_half_a_decontamination_request_raises(spark):
+    """Passing exactly one of embeddings/eval_ids is an error (ADVICE
+    r13): a silent skip would hand back an un-decontaminated corpus
+    with no signal."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark)
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, e array<double>"
+    )
+    ev = spark.createDataFrame([(2,)], "doc_id long")
+    with pytest.raises(ValueError, match="eval_ids"):
+        curate_corpus(docs, embeddings=emb)
+    with pytest.raises(ValueError, match="embeddings"):
+        curate_corpus(docs, eval_ids=ev)

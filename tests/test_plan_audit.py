@@ -74,7 +74,10 @@ NON_EQUI_ALLOWED = {
     "q_join_cross",
     "q_join_range",
     "q_kmeans",
-    "q_logprob_strata",   # r8: scalar corpus-total cross join (unigram path)
+    # q_logprob_strata LEFT this set in r14: its scalar corpus-total
+    # cross join (unigram path) now sits BEHIND global_rank's pinned
+    # range-partitioned relation, so the registered plan shows a Scan
+    # ExistingRDD instead -- see CHECKPOINTED_ALLOWED.
     "q_knn_graph",        # r9: scalar occupancy-census cross join (auto cap)
     "q_semantic_clusters",  # r9: same census cross join via _mutual_knn_edges
     "q_semantic_dedup",   # r9: scalar occupancy-census cross join (auto cap)
@@ -127,7 +130,10 @@ CHECKPOINTED_ALLOWED = {
     "q_kmeans",
     "q_knn_graph",        # r8: pinned bucketed vectors feed both join sides
     "q_lang_entropy",     # r8: pinned (source, lang) counts feed totals + terms
-    "q_logprob_strata",   # r8: pinned token stream (q_unigram_logprob trade)
+    "q_logprob_strata",   # r8: pinned token stream (q_unigram_logprob
+                          # trade); r14: + global_rank's pinned
+                          # range-partitioned doc relation (two-pass
+                          # rank replacing the global NTILE window)
     "q_multimodal_phash_near_dup",  # r11: pinned aHash relation feeds both
                                     # banded self-join sides (decode runs once)
     "q_multimodal_phash_keep_one",  # r12: pinned (phash, rep_id, n_docs) hash
@@ -166,6 +172,9 @@ CHECKPOINTED_ALLOWED = {
     "q_tpch_q21",
     "q_triangle_count",   # r8: pinned canonical edge list (3 join legs)
     "q_unigram_logprob",
+    "q_win_percent_rank",  # r14: global_rank's pinned range-partitioned
+                           # relation feeds the counts pass and the rank
+                           # pass (operators/rank.py; one range shuffle)
     "q_wro_catalog_update",
     "q_wro_decode_ranges",
     "q_wro_dup_names",

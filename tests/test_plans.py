@@ -638,3 +638,78 @@ def test_knn_planes_auto_equals_pinned_four_at_fixture_scale(spark):
     assert sorted(map(tuple, auto.collect())) == sorted(
         map(tuple, four.collect())
     )
+
+
+def test_global_rank_queries_have_no_single_partition_window(spark):
+    """q_win_percent_rank / q_logprob_strata (re-planned round 14,
+    VERDICT r13 #2-3): the two former fact-sized unpartitioned windows
+    -- the last scale-killer class -- must now rank through the
+    two-pass range-partitioned form (operators/rank.py global_rank).
+    Pin: every Window node in the EXECUTED plan carries a partition
+    spec (the windowspecdefinition's first argument is the range
+    partition id, not an ordering column), i.e. no "moving all data to
+    a single partition" reducer anywhere."""
+    import re
+
+    for name in ("q_win_percent_rank", "q_logprob_strata"):
+        df = QUERIES[name](spark, SF_SMOKE)
+        df.collect()
+        final = (
+            df._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        for line in final.splitlines():
+            m = re.search(r"windowspecdefinition\(([^)]*)\)", line)
+            if m is None:
+                continue
+            spec = m.group(1)
+            assert spec.split(",")[0].strip().startswith("_rank_pid"), (
+                name,
+                line.strip(),
+            )
+
+
+def test_global_rank_matches_single_reducer_row_number(spark):
+    """operators/rank.py global_rank == row_number() OVER (ORDER BY ...)
+    for a unique total order, regardless of where the sampled range
+    boundaries fall (unit pin for the rank rewrites), and the total-count
+    byproduct matches."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from weighted_raster_overlay_service_toolbox_spark.operators.rank import (
+        global_rank,
+    )
+    from weighted_raster_overlay_service_toolbox_spark.sources import (
+        load_table,
+    )
+
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    keys = [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()]
+    ranked, n = global_rank(o, keys, rank_col="r", num_partitions=7)
+    ref = o.select(
+        "o_orderkey",
+        F.row_number().over(Window.orderBy(*keys)).cast("long").alias("r_ref"),
+    )
+    joined = ranked.join(ref, "o_orderkey")
+    assert joined.filter(F.col("r") != F.col("r_ref")).count() == 0
+    assert n == o.count()
+
+
+def test_global_rank_empty_input(spark):
+    """Zero-row input: global_rank returns an empty relation and n=0
+    (no partition fires, offsets are empty)."""
+    from pyspark.sql import functions as F
+
+    from weighted_raster_overlay_service_toolbox_spark.operators.rank import (
+        global_rank,
+    )
+
+    empty = spark.createDataFrame([], "k long, v double")
+    ranked, n = global_rank(empty, [F.col("v").asc(), F.col("k").asc()])
+    assert n == 0
+    assert ranked.count() == 0

@@ -364,3 +364,31 @@ def test_run_to_parquet_log_matches_collect_capture_and_is_rerunnable(spark):
     assert sorted(
         d for d in os.listdir(sink) if d.startswith("batch_id=")
     ) == sorted({f"batch_id={b}" for b, _, _ in golden})
+
+
+def test_run_to_parquet_log_zero_batch_yields_empty_relation(spark, tmp_path):
+    """A stream that fires ZERO micro-batches (empty source directory)
+    must still leave a readable sink -- an empty batch_id=0 partition
+    with the stream's schema -- so callers' spark.read.parquet(sink_dir)
+    returns an empty relation instead of path-not-found (ADVICE r13)."""
+    import os
+
+    from weighted_raster_overlay_service_toolbox_spark.streaming.engine import (
+        run_to_parquet_log,
+        stream_session,
+    )
+
+    empty_src = str(tmp_path / "empty_src")
+    os.makedirs(empty_src)
+    counted = (
+        stream_session(spark)
+        .readStream.schema("user_id long, value double")
+        .parquet(empty_src)
+        .groupBy("user_id")
+        .count()
+    )
+    sink = str(tmp_path / "sink")
+    run_to_parquet_log(counted, "update", sink, str(tmp_path / "ckpt"))
+    out = counted.sparkSession.read.parquet(sink)
+    assert out.count() == 0
+    assert set(out.columns) >= {"user_id", "count"}

@@ -93,6 +93,17 @@ def curate_corpus(
     7. ``domain_capped`` (opt-in) -- deterministic md5-ordered cap per
        source.
     """
+    if (embeddings is None) != (eval_ids is None):
+        # A caller who passes one but forgets the other would silently
+        # get an UN-decontaminated corpus with no signal (ADVICE r13) --
+        # the decontamination stage needs both the embedding relation
+        # and the eval suite, so half a request is an error, not a skip.
+        raise ValueError(
+            "curate_corpus: embeddings and eval_ids must be provided "
+            "together (decontamination needs both; got only "
+            + ("embeddings" if eval_ids is None else "eval_ids")
+            + ")"
+        )
     id_ = F.col(id_col)
     base = docs.select(id_col, text_col, source_col)
 

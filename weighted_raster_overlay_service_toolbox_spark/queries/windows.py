@@ -216,15 +216,40 @@ def q_win_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percent_rank / cume_dist over a unique total order (global window
-    over the orders table; at 100 TB partition by a key or pre-bucket)."""
+    """percent_rank / cume_dist over a unique total order -- computed by
+    the TWO-PASS range-partitioned rank (operators/rank.py global_rank),
+    not ``Window.orderBy`` with no partition spec (re-planned round 14,
+    VERDICT r13 #3: the unpartitioned window moves the whole orders
+    table through ONE reducer -- the last scale-killer class).
+
+    The semantics are global by definition, but over the UNIQUE order
+    (o_totalprice, o_orderkey) both functions are pure expressions of
+    the global row_number r and the total count n:
+    ``percent_rank = (r - 1) / (n - 1)`` (ties impossible, so the
+    min-rank-of-tie-group definition collapses to row_number) and
+    ``cume_dist = r / n`` (rows ordered <= current == r). global_rank
+    reproduces row_number exactly for a unique order (rank is invariant
+    to where the sampled range boundaries fall), so VALUES ARE UNCHANGED
+    and the oracle stays the window-function SQL. n arrives as a literal
+    from the offsets pass -- no second scan. Plan pinned single-
+    partition-window-free by tests/test_plans.py."""
+    from ..operators.rank import global_rank
+
     o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return o.select(
+    ranked, n = global_rank(
+        o.select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+        rank_col="_r",
+    )
+    return ranked.select(
         "o_orderkey",
         "o_totalprice",
-        duck_round(F.percent_rank().over(w), 6).cast("double").alias("pct_rank"),
-        duck_round(F.cume_dist().over(w), 6).cast("double").alias("cume"),
+        duck_round((F.col("_r") - 1) / F.lit(float(max(n - 1, 1))), 6)
+        .cast("double")
+        .alias("pct_rank"),
+        duck_round(F.col("_r") / F.lit(float(max(n, 1))), 6)
+        .cast("double")
+        .alias("cume"),
     )
 
 

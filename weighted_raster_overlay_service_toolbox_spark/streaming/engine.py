@@ -346,6 +346,14 @@ def run_to_parquet_log(
         .start()
     )
     q.awaitTermination()
+    if not os.path.exists(sink_dir):
+        # Zero micro-batches fired (empty/exhausted source): materialize
+        # an empty batch_id=0 partition with the stream's schema so
+        # callers' spark.read.parquet(sink_dir) returns an empty relation
+        # instead of path-not-found (ADVICE r13).
+        streaming_df.sparkSession.createDataFrame(
+            [], streaming_df.schema
+        ).write.parquet(os.path.join(sink_dir, "batch_id=0"))
 
 
 def run_foreach_batch(streaming_df: DataFrame, output_mode: str) -> list:
