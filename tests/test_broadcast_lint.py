@@ -41,6 +41,7 @@ _WHITELIST: dict[tuple[str, str], tuple[int, str]] = {
     ("operators/ann_index.py", "_assign_frozen"): (1, "k-sized: frozen codebook (m*k rows) for append-time / drift-probe assignment (r12 factor-out of extend_ivfpq_index)"),
     ("operators/dedup.py", "bloom_prefiltered_new_keys"): (1, "word-table"),
     ("operators/rank.py", "global_rank"): (1, "P-sized: per-range-partition cumulative offsets (num_partitions rows)"),
+    ("queries/llm.py", "q_bpe_apply"): (1, "vocab-capped: distinct-token segmentation table (the q_unigram_logprob vocabulary-join convention)"),
     ("operators/dedup.py", "jaccard_pairs"): (1, "vocab-capped: df-capped hot-token filter"),
     ("operators/kmeans.py", "_assign_groups"): (1, "k-sized: G*k grouped centroids (PQ codebook, 64 rows)"),
     ("operators/kmeans.py", "assign_clusters"): (1, "k-sized centroids"),

@@ -111,6 +111,12 @@ CHECKPOINTED_ALLOWED = {
     "q_approx_topk",
     "q_bigram_lm",        # r8: pinned token/bigram streams (3 consumers)
     "q_bm25",             # r8: pinned (doc_id, dl, toks) feeds stats + tf
+    "q_bpe_apply",        # r14: pinned vocab-sized word universe feeds
+                          # the training loop's per-round aggs + the
+                          # segmentation join-back (one corpus scan)
+    "q_bpe_train",        # r14: the merge table materializes driver-side
+                          # (8 bounded argmax collects) and re-enters as
+                          # a parallelized local relation (ExistingRDD)
     "q_collocations",
     "q_containment_sim",
     "q_decay_agg",        # r8: pinned (type, t_us, value) feeds max + weights

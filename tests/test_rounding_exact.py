@@ -195,6 +195,7 @@ def test_no_fragile_f_round_sites_in_package():
 _KNIFE_EXPLAINED = {
     "q_lang_id",            # marker-hit ratios: exact small-int division
     "q_text_quality",       # char/token ratios: exact small-int division
+    "q_bpe_apply",          # sum(pieces)/count: exact small-int division
     "q_repetition_ratio",   # max(c)/sum(c): exact small-int division
     "q_ngram_jaccard",      # intersection/union counts: exact division
     "q_contamination",      # hit-count ratio: exact division

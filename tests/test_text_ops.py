@@ -129,3 +129,80 @@ def test_scrub_digits(spark):
         [("call 555-0100 ext 7",)], "s string"
     ).select(scrub_digits(F.col("s")).alias("out"))
     assert df.first()["out"] == "call XXX-XXXX ext X"
+
+
+# -- BPE tokenizer training (round 14) --------------------------------------
+
+
+def test_bpe_train_merges_are_deterministic_and_greedy(spark):
+    """Unit pin for operators/text.py bpe_train: frequency-weighted pair
+    argmax, lexicographic tiebreak, and the GREEDY left-to-right
+    re-segmentation ("a a a a" under merge (a,a) -> "aa aa", "a a a" ->
+    "aa a" -- never the overlapping middle pair)."""
+    from weighted_raster_overlay_service_toolbox_spark.operators.text import (
+        BPE_SEP,
+        bpe_segment_expr,
+        bpe_train,
+    )
+    from pyspark.sql import functions as F
+
+    words = spark.createDataFrame(
+        [("aaaa", 3), ("aaa", 1), ("ab", 5)], "tok string, freq long"
+    )
+    # round-1 pair counts: (a,a) = 3*3 + 1*2 = 11 beats (a,b) = 5
+    merges = bpe_train(words, n_merges=2)
+    assert merges[0][:2] == ("a", "a") and merges[0][2] == 11
+    # after merging (a,a): aaaa -> [aa, aa], aaa -> [aa, a], ab -> [a, b]
+    # round-2 pairs: (aa,aa)=3, (aa,a)=1, (a,b)=5 -> (a,b) wins
+    assert merges[1][:2] == ("a", "b") and merges[1][2] == 5
+    seg = spark.createDataFrame(
+        [("aaaa",), ("aaa",), ("ab",), ("aab",)], "tok string"
+    ).select(
+        "tok", F.split(bpe_segment_expr("tok", merges), BPE_SEP).alias("s")
+    )
+    got = {r["tok"]: r["s"] for r in seg.collect()}
+    assert got["aaaa"] == ["aa", "aa"]
+    assert got["aaa"] == ["aa", "a"]
+    assert got["ab"] == ["ab"]
+    # greedy order: (a,a) fires first, so 'aab' -> [aa, b]; the (a,b)
+    # merge cannot fire because its left symbol was consumed
+    assert got["aab"] == ["aa", "b"]
+
+
+def test_bpe_train_tiebreak_is_lexicographic(spark):
+    """Equal pair counts break on (left, right) byte order."""
+    from weighted_raster_overlay_service_toolbox_spark.operators.text import (
+        bpe_train,
+    )
+
+    words = spark.createDataFrame(
+        [("zy", 2), ("ab", 2)], "tok string, freq long"
+    )
+    merges = bpe_train(words, n_merges=1)
+    assert merges[0][:2] == ("a", "b")
+
+
+def test_bpe_train_raises_when_pairs_exhaust(spark):
+    """Single-symbol-only vocab cannot supply n_merges rounds: explicit
+    ValueError, never a silently short merge list (the unrolled oracle
+    could not represent it)."""
+    import pytest
+
+    from weighted_raster_overlay_service_toolbox_spark.operators.text import (
+        bpe_train,
+    )
+
+    words = spark.createDataFrame(
+        [("a", 5), ("b", 3)], "tok string, freq long"
+    )
+    with pytest.raises(ValueError, match="exhausted"):
+        bpe_train(words, n_merges=1)
+
+
+def test_bpe_train_empty_corpus_learns_nothing(spark):
+    from weighted_raster_overlay_service_toolbox_spark.operators.text import (
+        bpe_train,
+    )
+
+    words = spark.createDataFrame([], "tok string, freq long")
+    assert bpe_train(words, n_merges=3) == []

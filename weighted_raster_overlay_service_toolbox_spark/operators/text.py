@@ -181,3 +181,143 @@ def fingerprint(text_col: str | Column = "text") -> Column:
     token set (catches reordered/duplicated-token copies)."""
     canon = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens_of(text_col))))
     return F.md5(canon.cast("binary"))
+
+# --------------------------------------------------------------------------
+# BPE tokenizer training (round 14, VERDICT r13 #6): the one named stage
+# of a production LLM data pipeline (corpus -> TOKENIZER -> packed
+# batches) the engine didn't yet model. Deterministic byte/char-pair
+# encoding learned at corpus scale:
+#
+# - the corpus is collapsed ONCE to its distinct-word universe with
+#   occurrence counts (the hash-universe trick: bounded by vocabulary
+#   diversity, never corpus size -- one token-keyed shuffle);
+# - each merge round is ONE pair-count aggregation over adjacent symbol
+#   pairs of the current segmentation (counts weighted by word
+#   frequency, exact integers), argmax with lexicographic (left, right)
+#   tiebreak -- a 1-row bounded collect, the graph.py convergence-scalar
+#   class;
+# - the chosen pair is applied to every word state with a LEFT-TO-RIGHT
+#   GREEDY fold (the classic BPE re-segmentation: "a a a" under merge
+#   (a,a) becomes "aa a"), expressed as a sequential string fold both
+#   engines evaluate identically (Spark ``aggregate`` higher-order
+#   function == DuckDB ``list_reduce``), so a constant merge count
+#   unrolls into an exact DuckDB CTE chain exactly like q_kmeans /
+#   q_pagerank;
+# - per-round eager localCheckpoint keeps the vocab-sized state's
+#   lineage flat (the kmeans convention).
+#
+# Symbols carry no end-of-word marker (the fixture tokenization is
+# already clean space-separated words; a '</w>' variant is a caller
+# concat away). Merged symbols are TEXTUAL: a merge product equal to
+# another symbol's text behaves identically in later rounds on both
+# engines, so cross-engine agreement holds by construction.
+# --------------------------------------------------------------------------
+
+#: symbol separator inside a word-state string: below every corpus
+#: character (the fixture alphabet is a-z; see bpe_train's guard), so
+#: string comparison of "l || SEP || r" orders like the (l, r) tuple.
+BPE_SEP = chr(31)
+
+
+def _bpe_lit(sym: str) -> str:
+    """SQL string literal for a symbol (quotes doubled)."""
+    return "'" + sym.replace("'", "''") + "'"
+
+
+def bpe_merge_fold_sql(state_expr: str, left_expr: str, right_expr: str) -> str:
+    """Spark-SQL expression applying merge (left, right) to a
+    ``BPE_SEP``-joined word-state string with the greedy left-to-right
+    fold. ``left_expr``/``right_expr`` are SQL expressions (literals or
+    column references). The accumulator starts NULL (first symbol seeds
+    it), then a merge fires when the accumulator's LAST symbol equals
+    ``left`` (exact: the whole accumulator or separator-preceded) and
+    the incoming symbol equals ``right`` -- the merged symbol is the
+    concatenation, treated atomically by later rounds.
+
+    ``state_expr`` appears exactly ONCE in the output, so chaining
+    n merges (bpe_segment_expr) grows the expression LINEARLY -- the
+    3-references-per-level form would blow up 3^n."""
+    sep = "chr(31)"
+    return (
+        f"aggregate(split({state_expr}, {sep}), "
+        f"CAST(NULL AS STRING), "
+        f"(acc, x) -> CASE WHEN acc IS NULL THEN x "
+        f"WHEN x = {right_expr} AND (acc = {left_expr} "
+        f"OR endswith(acc, {sep} || {left_expr})) "
+        f"THEN left(acc, length(acc) - length({left_expr})) "
+        f"|| {left_expr} || {right_expr} "
+        f"ELSE acc || {sep} || x END)"
+    )
+
+
+def bpe_train(
+    words: DataFrame, n_merges: int = 8
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges over a ``(tok, freq)`` word-universe
+    relation; returns ``[(left, right, pair_count), ...]`` in merge
+    order.
+
+    Each round runs one Spark aggregation over the vocab-sized state
+    relation and collects the single argmax row (bounded); ties on
+    pair count break lexicographically on (left, right) -- byte order,
+    the default string collation in both Spark and DuckDB. Raises
+    ``ValueError`` if the corpus exhausts mergeable pairs before
+    ``n_merges`` rounds (every word a single symbol): the unrolled
+    oracle CTE chain cannot represent a short train, so a caller must
+    lower ``n_merges`` explicitly instead of silently diverging."""
+    state = words.select(
+        F.array_join(F.split("tok", ""), BPE_SEP).alias("state"),
+        F.col("freq").cast("long").alias("freq"),
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = (
+            state.select(F.split("state", BPE_SEP).alias("cs"), "freq")
+            .select(
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(cs, 1, size(cs) - 1), "
+                        "slice(cs, 2, size(cs) - 1), "
+                        "(a, b) -> struct(a AS l, b AS r))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .select("p.l", "p.r", "freq")
+        )
+        top = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            if state.isEmpty():
+                break  # empty corpus: no merges to learn, nothing diverges
+            raise ValueError(
+                "bpe_train: mergeable pairs exhausted before "
+                f"{n_merges} rounds -- lower n_merges"
+            )
+        left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        merges.append((left, right, cnt))
+        state = state.select(
+            F.expr(
+                bpe_merge_fold_sql("state", _bpe_lit(left), _bpe_lit(right))
+            ).alias("state"),
+            "freq",
+        ).localCheckpoint()  # flat lineage per round (kmeans convention)
+    return merges
+
+
+def bpe_segment_expr(tok_expr: str, merges: list[tuple[str, str, int]]) -> Column:
+    """Column: the ``BPE_SEP``-joined segmentation of token-string
+    expression ``tok_expr`` after applying ``merges`` in training order
+    -- the APPLY stage, a pure per-row expression chain (no shuffle, no
+    Python; run it over the distinct-token universe and broadcast-join
+    back, the q_unigram_logprob vocabulary convention). Expression size
+    is linear in ``len(merges)`` (see bpe_merge_fold_sql)."""
+    state = f"array_join(split({tok_expr}, ''), chr(31))"
+    for left, right, _ in merges:
+        state = bpe_merge_fold_sql(state, _bpe_lit(left), _bpe_lit(right))
+    return F.expr(state)

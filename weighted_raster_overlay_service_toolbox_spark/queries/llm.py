@@ -4371,6 +4371,188 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_MERGES = 8
+
+
+def _bpe_ctes(n_merges: int = _BPE_MERGES) -> list[str]:
+    """Shared DuckDB CTE chain replaying bpe_train's merge loop exactly
+    (operators/text.py): the word universe with frequencies, char-level
+    initial states, then per round (pair counts over the current
+    segmentation -> argmax with lexicographic tiebreak -> greedy
+    left-to-right fold re-segmentation via list_reduce -- DuckDB's
+    first-element-seeded fold is bpe_merge_fold_sql's NULL-seeded Spark
+    ``aggregate`` evaluated on the same element order). Constant merge
+    count => unrolled chain, the q_kmeans/pagerank oracle convention.
+    Exposes ``m1..m{n}`` (l, r, cnt) and ``s{n}`` (tok, state, freq)."""
+    fold = (
+        "list_reduce(string_split(s.state, chr(31)), (acc, x) -> "
+        "CASE WHEN x = m.r AND (acc = m.l "
+        "OR ends_with(acc, chr(31) || m.l)) "
+        "THEN left(acc, length(acc) - length(m.l)) || m.l || m.r "
+        "ELSE acc || chr(31) || x END)"
+    )
+    ctes = [
+        "w AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq"
+        " FROM (SELECT unnest(string_split(text, ' ')) AS tok"
+        " FROM documents) GROUP BY tok)",
+        "s0 AS (SELECT tok, array_to_string(string_split_regex(tok, ''),"
+        " chr(31)) AS state, freq FROM w)",
+    ]
+    for k in range(1, n_merges + 1):
+        ctes.append(
+            f"p{k} AS (SELECT cs[i] AS l, cs[i+1] AS r, freq"
+            f" FROM (SELECT string_split(state, chr(31)) AS cs, freq"
+            f" FROM s{k - 1}), unnest(range(1, len(cs))) AS t(i))"
+        )
+        ctes.append(
+            f"m{k} AS (SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt"
+            f" FROM p{k} GROUP BY l, r ORDER BY cnt DESC, l, r LIMIT 1)"
+        )
+        ctes.append(
+            f"s{k} AS (SELECT s.tok, {fold} AS state, s.freq"
+            f" FROM s{k - 1} s CROSS JOIN m{k} m)"
+        )
+    return ctes
+
+
+def _bpe_train_oracle(n_merges: int = _BPE_MERGES) -> str:
+    union = " UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS merge_rank, l AS left_sym,"
+        f" r AS right_sym, l || r AS merged, cnt AS pair_count FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(_bpe_ctes(n_merges)) + "\n" + union
+
+
+def _bpe_apply_oracle(n_merges: int = _BPE_MERGES) -> str:
+    ctes = _bpe_ctes(n_merges)
+    ctes.append(
+        f"seg AS (SELECT tok, CAST(len(string_split(state, chr(31)))"
+        f" AS BIGINT) AS np FROM s{n_merges})"
+    )
+    ctes.append(
+        "t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok"
+        " FROM documents)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT)   AS n_tokens,
+           CAST(SUM(np) AS BIGINT)    AS n_pieces,
+           CAST(SUM(CASE WHEN np = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_whole_tokens,
+           CAST(ROUND(CAST(SUM(np) AS DOUBLE) / COUNT(*), 4) AS DOUBLE)
+               AS pieces_per_token
+    FROM t JOIN seg USING (tok) GROUP BY t.doc_id
+    """
+    )
+
+
+def _bpe_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(tok, freq) word universe with occurrence counts -- vocab-sized
+    (the hash-universe argument: bounded by token diversity, never
+    corpus rows), pinned so the training loop's per-round actions and
+    the apply stage's segmentation share ONE corpus scan."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(TOKS()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .transform(pin_corpus)
+    )
+
+
+@query("q_bpe_train", oracle=_bpe_train_oracle())
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING at corpus scale (round 14, VERDICT r13 #6
+    -- the one LLM-pipeline stage the registry didn't model): learn 8
+    deterministic byte-pair merges over the documents corpus and emit
+    the merge table (rank, left, right, merged symbol, weighted pair
+    count). operators/text.py bpe_train.
+
+    Shape: the corpus collapses ONCE to its distinct-word universe with
+    counts (one token-keyed shuffle, map-side combine; vocab-sized
+    thereafter -- the q_multimodal_phash_keep_one hash-universe trick).
+    Each merge round is one pair-count aggregation over that bounded
+    relation + a 1-row argmax collect (graph.py's convergence-scalar
+    class) + a greedy left-to-right fold re-segmentation
+    (Spark ``aggregate`` HOF), per-round localCheckpoint keeping
+    lineage flat. At 100 TB the per-round cost is a vocab-sized agg --
+    independent of corpus rows after the first scan.
+
+    Cross-engine determinism: pair counts are exact integers; argmax
+    ties break lexicographically on (left, right) in byte order (both
+    engines' default collation); the fold is a sequential string fold
+    both engines evaluate element-by-element in the same order (Spark
+    NULL-seeded ``aggregate`` == DuckDB first-element-seeded
+    ``list_reduce``), so the 8-round unrolled CTE chain replays
+    training bit-for-bit. Fixture split sanity (sf0.001, DuckDB): round
+    1 merges ('e','r') at weighted count 4650 out of a 31-word universe
+    -- every round has a unique positive-count argmax at all 3 SFs."""
+    from ..operators.text import bpe_train
+
+    merges = bpe_train(_bpe_words(spark, sf_dir), _BPE_MERGES)
+    rows = [
+        (k + 1, left, right, left + right, cnt)
+        for k, (left, right, cnt) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "merge_rank int, left_sym string, right_sym string, "
+        "merged string, pair_count long",
+    )
+
+
+@query("q_bpe_apply", oracle=_bpe_apply_oracle())
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE APPLY stage: tokenize the corpus with the 8 learned merges
+    (q_bpe_train's exact training loop re-run in-session) and report
+    per-document subword statistics -- token count, piece count,
+    fully-merged whole tokens, and pieces/token (the compression ratio
+    a tokenizer team tracks; its OOV-free-by-construction coverage is
+    the q_vocab_coverage audit's subword complement).
+
+    Shape: segmentation applies ONLY to the distinct-token universe
+    (8 chained folds as pure column expressions over the vocab-sized
+    pinned relation -- linear expression growth, bpe_merge_fold_sql),
+    then broadcast-joins back to the (doc, token) stream -- the
+    q_unigram_logprob vocabulary-join convention. One corpus scan for
+    the stream, the pinned universe for everything else.
+
+    Cross-engine determinism: training replays exactly (see
+    q_bpe_train); piece counts are exact integers; pieces_per_token is
+    one IEEE division of exact integers through the duck_round mirror
+    (terminating-denominator argument does not hold in general, but
+    both engines round the SAME double, so the 4dp cut agrees)."""
+    from ..operators.text import BPE_SEP, bpe_segment_expr, bpe_train
+
+    words = _bpe_words(spark, sf_dir)
+    merges = bpe_train(words, _BPE_MERGES)
+    seg = words.select(
+        "tok",
+        F.size(F.split(bpe_segment_expr("tok", merges), BPE_SEP))
+        .cast("long")
+        .alias("np"),
+    )
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.explode(TOKS()).alias("tok"))
+    return (
+        t.join(broadcast(seg), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("np").cast("long").alias("n_pieces"),
+            F.sum(F.when(F.col("np") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_whole_tokens"),
+            duck_round(F.sum("np") / F.count(F.lit(1)), 4)
+            .cast("double")
+            .alias("pieces_per_token"),
+        )
+    )
+
+
 def _sketch_calibration_oracle() -> str:
     """DuckDB oracle for q_sketch_calibration: rebuild the portable
     16-lane MinHash signatures (md5-60 base, affine lanes -- identical
