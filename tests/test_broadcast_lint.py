@@ -50,6 +50,7 @@ _WHITELIST: dict[tuple[str, str], tuple[int, str]] = {
     # semantic_decontaminate carries NO hint (r13 review): eval
     # cardinality is the caller's property, so AQE decides from runtime
     # stats -- the doc-cardinality hint rule.
+    ("operators/similarity.py", "decontaminate_against_eval"): (1, "eval-suite-bounded: the INGEST-time gate's broadcast eval relation (benchmark-sized by definition at ingest -- it rides every micro-batch; the batch operator's caller-sized eval stays un-hinted)"),
     ("operators/text.py", "tfidf"): (2, "vocab-capped df table + scalar-1row corpus count"),
     ("queries/aggregations.py", "q_hll_rollup"): (2, "dim-const: nation + region-cardinality rollup"),
     ("queries/extended.py", "q_decay_agg"): (1, "scalar-1row: anchor timestamp"),

@@ -392,3 +392,46 @@ def test_run_to_parquet_log_zero_batch_yields_empty_relation(spark, tmp_path):
     out = counted.sparkSession.read.parquet(sink)
     assert out.count() == 0
     assert set(out.columns) >= {"user_id", "count"}
+
+
+def test_stream_semantic_decontaminate_is_stateless_and_batch_equal(spark):
+    """q_stream_semantic_decontaminate (round 14): the stream's
+    accumulated output equals composing the SAME gating function
+    (operators/similarity.py decontaminate_against_eval) over the
+    static embeddings table -- batch == stream because the stage is
+    stateless (per-row predicate, no aggregation, no watermark)."""
+    from pyspark.sql import functions as F
+
+    from weighted_raster_overlay_service_toolbox_spark.operators.similarity import (
+        decontaminate_against_eval,
+        eval_suite_of,
+    )
+    from weighted_raster_overlay_service_toolbox_spark.queries.streaming import (
+        q_stream_semantic_decontaminate,
+    )
+    from weighted_raster_overlay_service_toolbox_spark.sources import load_table
+
+    from .conftest import SF_SMOKE
+
+    streamed = sorted(
+        r["vec_id"]
+        for r in q_stream_semantic_decontaminate(spark, SF_SMOKE).collect()
+    )
+    evid = (
+        load_table(spark, SF_SMOKE, "documents")
+        .filter(F.col("source") == "src0")
+        .select("doc_id")
+    )
+    v = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    ev = eval_suite_of(v, evid)
+    tr = v.join(
+        evid.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_anti"
+    )
+    batch = sorted(
+        r["vec_id"]
+        for r in decontaminate_against_eval(tr, ev, 0.35).collect()
+    )
+    assert streamed == batch
+    assert 0 < len(batch) < tr.count()  # the gate drops a real slice

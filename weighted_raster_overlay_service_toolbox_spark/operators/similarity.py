@@ -392,3 +392,47 @@ def semantic_decontaminate(
     return tr.join(contaminated, "vec_id", "left_anti").select(
         "vec_id", "cluster"
     )
+
+
+def decontaminate_against_eval(
+    rows: DataFrame, ev: DataFrame, threshold: float = 0.35
+) -> DataFrame:
+    """STATELESS eval decontamination of a ``(vec_id, e array<double>)``
+    relation against a prepared eval suite ``(ev_id, ee, ne)`` (id,
+    double vector, precomputed norm -- see :func:`eval_suite_of`):
+    keep every row whose rounded-4dp cosine stays BELOW ``threshold``
+    for ALL eval members. Pure per-row expressions + one anti join with
+    a bounded right side -- no aggregation, no state, so the SAME
+    function serves the batch path and an ingest-time micro-batch
+    stream (q_stream_semantic_decontaminate): batch == stream by
+    construction, the q_stream_quality_filter contract.
+
+    This is the UNCLUSTERED gate: per arriving row the work is
+    ``|eval|`` dots (the suite is benchmark-bounded -- the caller's
+    contract, as in :func:`semantic_decontaminate`), which is the right
+    trade at ingest where rows arrive continuously and no corpus-wide
+    k-means exists yet; the batch operator's cluster restriction is the
+    bulk-backfill optimization of the same predicate. The eval side is
+    explicitly broadcast: at ingest the suite is pinned-in-memory small
+    by definition (it rides every micro-batch), unlike the batch
+    operator's caller-sized eval relation."""
+    sides = with_norm(rows)
+    cos = duck_round(
+        dot_expr(F.col("e"), F.col("ee")) / (F.col("nrm") * F.col("ne")), 4
+    ).cast("double")
+    return sides.join(broadcast(ev), cos >= threshold, "left_anti").drop(
+        "nrm"
+    )
+
+
+def eval_suite_of(vectors: DataFrame, eval_ids: DataFrame) -> DataFrame:
+    """Prepare the broadcastable eval suite for
+    :func:`decontaminate_against_eval`: join the id relation (first
+    column = id, the semantic_decontaminate column contract) to the
+    vector relation ``(vec_id, e)``, precompute norms once."""
+    eval_ids = eval_ids.select(F.col(eval_ids.columns[0]).alias("vec_id"))
+    return with_norm(vectors.join(eval_ids, "vec_id", "left_semi")).select(
+        F.col("vec_id").alias("ev_id"),
+        F.col("e").alias("ee"),
+        F.col("nrm").alias("ne"),
+    )

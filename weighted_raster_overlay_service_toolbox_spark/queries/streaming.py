@@ -29,10 +29,12 @@ from pyspark.sql import functions as F
 from ..sources import load_table
 from ..streaming.engine import (
     read_document_stream,
+    read_embedding_stream,
     read_event_stream,
     run_to_memory,
     run_to_parquet_log,
     stage_document_files,
+    stage_embedding_files,
     stage_event_files,
     stage_with_sentinel,
 )
@@ -1142,3 +1144,92 @@ def q_stream_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_near_dup_ingest(
         spark, keys, 1, sink_dir, ckpt_dir, use_rocksdb=True
     )
+
+
+@query(
+    "q_stream_semantic_decontaminate",
+    oracle="""
+    WITH evid AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+    ev AS (
+        SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ee
+        FROM embeddings e JOIN evid ON evid.doc_id = e.vec_id
+    ),
+    tr AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings
+        WHERE vec_id NOT IN (SELECT doc_id FROM evid)
+    )
+    SELECT t.vec_id FROM tr t
+    WHERE NOT EXISTS (
+        SELECT 1 FROM ev
+        WHERE ROUND(list_dot_product(t.e, ev.ee)
+              / (sqrt(list_dot_product(t.e, t.e))
+                 * sqrt(list_dot_product(ev.ee, ev.ee))), 4) >= 0.35
+    )
+    """,
+)
+def q_stream_semantic_decontaminate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INGEST-TIME semantic eval decontamination (round 14, VERDICT r13
+    #7): the embeddings table replayed as a deterministic file stream
+    (vectors arriving from an upstream encoder), each micro-batch gated
+    STATELESSLY against a broadcast eval suite before anything
+    downstream sees it -- the q_stream_quality_filter shape applied to
+    the contamination family. A row survives iff (a) it is not itself
+    an eval member (vec_id anti join on the src0 suite -- 'they gate,
+    they don't flow') and (b) its rounded-4dp cosine stays below 0.35
+    for EVERY eval vector. The gating predicate is
+    operators/similarity.py decontaminate_against_eval -- the SAME
+    function of the row the batch path composes -- so the stream's
+    accumulated output equals the batch answer exactly and the oracle
+    is the batch SQL (batch == stream by construction).
+
+    Versus q_semantic_decontaminate (the bulk-backfill gate): no
+    k-means, no cluster restriction -- at ingest no corpus-wide
+    clustering exists yet, and the UNCLUSTERED compare is both exact
+    (no cell-boundary recall loss) and cheap when the suite is
+    benchmark-bounded: per arriving row the work is |eval| sequential
+    dots, a pure map -- stateless, shuffle-free, watermark-free; state
+    cost is ZERO regardless of stream length. Fixture split (measured,
+    DuckDB): 475 train rows -> 460 survive at sf0.001, 444 at sf0.01 --
+    the 0.35 threshold exercises the gate at every SF.
+
+    Scale: the eval suite rides each executor once (explicit broadcast
+    -- benchmark-sized by definition at ingest, unlike the batch
+    operator's caller-sized eval relation); micro-batch cost is
+    |batch| x |eval| dots with no shuffle, so ingest throughput scales
+    with executors alone. files_per_trigger=2: stateless append is
+    batch-count-invariant (the backfill convention)."""
+    from ..operators.similarity import (
+        decontaminate_against_eval,
+        eval_suite_of,
+    )
+
+    staged = stage_embedding_files(spark, sf_dir, "sem_decon")
+    stream = read_embedding_stream(spark, staged, files_per_trigger=2)
+    ss = stream.sparkSession
+    evid = (
+        load_table(ss, sf_dir, "documents")
+        .filter(F.col("source") == "src0")
+        .select("doc_id")
+    )
+    # eval suite: bounded, prepared ONCE per query start (norms
+    # precomputed); pinned so the per-micro-batch plan reads the
+    # materialized suite instead of re-running the documents filter +
+    # embeddings join every trigger.
+    ev = eval_suite_of(
+        load_table(ss, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        ),
+        evid,
+    ).localCheckpoint(eager=False)
+    arriving = stream.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    ).join(
+        evid.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_anti"
+    )
+    clean = decontaminate_against_eval(arriving, ev, threshold=0.35).select(
+        "vec_id"
+    )
+    return run_to_memory(clean, "sink_sem_decon_stream", "append")

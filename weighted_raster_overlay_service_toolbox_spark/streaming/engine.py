@@ -85,6 +85,25 @@ def stage_document_files(
     )
 
 
+def stage_embedding_files(
+    spark: SparkSession, sf_dir: str, name: str, n_files: int = 4
+) -> str:
+    """Stage the embeddings table as an n_files deterministic file
+    stream (vec_id order) -- the EMBEDDING-INGEST scenario: vectors
+    arriving from an upstream encoder, gated on the way in (round 14:
+    q_stream_semantic_decontaminate). Same content-addressed staging
+    contract as :func:`stage_event_files`."""
+    return _stage_table_files(
+        spark,
+        sf_dir,
+        table="embeddings",
+        order_cols=("vec_id",),
+        prefix=f"stream_embeddings_{name}_",
+        n_files=n_files,
+        late_rows=0,
+    )
+
+
 def _stage_table_files(
     spark: SparkSession,
     sf_dir: str,
@@ -235,6 +254,22 @@ def read_document_stream(
         "doc_id long, text string, lang string, source string, "
         "n_chars long"
     )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .option("recursiveFileLookup", "true")
+        .parquet(staged_dir)
+    )
+
+
+def read_embedding_stream(
+    spark: SparkSession, staged_dir: str, files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over a :func:`stage_embedding_files` dir --
+    the embeddings-table sibling of :func:`read_event_stream` (same
+    session cloning and determinism contract)."""
+    spark = stream_session(spark)
+    schema = "vec_id long, embedding array<float>, label int"
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", files_per_trigger)
