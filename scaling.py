@@ -29,6 +29,27 @@ regression signal this artifact exists to catch round-over-round.
 q_join_inner is the host-drift sentinel (code unchanged since r1): read
 cross-round ratio deltas normalized by the sentinel's own drift.
 
+Between-probe storage cleanup (round 14, VERDICT r13 #4): every probe
+now runs against CLEAN executor storage -- persistent RDD blocks
+(accumulated non-eager localCheckpoint pins from earlier probes) are
+unpersisted, the SQL cache cleared, and the PQ training memo dropped
+after each probe. Without this, a late probe that pins corpus-sized
+relations (pagerank's 12M-row edge fan) finds storage memory already
+full and reads its pins from DISK: SCALING_r13 recorded pagerank at
+6.91x in-sweep while the same plan measured 3.2x isolated -- the gap
+was sweep-session storage pressure, not the plan. In-sweep ratios now
+match isolated A/Bs by construction. (The memo drop is what makes the
+blanket unpersist SAFE: a localCheckpointed RDD cannot recompute, so
+any cached DataFrame that survived cleanup would be poisoned -- the
+memo is the only cross-probe holder of such frames, and each probe's
+min-of-3 reps still share it within the probe.)
+
+Since round 14 the sweep also times the PRODUCT-level number a platform
+team would quote: the full curate_corpus cascade (quality -> repetition
+-> dedup -> MinHash near-dup -> image phash dedup -> embedding
+decontamination -> domain cap) end to end at both fixtures, published
+under ``pipeline_curate_corpus``.
+
 NOT a correctness artifact: sf1r is generator output for performance
 shape only; parity stays pinned to the driver fixtures.
 """
@@ -95,6 +116,86 @@ PROBES = [
 ]
 
 
+def _drop_probe_storage(spark) -> None:
+    """Reset executor storage between probes (see module docstring):
+    unpersist every persistent RDD block, clear the SQL cache, drop the
+    PQ training memo (its values reference localCheckpointed RDDs the
+    unpersist just invalidated)."""
+    from weighted_raster_overlay_service_toolbox_spark.queries.llm import (
+        _PQ_TRAIN_MEMO,
+    )
+
+    _PQ_TRAIN_MEMO.clear()
+    spark.catalog.clearCache()
+    # unpersisting a localCheckpointed RDD logs a "cannot be recomputed"
+    # WARN per block -- intended here (nothing holds those frames once
+    # the memo is cleared), so silence the logger for the sweep process
+    jvm = spark._jvm
+    jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.rdd.MapPartitionsRDD",
+        jvm.org.apache.logging.log4j.Level.ERROR,
+    )
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist()
+
+
+def _curate_pipeline(spark, sf_dir: str):
+    """The full curate_corpus cascade over a fixture dir: documents with
+    deterministically synthesized PPM payloads (the q_multimodal_phash_
+    dedup fixture encoder), MinHash near-dup on, embedding
+    decontamination against the src0 eval suite, per-source domain cap.
+    Returns the stats relation -- materializing it executes every
+    stage."""
+    from pyspark.sql import functions as F
+
+    from weighted_raster_overlay_service_toolbox_spark.operators.multimodal import (
+        ppm_payload,
+    )
+    from weighted_raster_overlay_service_toolbox_spark.pipeline import (
+        curate_corpus,
+    )
+    from weighted_raster_overlay_service_toolbox_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        "source",
+        ((F.col("doc_id") % 6) + 2).cast("int").alias("w"),
+        ((F.col("doc_id") % 4) + 2).cast("int").alias("h"),
+    )
+    docs = d.select(
+        "doc_id", "text", "source", ppm_payload("w", "h", "text").alias("payload")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    ev = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("source") == "src0")
+        .select("doc_id")
+    )
+    # Knobs picked from the MEASURED fixture split (PLANS.md round 14)
+    # so every stage carries real load at both fixtures: exact-verified
+    # near-dup at 0.9 (the synthetic corpus is highly self-similar --
+    # the default 0.5 estimate drops ~90%), image radius 1 (radius 3
+    # collapses the 24-combo (w,h) payload space into ONE family and
+    # the cascade keeps 1 doc of 5000). sf0.1 split with these knobs:
+    # 1726 near-dup, 1676 image, 1065 dup, 15 contaminated, 517 kept.
+    _, _, stats = curate_corpus(
+        docs,
+        min_tokens=5,
+        near_dup=True,
+        near_dup_exact_jaccard=0.9,
+        image_payload_col="payload",
+        image_hamming_radius=1,
+        image_bands=8,
+        embeddings=emb,
+        eval_ids=ev,
+        docs_per_source=500,
+    )
+    return stats
+
+
 def _ensure_fixture(path: str, grow: bool) -> None:
     if os.path.isfile(os.path.join(path, "documents.parquet")):
         return
@@ -143,9 +244,11 @@ def main() -> None:
             "sf1r": round(t_big, 3),
             "ratio": round(t_big / t_small, 2) if t_small > 0 else None,
         }
+        _drop_probe_storage(spark)
 
     er_fixed = queries["q_entity_resolution"]
     er_grown = timed("q_entity_resolution", SF1RG)
+    _drop_probe_storage(spark)
     er_regimes = {
         "fixed_name_pools_sf1r": er_fixed["sf1r"],
         "grown_name_pools_sf1rg": round(er_grown, 3),
@@ -179,6 +282,27 @@ def main() -> None:
         "sf1r": round(ka_big, 3),
         "ratio": round(ka_big / ka_small, 2) if ka_small > 0 else None,
     }
+    _drop_probe_storage(spark)
+
+    # end-to-end curate_corpus cascade (round 14, VERDICT r13 #8): the
+    # product-level decade ratio. Same min-of-3 / noop-sink discipline.
+    def timed_pipeline(sf_dir: str) -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            _curate_pipeline(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.time() - t0)
+            _drop_probe_storage(spark)
+        return best
+
+    cp_small, cp_big = timed_pipeline(SF01), timed_pipeline(SF1R)
+    pipeline_probe = {
+        "sf0.1": round(cp_small, 3),
+        "sf1r": round(cp_big, 3),
+        "ratio": round(cp_big / cp_small, 2) if cp_small > 0 else None,
+    }
 
     result = {
         "metric": "scaling_10x_ratio",
@@ -188,6 +312,8 @@ def main() -> None:
         "queries": queries,
         "er_regimes": er_regimes,
         "knn_production_auto_planes": knn_auto,
+        "pipeline_curate_corpus": pipeline_probe,
+        "storage_cleanup": "unpersist+clearCache+memo-drop between probes",
         "sentinel_query": "q_join_inner",
         "sentinel_ratio": queries["q_join_inner"]["ratio"],
     }
