@@ -308,7 +308,63 @@ from . import tpch  # noqa: F401,E402
 # fill 50 (alphabetical from q_agg_corr; keep one scan-family name --
 # q_scan_prune re-grades in r13, so q_scan_full r9-last is the oldest
 # scan row after that).
+# ROUND-15 ROTATION PLAN: after the r14 window grades, cumulative
+# driver-green is 258/258 (the three r14 additions all graded on
+# arrival) and the oldest evidence is the 12 remaining r8-last names
+# (q_rare_token_ratio, q_sort_multi, q_stream_quality_filter,
+# q_text_quality, q_topk, q_tpch_q14, q_tpch_q17, q_tpch_q8,
+# q_udaf_grouped, q_udf_grouped_map, q_unigram_logprob, q_wro_stats).
+# The r15 window = flagships + any r15-changed/added queries + those
+# 12 + r9-last fills to 50 (alphabetical; keep one scan-family name).
 _DRIVER_WINDOW = [
+    # == ROUND-14 WINDOW ==
+    # Executes VERDICT r13 'Next round' #1 as written: flagships + the
+    # three r14 ADDITIONS (q_bpe_train / q_bpe_apply -- the tokenizer
+    # training stage, VERDICT r13 #6; q_stream_semantic_decontaminate
+    # -- the ingest-time semantic gate, #7; each 3-SF parity-exact on
+    # arrival) + the two rows whose PLAN changed this round (VERDICT
+    # r13 #2-3: q_logprob_strata and q_win_percent_rank now rank
+    # through the two-pass range-partitioned global_rank -- values
+    # unchanged, 3-SF re-verified, graded on the shipped plan) + the
+    # full 11-name r7-last re-grade band + q_scan_full (scan-family
+    # invariant; oldest scan row at r9) + the first 24 of the r8-last
+    # band (alphabetical from q_agg_corr). Done = CORRECTNESS_r14
+    # 50/50 green => cumulative driver-green 258/258 at the 258-query
+    # registry AND no row's newest evidence predates r8 except the 12
+    # r8-last names queued first for r15.
+    #
+    # -- permanent flagships (q_sink_partitioned keeps the
+    #    every-window-exercises-a-sink invariant of tests/test_registry.py)
+    "q_wro_overlay", "q_sink_partitioned",
+    "q_dedup_exact", "q_cosine_topk", "q_tfidf", "q_corpus_pipeline",
+    "q_sql_api", "q_agg_group", "q_win_rank",
+    #
+    # -- r14 additions (graded on arrival) --
+    "q_bpe_train", "q_bpe_apply", "q_stream_semantic_decontaminate",
+    #
+    # -- r14 plan-changed rows (two-pass rank; values unchanged) --
+    "q_logprob_strata", "q_win_percent_rank",
+    #
+    # -- the full r7-last re-grade band --
+    "q_sample_stratified", "q_scd2", "q_seasonality_matrix",
+    "q_split_train_val_test", "q_str_funcs2", "q_subquery_scalar",
+    "q_timeseries_gapfill", "q_udtf_lateral", "q_win_frame_range",
+    "q_win_time_range", "q_zorder_layout",
+    #
+    # -- scan-family invariant (oldest scan row, r9-last) --
+    "q_scan_full",
+    #
+    # -- r8-last re-grade band, first 24 fills (alphabetical) --
+    "q_agg_corr", "q_agg_stats", "q_ann_filtered", "q_ann_ivf",
+    "q_collocations", "q_containment_sim", "q_contamination",
+    "q_corpus_mixture_salted", "q_dedup_minhash", "q_dedup_rate",
+    "q_dq_checks", "q_embed_centroid", "q_embed_near_dup",
+    "q_jaccard_sim", "q_join_anti", "q_join_left", "q_join_semi",
+    "q_kmeans", "q_lang_id", "q_math_funcs", "q_ngram_jaccard",
+    "q_outliers_zscore", "q_project_expr", "q_quality_classifier",
+]
+
+_ROUND13_WINDOW = [
     # == ROUND-13 WINDOW ==
     # Executes VERDICT r12 'Next round' #1 as written: flagships + the
     # three never-driver-graded late-r12 rows (q_stream_phash_dedup,
