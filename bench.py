@@ -124,6 +124,11 @@ def main() -> None:
         "q_stream_phash_dedup",         # ingest-time radius-0 hash claim
         # round-13 addition (the embedding-space eval-leakage gate)
         "q_semantic_decontaminate",     # clustered train x eval compare
+        # round-14 additions (tokenizer training + the ingest-time
+        # semantic gate -- same heavy-addition tracking rule)
+        "q_bpe_train",                  # 8-round merge learning loop
+        "q_bpe_apply",                  # vocab-universe segmentation join
+        "q_stream_semantic_decontaminate",  # stateless cosine gate at ingest
     ]
 
     # Artifact hygiene (VERDICT r12 #4, root-caused this round): reading
@@ -198,6 +203,9 @@ def main() -> None:
         "q_stream_near_dup": [(engine.stage_document_files, "near_dup", {})],
         "q_stream_phash_dedup": [
             (engine.stage_document_files, "phash_dedup", {})
+        ],
+        "q_stream_semantic_decontaminate": [
+            (engine.stage_embedding_files, "sem_decon", {})
         ],
     }
     for name in headline:
