@@ -73,8 +73,11 @@ _WHITELIST: dict[tuple[str, str], tuple[int, str]] = {
     ("queries/llm.py", "q_ann_pq_recall"): (1, "probe-bounded: exact-leg probe vectors"),
     ("queries/llm.py", "q_ann_recall"): (2, "probe-bounded: probe set x2 (IVF + brute-force legs)"),
     ("queries/llm.py", "q_approx_topk"): (2, "vocab-capped exact top-K + scalar-1row"),
-    ("queries/llm.py", "q_bigram_lm"): (2, "vocab-sized head-count + count tables (vocab-join convention)"),
+    ("queries/llm.py", "bigram_doc_scores"): (2, "vocab-sized head-count + count tables (vocab-join convention; r14 factor-out of q_bigram_lm, shared with q_perplexity_buckets)"),
     ("queries/llm.py", "q_bm25"): (2, "probe-bounded fixed term-set df + scalar-1row stats"),
+    ("queries/llm.py", "q_rrf_fusion"): (2, "probe-bounded: query-doc term set + scalar-1row query-set size (the dense lane's probe broadcast lives in cosine_scores)"),
+    ("queries/llm.py", "q_dsir_weights"): (3, "bucket-table: 256-row smoothed log-ratio model (config-sized, the bloom word-table class) + scalar-1row totals x2"),
+    ("queries/llm.py", "q_perplexity_buckets"): (1, "enum-keyed: per-source first-rank offsets + counts (20 sources)"),
     ("queries/llm.py", "q_collocations"): (4, "scalar-1row totals x2 + vocab-sized unigram counts x2 (documented vocab-join convention, Heaps-sublinear)"),
     ("queries/llm.py", "q_containment_sim"): (2, "probe-bounded: candidate set sizes (judge-checked r8)"),
     ("queries/llm.py", "q_decontaminate"): (1, "benchmark-sized dirty-id set"),

@@ -469,3 +469,76 @@ def test_semantic_decontaminate_invariants(spark):
             n_dropped += 1
             assert witnesses, i  # (c)
     assert n_dropped > 0  # fixture exercises the drop branch
+
+
+def test_rrf_fusion_is_self_consistent(spark):
+    """q_rrf_fusion (late r14): the fused score must be recomputable
+    from the emitted lane ranks -- rrf_u9 == round(1e9/(60+lex_rk)) +
+    round(1e9/(60+vec_rk)) with a missing lane contributing 0 -- and
+    the output must be a valid fused top-20: unique doc_ids, ranks in
+    [1, 50], descending (rrf_u9, doc_id)-ordered head of the fused
+    relation."""
+    rows = QUERIES["q_rrf_fusion"](spark, SF_ORACLE).collect()
+    assert 0 < len(rows) <= 20
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    for r in rows:
+        expect = 0
+        for rk in (r["lex_rk"], r["vec_rk"]):
+            assert rk is None or 1 <= rk <= 50
+            if rk is not None:
+                expect += round(1_000_000_000.0 / (60 + rk))
+        assert r["rrf_u9"] == expect, r
+    keys = [(-r["rrf_u9"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
+    # at least one doc must be fused from BOTH lanes at fixture scale
+    # (embeddings and documents share the id space by construction)
+    assert any(
+        r["lex_rk"] is not None and r["vec_rk"] is not None for r in rows
+    )
+
+
+def test_dsir_weights_cover_exactly_the_raw_corpus(spark):
+    """q_dsir_weights scores every RAW (non-src0) document with >= 2
+    tokens, never a target document, and conserves the feature count:
+    sum(n_feats) == total raw bigram occurrences (nothing dropped by
+    the bucket join -- every raw bigram's bucket exists in the raw
+    counts by construction)."""
+    out = QUERIES["q_dsir_weights"](spark, SF_ORACLE)
+    d = load_table(spark, SF_ORACLE, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    joined = out.join(d, "doc_id").collect()
+    assert len(joined) == out.count()  # every scored doc exists
+    assert all(r["source"] != "src0" for r in joined)
+    raw = d.filter((F.col("source") != "src0") & (F.col("n_tok") >= 2))
+    expect_docs = raw.count()
+    expect_feats = raw.agg(F.sum(F.col("n_tok") - 1)).collect()[0][0]
+    assert len(joined) == expect_docs
+    assert sum(r["n_feats"] for r in joined) == expect_feats
+
+
+def test_perplexity_buckets_are_per_source_terciles(spark):
+    """q_perplexity_buckets: within every source the head/middle/tail
+    census must be NTILE(3)-shaped (sizes differ by at most one,
+    earliest bucket gets the remainder) and bucket boundaries must
+    respect the (score DESC, doc_id) order -- the worst head doc ranks
+    strictly above the best middle doc in that order."""
+    rows = QUERIES["q_perplexity_buckets"](spark, SF_ORACLE).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    assert len(by_src) > 1
+    for src, rs in by_src.items():
+        n = len(rs)
+        q3, m3 = divmod(n, 3)
+        sizes = {"head": q3 + (m3 >= 1), "middle": q3 + (m3 >= 2),
+                 "tail": q3}
+        got = {b: sum(1 for r in rs if r["bucket"] == b)
+               for b in ("head", "middle", "tail")}
+        assert got == sizes, (src, got, sizes)
+        order = sorted(rs, key=lambda r: (-r["avg_bigram_lp"], r["doc_id"]))
+        labels = [r["bucket"] for r in order]
+        # buckets are contiguous in score order
+        assert labels == (["head"] * got["head"]
+                          + ["middle"] * got["middle"]
+                          + ["tail"] * got["tail"]), src

@@ -648,10 +648,18 @@ def test_global_rank_queries_have_no_single_partition_window(spark):
     Pin: every Window node in the EXECUTED plan carries a partition
     spec (the windowspecdefinition's first argument is the range
     partition id, not an ordering column), i.e. no "moving all data to
-    a single partition" reducer anywhere."""
+    a single partition" reducer anywhere. q_perplexity_buckets (late
+    r14) joined the list: its per-source terciles derive from ONE
+    global_rank over (source, score, doc_id), never a per-source
+    NTILE window (corpus/|sources|-sized partitions -- the same class
+    divided by a small enum)."""
     import re
 
-    for name in ("q_win_percent_rank", "q_logprob_strata"):
+    for name in (
+        "q_win_percent_rank",
+        "q_logprob_strata",
+        "q_perplexity_buckets",
+    ):
         df = QUERIES[name](spark, SF_SMOKE)
         df.collect()
         final = (

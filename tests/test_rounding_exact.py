@@ -196,6 +196,7 @@ _KNIFE_EXPLAINED = {
     "q_lang_id",            # marker-hit ratios: exact small-int division
     "q_text_quality",       # char/token ratios: exact small-int division
     "q_bpe_apply",          # sum(pieces)/count: exact small-int division
+    "q_stream_bpe_apply",   # same oracle + same exact division streamside
     "q_repetition_ratio",   # max(c)/sum(c): exact small-int division
     "q_ngram_jaccard",      # intersection/union counts: exact division
     "q_contamination",      # hit-count ratio: exact division

@@ -309,28 +309,38 @@ from . import tpch  # noqa: F401,E402
 # q_scan_prune re-grades in r13, so q_scan_full r9-last is the oldest
 # scan row after that).
 # ROUND-15 ROTATION PLAN: after the r14 window grades, cumulative
-# driver-green is 258/258 (the three r14 additions all graded on
-# arrival) and the oldest evidence is the 12 remaining r8-last names
-# (q_rare_token_ratio, q_sort_multi, q_stream_quality_filter,
-# q_text_quality, q_topk, q_tpch_q14, q_tpch_q17, q_tpch_q8,
-# q_udaf_grouped, q_udf_grouped_map, q_unigram_logprob, q_wro_stats).
-# The r15 window = flagships + any r15-changed/added queries + those
-# 12 + r9-last fills to 50 (alphabetical; keep one scan-family name).
+# driver-green is 262/262 (the seven r14 additions all graded on
+# arrival: q_bpe_train, q_bpe_apply, q_stream_semantic_decontaminate,
+# then the late-r14 four -- q_rrf_fusion, q_dsir_weights,
+# q_perplexity_buckets, q_stream_bpe_apply) and the oldest evidence is
+# the 17 remaining r8-last names (q_math_funcs, q_ngram_jaccard,
+# q_outliers_zscore, q_project_expr, q_quality_classifier -- displaced
+# from the r14 fills by the late additions -- plus q_rare_token_ratio,
+# q_sort_multi, q_stream_quality_filter, q_text_quality, q_topk,
+# q_tpch_q14, q_tpch_q17, q_tpch_q8, q_udaf_grouped,
+# q_udf_grouped_map, q_unigram_logprob, q_wro_stats). The r15 window =
+# flagships + any r15-changed/added queries + those 17 + r9-last fills
+# to 50 (alphabetical; keep one scan-family name).
 _DRIVER_WINDOW = [
     # == ROUND-14 WINDOW ==
     # Executes VERDICT r13 'Next round' #1 as written: flagships + the
-    # three r14 ADDITIONS (q_bpe_train / q_bpe_apply -- the tokenizer
+    # seven r14 ADDITIONS (q_bpe_train / q_bpe_apply -- the tokenizer
     # training stage, VERDICT r13 #6; q_stream_semantic_decontaminate
-    # -- the ingest-time semantic gate, #7; each 3-SF parity-exact on
-    # arrival) + the two rows whose PLAN changed this round (VERDICT
+    # -- the ingest-time semantic gate, #7; plus the late-r14 four:
+    # q_rrf_fusion hybrid-retrieval fusion, q_dsir_weights importance
+    # weighting, q_perplexity_buckets CCNet terciles,
+    # q_stream_bpe_apply ingest tokenization; each 3-SF parity-exact
+    # on arrival) + the two rows whose PLAN changed this round (VERDICT
     # r13 #2-3: q_logprob_strata and q_win_percent_rank now rank
     # through the two-pass range-partitioned global_rank -- values
-    # unchanged, 3-SF re-verified, graded on the shipped plan) + the
+    # unchanged, 3-SF re-verified, graded on the shipped plan) +
+    # q_bigram_lm (refactor-changed: scoring relation factored into
+    # bigram_doc_scores for q_perplexity_buckets to share) + the
     # full 11-name r7-last re-grade band + q_scan_full (scan-family
-    # invariant; oldest scan row at r9) + the first 24 of the r8-last
+    # invariant; oldest scan row at r9) + the first 19 of the r8-last
     # band (alphabetical from q_agg_corr). Done = CORRECTNESS_r14
-    # 50/50 green => cumulative driver-green 258/258 at the 258-query
-    # registry AND no row's newest evidence predates r8 except the 12
+    # 50/50 green => cumulative driver-green 262/262 at the 262-query
+    # registry AND no row's newest evidence predates r8 except the 17
     # r8-last names queued first for r15.
     #
     # -- permanent flagships (q_sink_partitioned keeps the
@@ -342,8 +352,18 @@ _DRIVER_WINDOW = [
     # -- r14 additions (graded on arrival) --
     "q_bpe_train", "q_bpe_apply", "q_stream_semantic_decontaminate",
     #
+    # -- late-r14 additions (graded on arrival): hybrid retrieval
+    #    fusion, DSIR importance weights, CCNet perplexity buckets,
+    #    ingest-time BPE tokenization --
+    "q_rrf_fusion", "q_dsir_weights", "q_perplexity_buckets",
+    "q_stream_bpe_apply",
+    #
     # -- r14 plan-changed rows (two-pass rank; values unchanged) --
     "q_logprob_strata", "q_win_percent_rank",
+    # -- r14 refactor-changed row (score relation factored into
+    #    bigram_doc_scores, shared with q_perplexity_buckets; plan and
+    #    values unchanged) --
+    "q_bigram_lm",
     #
     # -- the full r7-last re-grade band --
     "q_sample_stratified", "q_scd2", "q_seasonality_matrix",
@@ -354,14 +374,17 @@ _DRIVER_WINDOW = [
     # -- scan-family invariant (oldest scan row, r9-last) --
     "q_scan_full",
     #
-    # -- r8-last re-grade band, first 24 fills (alphabetical) --
+    # -- r8-last re-grade band, first 19 fills (alphabetical; the last
+    #    five of the original 24 -- q_math_funcs, q_ngram_jaccard,
+    #    q_outliers_zscore, q_project_expr, q_quality_classifier --
+    #    yielded their slots to the late-r14 additions + q_bigram_lm
+    #    and are queued FIRST for r15) --
     "q_agg_corr", "q_agg_stats", "q_ann_filtered", "q_ann_ivf",
     "q_collocations", "q_containment_sim", "q_contamination",
     "q_corpus_mixture_salted", "q_dedup_minhash", "q_dedup_rate",
     "q_dq_checks", "q_embed_centroid", "q_embed_near_dup",
     "q_jaccard_sim", "q_join_anti", "q_join_left", "q_join_semi",
-    "q_kmeans", "q_lang_id", "q_math_funcs", "q_ngram_jaccard",
-    "q_outliers_zscore", "q_project_expr", "q_quality_classifier",
+    "q_kmeans", "q_lang_id",
 ]
 
 _ROUND13_WINDOW = [

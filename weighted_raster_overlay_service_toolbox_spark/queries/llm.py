@@ -3573,10 +3573,14 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_bigram_lm",
-    oracle="""
-    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+#: Shared DuckDB CTE chain producing the per-document bigram-LM score
+#: relation ``bdoc(doc_id, n_bigrams, avg_bigram_lp)`` -- ONE definition
+#: used by q_bigram_lm's oracle AND q_perplexity_buckets' oracle (the
+#: qc_oracle_cte / lang_mix sharing convention, ADVICE r7/r8: a scoring
+#: model consumed by two registry rows is one constant so the oracles
+#: cannot desynchronize). Mirrors :func:`bigram_doc_scores` exactly.
+_BIGRAM_DOC_CTE = """
+    tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     big AS (
         SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
         FROM tk CROSS JOIN LATERAL (
@@ -3593,38 +3597,26 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                              / (CAST(hc.c1 AS DOUBLE) + vc.v)) * 1000000)
                     AS BIGINT) AS lp6
         FROM big b JOIN bc USING (w1, w2) JOIN hc USING (w1) CROSS JOIN vc
+    ),
+    bdoc AS (
+        SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+               (CAST(ROUND(SUM(lp6) / COUNT(*) / 1000000.0, 4) AS DOUBLE)
+                + 0.0) AS avg_bigram_lp
+        FROM lp GROUP BY doc_id
     )
-    SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_bigrams,
-           (CAST(ROUND(SUM(lp6) / COUNT(*) / 1000000.0, 4) AS DOUBLE)
-            + 0.0) AS avg_bigram_lp
-    FROM lp GROUP BY doc_id
-    """,
-)
-def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bigram language-model quality score (round 8): per-document mean
-    conditional logprob ln P(w2 | w1) under an add-one-smoothed bigram
-    LM estimated on the corpus itself -- the CCNet/KenLM-style
-    perplexity filter one rung up from q_unigram_logprob's unigram
-    proxy (a document full of individually common words in an unusual
-    ORDER now scores low). Smoothing: P(w2|w1) = (c(w1 w2) + 1) /
-    (c(w1 .) + V) with V the unigram vocabulary size; the history count
-    c(w1 .) counts w1's occurrences AS a bigram history (doc-final
-    tokens excluded), so probabilities per history sum to exactly 1.
+"""
 
-    Cross-engine determinism: the unigram-logprob convention -- each
-    bigram's logprob is quantized to integer micro-nats (duck_round to
-    0dp, bit-exact vs DuckDB ROUND) so the per-doc SUM is commutative
-    int64 arithmetic, immune to partition order; the final 4dp mean is
-    duck_round + the negative-zero fold (q_collocations convention).
 
-    Scale: bigram extraction is a narrow per-row transform; the pinned
-    bigram stream feeds the bigram-count, history-count, and per-doc
-    scoring consumers in ONE corpus scan (pin_corpus trade as
-    documented there). History counts and the scalar V are
-    vocabulary-sized and broadcast; the bigram-TYPE table bc is
-    vocab^2-bounded so it carries NO broadcast hint -- AQE broadcasts
-    it while it fits and falls back to a shuffle join at 100 TB (the
-    doc-cardinality hint rule, one level up)."""
+def bigram_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM score relation ``(doc_id, n_bigrams,
+    avg_bigram_lp)`` -- the add-one-smoothed conditional-logprob model
+    q_bigram_lm defines, factored out (round 14) so the CCNet-style
+    bucketing row (q_perplexity_buckets) applies the IDENTICAL scoring
+    function of the corpus: one Spark relation + one oracle CTE
+    (``_BIGRAM_DOC_CTE``), the shared-scoring convention of
+    qc_oracle_cte / lang_mix_scores. Semantics, determinism, and scale
+    notes live on q_bigram_lm (the defining row); docs with fewer than
+    two tokens have no bigrams and no score row."""
     d = load_table(spark, sf_dir, "documents")
     tk = d.select("doc_id", F.split("text", " ").alias("t")).transform(pin_corpus)
     big = (
@@ -3670,6 +3662,47 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("avg_bigram_lp"),
     )
+
+
+@query(
+    "q_bigram_lm",
+    oracle="WITH "
+    + _BIGRAM_DOC_CTE
+    + """
+    SELECT doc_id, n_bigrams, avg_bigram_lp FROM bdoc
+    """,
+)
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score (round 8): per-document mean
+    conditional logprob ln P(w2 | w1) under an add-one-smoothed bigram
+    LM estimated on the corpus itself -- the CCNet/KenLM-style
+    perplexity filter one rung up from q_unigram_logprob's unigram
+    proxy (a document full of individually common words in an unusual
+    ORDER now scores low). Smoothing: P(w2|w1) = (c(w1 w2) + 1) /
+    (c(w1 .) + V) with V the unigram vocabulary size; the history count
+    c(w1 .) counts w1's occurrences AS a bigram history (doc-final
+    tokens excluded), so probabilities per history sum to exactly 1.
+
+    Cross-engine determinism: the unigram-logprob convention -- each
+    bigram's logprob is quantized to integer micro-nats (duck_round to
+    0dp, bit-exact vs DuckDB ROUND) so the per-doc SUM is commutative
+    int64 arithmetic, immune to partition order; the final 4dp mean is
+    duck_round + the negative-zero fold (q_collocations convention).
+
+    Scale: bigram extraction is a narrow per-row transform; the pinned
+    bigram stream feeds the bigram-count, history-count, and per-doc
+    scoring consumers in ONE corpus scan (pin_corpus trade as
+    documented there). History counts and the scalar V are
+    vocabulary-sized and broadcast; the bigram-TYPE table bc is
+    vocab^2-bounded so it carries NO broadcast hint -- AQE broadcasts
+    it while it fits and falls back to a shuffle join at 100 TB (the
+    doc-cardinality hint rule, one level up).
+
+    Round 14: the score relation is factored into
+    :func:`bigram_doc_scores` (+ the shared oracle CTE
+    ``_BIGRAM_DOC_CTE``) so q_perplexity_buckets consumes the IDENTICAL
+    model -- plan and values unchanged, the shared-scoring convention."""
+    return bigram_doc_scores(spark, sf_dir)
 
 
 @query(
@@ -6011,4 +6044,410 @@ def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(exact["probe_id"].alias("probe_id"))
         .agg(F.count(ivfpq_top["pq_vec"]).cast("int").alias("n_hits"))
+    )
+
+
+# --------------------------------------------------------------------------
+# retrieval fusion / importance-based data selection (round 14)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_rrf_fusion",
+    oracle="""
+    WITH qt AS (
+        SELECT list_distinct(string_split(text, ' ')) AS toks
+        FROM documents WHERE doc_id = 7
+    ),
+    qtok AS (SELECT unnest(toks) AS tok FROM qt),
+    t AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents WHERE doc_id <> 7
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+    inter AS (
+        SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM t JOIN qtok USING (tok) GROUP BY t.doc_id
+    ),
+    lexs AS (
+        SELECT i.doc_id,
+               CAST(ROUND(CAST(i.n_common AS DOUBLE)
+                    / (s.n + len(qt.toks) - i.n_common), 4) AS DOUBLE) AS jac
+        FROM inter i JOIN sizes s USING (doc_id) CROSS JOIN qt
+    ),
+    lex AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY jac DESC, doc_id) AS INT)
+                   AS lex_rk
+        FROM lexs ORDER BY jac DESC, doc_id LIMIT 50
+    ),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    pv AS (SELECT e AS pe, sqrt(list_dot_product(e, e)) AS pnrm
+           FROM v WHERE vec_id = 7),
+    ds AS (
+        SELECT c.vec_id AS doc_id,
+               CAST(ROUND(list_dot_product(pv.pe, c.e)
+                    / (pv.pnrm * sqrt(list_dot_product(c.e, c.e))), 4)
+                    AS DOUBLE) AS sim
+        FROM v c CROSS JOIN pv WHERE c.vec_id <> 7
+    ),
+    vec AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS INT)
+                   AS vec_rk
+        FROM ds ORDER BY sim DESC, doc_id LIMIT 50
+    ),
+    fused AS (
+        SELECT COALESCE(l.doc_id, v2.doc_id) AS doc_id, l.lex_rk, v2.vec_rk,
+               COALESCE(CAST(ROUND(1000000000.0 / (60 + l.lex_rk))
+                             AS BIGINT), 0)
+               + COALESCE(CAST(ROUND(1000000000.0 / (60 + v2.vec_rk))
+                               AS BIGINT), 0) AS rrf_u9
+        FROM lex l FULL OUTER JOIN vec v2 ON l.doc_id = v2.doc_id
+    )
+    SELECT doc_id, lex_rk, vec_rk, rrf_u9
+    FROM fused ORDER BY rrf_u9 DESC, doc_id LIMIT 20
+    """,
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid more-like-this retrieval with Reciprocal Rank Fusion
+    (round 14): the modern two-tower search stack -- a LEXICAL ranked
+    list (distinct-token Jaccard against the query document's token
+    set, the sparse/BM25 lane) and a DENSE ranked list (embedding
+    cosine against the query document's vector) fused by RRF
+    (Cormack, Clarke & Buettcher, SIGIR 2009: score(d) = sum over
+    lists of 1/(k + rank_d), k=60 -- rank-only fusion, immune to
+    score-scale mismatch between lanes, which is exactly why hybrid
+    search engines ship it as the default combiner). Query document 7,
+    top-50 per lane, top-20 fused. A curation team runs this shape for
+    eval-anchored corpus audits: "what does the corpus contain that is
+    most like this eval item, lexically OR semantically?"
+
+    Cross-engine determinism: each lane ranks on its ROUNDED-4dp score
+    with doc_id tiebreak (the q_cosine_topk convention; Jaccard's
+    single IEEE division of exact ints is bit-identical cross-engine),
+    so both top-50 cuts and both rank columns are exact; the RRF
+    contribution 1/(60+rank) is quantized to integer nano-units
+    (duck_round mirror) and summed as int64, so the fused order and
+    the top-20 cut are exact too. The dense lane's dot is the
+    SEQUENTIAL fold (cosine_scores bulk=False) because the rounded sim
+    decides lane membership (the r8 knife-edge rule).
+
+    Scale: no global sort anywhere -- each lane's top-50 is
+    TakeOrdered (per-partition heaps + a 50-row driver merge), and
+    the rank row_number runs AFTER the limit, over a 50-row BOUNDED
+    relation (the TPC-H Q15 bounded-window class, not the retired
+    fact-sized kind). The lexical lane never scans non-matching
+    tokens' rows into the shuffle: the token stream inner-joins the
+    broadcast query-term set first (inverted-index probe shape), so
+    the scored relation is |docs sharing a term|, not |tokens|. The
+    dense lane broadcasts the 1-row probe (cosine_scores). The fusion
+    join is 50x50 (both sides top-K-capped); it carries NO broadcast
+    hint because Spark cannot broadcast-hash a FULL OUTER join -- the
+    hint would be silently ignored -- and a 50x50 sort-merge is
+    noise."""
+    d = load_table(spark, sf_dir, "documents")
+    qt = d.filter(F.col("doc_id") == 7).select(
+        F.array_distinct(TOKS()).alias("qtoks")
+    )
+    qn = qt.select(F.size("qtoks").alias("n_q"))
+    qtok = qt.select(F.explode("qtoks").alias("tok"))
+    t = d.filter(F.col("doc_id") != 7).select(
+        "doc_id", F.explode(F.array_distinct(TOKS())).alias("tok")
+    ).transform(pin_corpus)
+    sizes = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        t.join(broadcast(qtok), "tok")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    jac = duck_round(
+        F.col("n_common").cast("double")
+        / (F.col("n") + F.col("n_q") - F.col("n_common")),
+        4,
+    ).cast("double")
+    lex50 = (
+        inter.join(sizes, "doc_id")
+        .crossJoin(broadcast(qn))
+        .select("doc_id", jac.alias("jac"))
+        .orderBy(F.desc("jac"), F.asc("doc_id"))
+        .limit(50)
+    )
+    from pyspark.sql import Window
+
+    lex = lex50.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("jac"), F.asc("doc_id")))
+        .cast("int")
+        .alias("lex_rk"),
+    )
+    v = with_norm(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+    )
+    pv = v.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("e").alias("pe"),
+        F.col("nrm").alias("pnrm"),
+    )
+    vec50 = (
+        cosine_scores(v, pv, bulk=False)
+        .select(F.col("cand_id").alias("doc_id"), "sim")
+        .orderBy(F.desc("sim"), F.asc("doc_id"))
+        .limit(50)
+    )
+    vec = vec50.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("sim"), F.asc("doc_id")))
+        .cast("int")
+        .alias("vec_rk"),
+    )
+    rrf = lambda rk: F.coalesce(  # noqa: E731 -- tiny local combinator
+        duck_round(F.lit(1000000000.0) / (F.lit(60) + rk)).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rk",
+        "vec_rk",
+        (rrf(F.col("lex_rk")) + rrf(F.col("vec_rk"))).alias("rrf_u9"),
+    )
+    return fused.orderBy(F.desc("rrf_u9"), F.asc("doc_id")).limit(20)
+
+
+#: hashed-feature bucket count for DSIR importance weights -- fixed by
+#: config (the paper uses 10k buckets at web scale; 256 keeps every
+#: bucket occupied at fixture scale), NOT data-dependent.
+_DSIR_BUCKETS = 256
+
+
+@query(
+    "q_dsir_weights",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS t
+                FROM documents),
+    big AS (
+        SELECT doc_id, source,
+               CAST('0x' || substring(md5(t[i] || ' ' || t[i + 1]), 1, 15)
+                    AS BIGINT) % {_DSIR_BUCKETS} AS bucket
+        FROM tk CROSS JOIN LATERAL (
+            SELECT unnest(range(1, len(t))) AS i
+        ) ix(i)
+    ),
+    tc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct FROM big
+           WHERE source = 'src0' GROUP BY bucket),
+    rc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cr FROM big
+           WHERE source <> 'src0' GROUP BY bucket),
+    nt AS (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) AS nt FROM tc),
+    nr AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr FROM rc),
+    rt AS (
+        SELECT rc.bucket,
+               CAST(ROUND(ln(((COALESCE(tc.ct, 0) + 1.0)
+                              / (nt.nt + {_DSIR_BUCKETS}.0))
+                             / ((rc.cr + 1.0)
+                                / (nr.nr + {_DSIR_BUCKETS}.0)))
+                          * 1000000) AS BIGINT) AS lr6
+        FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN nt CROSS JOIN nr
+    )
+    SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+           CAST(SUM(rt.lr6) AS BIGINT) AS dsir_ln6
+    FROM big b JOIN rt USING (bucket)
+    WHERE b.source <> 'src0'
+    GROUP BY b.doc_id
+    """,
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (round 14): Data Selection via Importance
+    Resampling (Xie et al. 2023, arXiv:2302.03169) -- score every RAW
+    document by how target-like its hashed n-gram features are. Target
+    distribution = the 'src0' slice (the curated exemplar corpus);
+    features = word bigrams hashed into 256 fixed buckets (the paper's
+    hashed-feature trick: the model is a pair of 256-bin multinomials,
+    never a vocabulary-sized object); per-document log importance
+    weight = sum over its bigram occurrences of
+    ln(p_target(bucket) / p_raw(bucket)) with add-one smoothing over
+    the bucket space. Downstream a pipeline resamples
+    proportional-to-weight -- that stage already exists as
+    q_weighted_sample / q_logprob_strata's content-hash sampler; this
+    row is the WEIGHT model they'd consume.
+
+    Cross-engine determinism: the bucket hash is the portable md5-60
+    (operators/dedup.portable_hash60 == the oracle's substring-md5
+    cast, both mod 256 on a positive int); each bucket's log-ratio is
+    ONE straight-line IEEE expression written identically in both
+    engines, quantized to integer micro-nats; per-doc weights are
+    commutative int64 sums of those -- partition-order immune.
+
+    Scale: ONE corpus scan (the pinned bigram-bucket stream feeds the
+    target counts, the raw counts, and the scoring join); the bucket
+    model is 256 rows by construction -- counts aggregate with map-side
+    combine onto 256 keys, the ratio table broadcasts (bucket-table
+    tag: config-sized like the bloom word-table), and scoring is a
+    broadcast hash join + per-doc aggregation. The only corpus-sized
+    shuffle is the final doc_id groupBy. Skew note: 256 hot keys on
+    the count aggregations is the q_agg_salted territory at 1000
+    executors -- partial aggregation already collapses each partition
+    to <=256 rows before the exchange, so the reduce side moves
+    P x 256 rows, not the corpus."""
+    from ..operators.dedup import portable_hash60
+
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select("doc_id", "source", F.split("text", " ").alias("t"))
+    bg = (
+        tk.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            (
+                portable_hash60(
+                    F.concat(F.col("p.w1"), F.lit(" "), F.col("p.w2"))
+                )
+                % _DSIR_BUCKETS
+            ).alias("bucket"),
+        )
+        .transform(pin_corpus)
+    )
+    tc = (
+        bg.filter(F.col("source") == "src0")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    )
+    rc = (
+        bg.filter(F.col("source") != "src0")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cr"))
+    )
+    nt = tc.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("long").alias("nt"))
+    nr = rc.agg(F.sum("cr").cast("long").alias("nr"))
+    lr6 = (
+        duck_round(
+            F.log(
+                (
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("nt") + F.lit(float(_DSIR_BUCKETS)))
+                )
+                / (
+                    (F.col("cr") + F.lit(1.0))
+                    / (F.col("nr") + F.lit(float(_DSIR_BUCKETS)))
+                )
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("lr6")
+    )
+    rt = (
+        rc.join(tc, "bucket", "left")
+        .crossJoin(broadcast(nt))
+        .crossJoin(broadcast(nr))
+        .select("bucket", lr6)
+    )
+    return (
+        bg.filter(F.col("source") != "src0")
+        .join(broadcast(rt), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("lr6").cast("long").alias("dsir_ln6"),
+        )
+    )
+
+
+@query(
+    "q_perplexity_buckets",
+    oracle="WITH "
+    + _BIGRAM_DOC_CTE
+    + """
+    , ds AS (
+        SELECT b.doc_id, d.source, b.avg_bigram_lp
+        FROM bdoc b JOIN documents d USING (doc_id)
+    ),
+    nt3 AS (
+        SELECT doc_id, source, avg_bigram_lp,
+               CAST(NTILE(3) OVER (PARTITION BY source
+                    ORDER BY avg_bigram_lp DESC, doc_id) AS INT) AS b3
+        FROM ds
+    )
+    SELECT doc_id, source, avg_bigram_lp,
+           CASE b3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   ELSE 'tail' END AS bucket
+    FROM nt3
+    """,
+)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (round 14): split each SOURCE's
+    documents into head / middle / tail terciles of LM score (Wenzek et
+    al. 2020, CCNet: per-language-shard perplexity terciles are the
+    standard web-corpus quality partition -- 'head' trains, 'tail'
+    drops, 'middle' is judgement). Score = the shared bigram-LM mean
+    conditional logprob (:func:`bigram_doc_scores` -- the IDENTICAL
+    relation q_bigram_lm emits, shared so the two rows cannot drift);
+    higher logprob = lower perplexity = more natural text = 'head'.
+    Versus q_logprob_strata (global unigram quartiles + sampling),
+    this is the per-GROUP tercile shape on the stronger model, with
+    labels a mixture policy consumes (q_corpus_mixture's lanes).
+
+    Cross-engine determinism: within a source the order is (rounded
+    4dp score DESC, doc_id) -- a unique total order on bit-identical
+    values -- and NTILE(3)'s exact boundary sizes (floor buckets,
+    remainder to the earliest) are reproduced as literal comparisons
+    on the within-source rank, so the bucket assignment is exact.
+
+    Scale: a per-source NTILE window LOOKS partitioned, but each
+    partition is corpus/|sources|-sized -- the same single-reducer
+    sort class VERDICT r13 #1 retired, just divided by a small enum.
+    The shipped plan therefore ranks through operators/rank.py
+    global_rank ONCE over (source, score DESC, doc_id) -- range
+    shuffle, P-way parallel -- and derives the within-source rank by
+    subtracting each source's first global rank (an enum-sized
+    MIN-aggregate, broadcast); tercile boundaries are per-source
+    column expressions of the enum-sized counts. No WindowExec over
+    an unbounded relation anywhere in the executed plan."""
+    from ..operators.rank import global_rank
+
+    d = load_table(spark, sf_dir, "documents")
+    ds = bigram_doc_scores(spark, sf_dir).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    ranked, _n = global_rank(
+        ds,
+        [
+            F.col("source").asc(),
+            F.col("avg_bigram_lp").desc(),
+            F.col("doc_id").asc(),
+        ],
+        rank_col="_gr",
+    )
+    stats = ranked.groupBy("source").agg(
+        F.min("_gr").alias("_r0"), F.count(F.lit(1)).alias("_ns")
+    )
+    rs = F.col("_gr") - F.col("_r0") + 1  # 1-based rank within source
+    q3 = ((F.col("_ns") - F.col("_ns") % 3) / 3).cast("long")
+    m3 = F.col("_ns") % 3
+    b1 = q3 + F.when(m3 >= 1, 1).otherwise(0)
+    b2 = b1 + q3 + F.when(m3 >= 2, 1).otherwise(0)
+    return (
+        ranked.join(broadcast(stats), "source")
+        .select(
+            "doc_id",
+            "source",
+            "avg_bigram_lp",
+            F.when(rs <= b1, "head")
+            .when(rs <= b2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
     )

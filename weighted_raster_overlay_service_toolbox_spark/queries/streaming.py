@@ -39,7 +39,7 @@ from ..streaming.engine import (
     stage_with_sentinel,
 )
 from ..functions.langmix import LANG_MIX_ORACLE
-from .llm import qc_oracle_cte
+from .llm import _bpe_apply_oracle, qc_oracle_cte
 from .registry import query
 
 
@@ -1233,3 +1233,72 @@ def q_stream_semantic_decontaminate(
         "vec_id"
     )
     return run_to_memory(clean, "sink_sem_decon_stream", "append")
+
+
+# oracle: q_bpe_apply's batch SQL VERBATIM (_bpe_apply_oracle) -- the
+# stream is stateless per row, so its drained output equals the batch
+# answer exactly (the qc_oracle_cte / LANG_MIX_ORACLE sharing convention)
+@query("q_stream_bpe_apply", oracle=_bpe_apply_oracle())
+def q_stream_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INGEST-TIME BPE tokenization (round 14): the documents table
+    replayed as a deterministic file stream, each arriving document
+    segmented with the 8 merges LEARNED OFFLINE on the batch corpus
+    (bpe_train re-run in-session -- the production posture exactly: a
+    tokenizer trains once on a frozen snapshot, then ships to the
+    ingest path as frozen merge rules) and reduced to the same
+    per-document subword statistics q_bpe_apply emits. Stateless per
+    micro-batch, so the stream's accumulated output equals the batch
+    answer and the oracle IS q_bpe_apply's (_bpe_apply_oracle, shared
+    verbatim -- batch == stream by construction).
+
+    Versus the batch row's plan: q_bpe_apply segments only the
+    DISTINCT-token universe and broadcast-joins back (one corpus scan
+    amortizes the fold chain per vocabulary entry). At ingest no such
+    universe exists -- each micro-batch must tokenize what arrived --
+    so the fold chain runs per token OCCURRENCE inside a higher-order
+    ``transform`` over the row's token array: pure column expressions
+    (8 chained ``aggregate`` folds, linear expression growth via
+    bpe_merge_fold_sql), no join, no shuffle, no state store. That is
+    the honest ingest trade: per-occurrence segmentation cost in
+    exchange for zero coordination; values are identical because the
+    fold is a pure function of the token string.
+
+    Scale: stateless and narrow (the q_stream_quality_filter class) --
+    micro-batch cost is |batch tokens| x 8 fold steps, throughput
+    scales with executors alone; the merge table is 8 LITERALS baked
+    into the expression (no broadcast, no lookup side). State cost
+    ZERO regardless of stream length. files_per_trigger=2: stateless
+    append is batch-count-invariant (the backfill convention)."""
+    from ..functions.rounding import duck_round
+    from ..operators.text import _bpe_lit, bpe_merge_fold_sql, bpe_train
+    from .llm import _BPE_MERGES, _bpe_words
+
+    merges = bpe_train(_bpe_words(spark, sf_dir), _BPE_MERGES)
+    state = "array_join(split(t, ''), chr(31))"
+    for left, right, _ in merges:
+        state = bpe_merge_fold_sql(state, _bpe_lit(left), _bpe_lit(right))
+    nps = f"transform(split(text, ' '), t -> size(split({state}, chr(31))))"
+
+    staged = stage_document_files(spark, sf_dir, "bpe_apply")
+    docs = read_document_stream(spark, staged, files_per_trigger=2)
+    out = (
+        docs.select("doc_id", F.expr(nps).alias("nps"))
+        .select(
+            "doc_id",
+            F.size("nps").cast("long").alias("n_tokens"),
+            F.expr(
+                "aggregate(nps, CAST(0 AS BIGINT), (a, x) -> a + x)"
+            ).alias("n_pieces"),
+            F.expr(
+                "aggregate(nps, CAST(0 AS BIGINT),"
+                " (a, x) -> a + CASE WHEN x = 1 THEN 1 ELSE 0 END)"
+            ).alias("n_whole_tokens"),
+        )
+        .withColumn(
+            "pieces_per_token",
+            duck_round(F.col("n_pieces") / F.col("n_tokens"), 4).cast(
+                "double"
+            ),
+        )
+    )
+    return run_to_memory(out, "sink_bpe_apply_stream", "append")
