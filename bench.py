@@ -129,6 +129,10 @@ def main() -> None:
         "q_bpe_train",                  # 8-round merge learning loop
         "q_bpe_apply",                  # vocab-universe segmentation join
         "q_stream_semantic_decontaminate",  # stateless cosine gate at ingest
+        "q_rrf_fusion",                 # two-lane top-50 + rank fusion
+        "q_dsir_weights",               # bucket model + scoring join
+        "q_perplexity_buckets",         # bigram LM + two-pass rank terciles
+        "q_stream_bpe_apply",           # per-occurrence fold at ingest
     ]
 
     # Artifact hygiene (VERDICT r12 #4, root-caused this round): reading
@@ -206,6 +210,9 @@ def main() -> None:
         ],
         "q_stream_semantic_decontaminate": [
             (engine.stage_embedding_files, "sem_decon", {})
+        ],
+        "q_stream_bpe_apply": [
+            (engine.stage_document_files, "bpe_apply", {})
         ],
     }
     for name in headline:

@@ -81,6 +81,10 @@ NON_EQUI_ALLOWED = {
     "q_knn_graph",        # r9: scalar occupancy-census cross join (auto cap)
     "q_semantic_clusters",  # r9: same census cross join via _mutual_knn_edges
     "q_semantic_dedup",   # r9: scalar occupancy-census cross join (auto cap)
+    "q_rrf_fusion",       # r14: scalar query-set-size cross join (1-row
+                          # BNLJ feeding the Jaccard denominator)
+    "q_dsir_weights",     # r14: scalar smoothing-total cross joins
+                          # (1-row nt + nr feeding the log-ratio model)
     "q_skew_keys",        # r8: scalar (total, n_keys) stats cross join
     "q_source_drift",     # r8: scalar corpus-total cross join
     "q_source_overlap_sketch",  # r9: src_a < src_b pair matrix over the
@@ -154,6 +158,15 @@ CHECKPOINTED_ALLOWED = {
     "q_split_leakage_safe",     # r9: inherits q_dedup_clusters' pinned
                                 # signature relation + CC checkpoints
     "q_rare_token_ratio",
+    "q_rrf_fusion",       # r14: pinned distinct-token stream feeds the
+                          # sizes agg + the query-term probe join (one
+                          # corpus scan for the lexical lane)
+    "q_dsir_weights",     # r14: pinned bigram-bucket stream feeds the
+                          # target counts, raw counts, and scoring join
+                          # (one corpus scan)
+    "q_perplexity_buckets",  # r14: inherits bigram_doc_scores' pinned
+                             # token/bigram streams + global_rank's
+                             # pinned range-partitioned relation
     "q_semantic_clusters",  # r8: pinned vectors + CC per-round state
     "q_semantic_dedup",
     "q_simhash",
