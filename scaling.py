@@ -111,6 +111,17 @@ PROBES = [
     # corpus because the eval suite is bounded; the decade ratio tests
     # exactly that)
     "q_semantic_decontaminate",
+    # late-r14 additions: the two-lane fused retrieval (TakeOrdered
+    # lanes -- the claim is scan-bound linear with a constant driver
+    # merge), the one-scan bucket-model scorer (linear by the same
+    # argument as the LM rows), the global_rank tercile consumer (the
+    # two-pass rank's decade behavior under a per-source offset join),
+    # and the ingest-time fold tokenizer (per-occurrence expression
+    # cost -- linear with a constant 8-fold factor is the claim)
+    "q_rrf_fusion",
+    "q_dsir_weights",
+    "q_perplexity_buckets",
+    "q_stream_bpe_apply",
     # host-drift sentinel (unchanged since r1)
     "q_join_inner",
 ]
