@@ -197,6 +197,13 @@ def _curate_pipeline(spark, sf_dir: str):
         min_tokens=5,
         near_dup=True,
         near_dup_exact_jaccard=0.9,
+        # threshold-matched banding (bands=2 -> LSH t=(1/2)^(1/8)~0.917
+        # for the 0.9 verify): the default 0.35-curve banding
+        # over-generates candidates quadratically on this fixture's
+        # 31-token vocabulary (33k distinct token sets at pairwise
+        # j~0.5 at sf1r) -- the probe stalled ~30 min in one broadcast
+        # build before this knob existed; see pipeline.py's banding note
+        near_dup_bands=2,
         image_payload_col="payload",
         image_hamming_radius=1,
         image_bands=8,
@@ -248,13 +255,20 @@ def main() -> None:
 
     queries: dict[str, dict] = {}
     for name in PROBES:
+        # probe markers on stderr: the sweep runs ~40 probes over ~1h
+        # with nothing identifying them in the log -- a stuck stage was
+        # unattributable this round until a thread dump + mtime
+        # archaeology; one line per leg fixes that class.
+        print(f"[scaling] {name} sf0.1 ...", file=sys.stderr, flush=True)
         t_small = timed(name, SF01)
+        print(f"[scaling] {name} sf1r ...", file=sys.stderr, flush=True)
         t_big = timed(name, SF1R)
         queries[name] = {
             "sf0.1": round(t_small, 3),
             "sf1r": round(t_big, 3),
             "ratio": round(t_big / t_small, 2) if t_small > 0 else None,
         }
+        print(f"[scaling] {name} done {queries[name]}", file=sys.stderr, flush=True)
         _drop_probe_storage(spark)
 
     er_fixed = queries["q_entity_resolution"]
@@ -308,7 +322,10 @@ def main() -> None:
             _drop_probe_storage(spark)
         return best
 
-    cp_small, cp_big = timed_pipeline(SF01), timed_pipeline(SF1R)
+    print("[scaling] pipeline_curate_corpus sf0.1 ...", file=sys.stderr, flush=True)
+    cp_small = timed_pipeline(SF01)
+    print("[scaling] pipeline_curate_corpus sf1r ...", file=sys.stderr, flush=True)
+    cp_big = timed_pipeline(SF1R)
     pipeline_probe = {
         "sf0.1": round(cp_small, 3),
         "sf1r": round(cp_big, 3),

@@ -39,6 +39,8 @@ def curate_corpus(
     near_dup: bool = False,
     near_dup_est_jaccard: float = 0.5,
     near_dup_exact_jaccard: float | None = None,
+    near_dup_k: int = 16,
+    near_dup_bands: int = 8,
     docs_per_source: int | None = None,
     image_payload_col: str | None = None,
     image_hash_bits: int = 16,
@@ -145,14 +147,26 @@ def curate_corpus(
     if near_dup:
         alive = staged.filter(F.col("_reason").isNull()).select(id_col, text_col)
         toks = F.array_distinct(tokens_of(text_col))
+        # Banding is a TUNING surface, not a constant: k/bands set the
+        # LSH collision threshold t = (1/bands)^(bands/k) -- the default
+        # 16/8 gives t~0.35 (right for the est-jaccard lane's 0.5 gate),
+        # but a caller verifying at an exact threshold of 0.9 on a
+        # template-dense corpus (boilerplate pages; the 31-token fixture
+        # vocabulary) over-generates candidates quadratically with the
+        # 0.35 curve -- measured: the sf1r scaling fixture's 33k distinct
+        # token sets at pairwise j~0.5 made the banded join enumerate
+        # ~O(n^2) pairs and stall the whole cascade in one broadcast
+        # build. Threshold-matched banding (bands=2 -> t~0.917 for 0.9)
+        # collapses that to the true near-dup band. Defaults unchanged
+        # so existing callers' plans and outputs are bit-identical.
         if near_dup_exact_jaccard is not None:
             cand = minhash_verified_edges(
                 alive, id_col, toks, threshold=near_dup_exact_jaccard,
-                k=16, bands=8,
+                k=near_dup_k, bands=near_dup_bands,
             ).withColumnRenamed("src", "doc_a").withColumnRenamed("dst", "doc_b")
         else:
             cand = minhash_candidates(
-                alive, id_col, toks, k=16, bands=8
+                alive, id_col, toks, k=near_dup_k, bands=near_dup_bands
             ).filter(F.col("est_jaccard") >= near_dup_est_jaccard)
         comp = connected_components(cand, "doc_a", "doc_b")
         near = (
