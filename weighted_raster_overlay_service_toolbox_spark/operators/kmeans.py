@@ -62,24 +62,47 @@ def assign_clusters(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     replicates. r8: |v|^2 and |c|^2 are computed ONCE per vector /
     centroid BEFORE the k-way join instead of per (vector, centroid)
     pair -- bit-identical arithmetic (same sub-expressions, same
-    association), 3x fewer dots on the hot path."""
-    v = vectors.withColumn("_vv", dot_expr("e", "e"))
-    c = centroids.withColumn("_cc", dot_expr("ce", "ce"))
-    scored = v.join(broadcast(c)).select(
-        "vec_id",
-        "e",
-        "cluster",
-        (
-            F.col("_vv")
-            - 2 * dot_expr(F.col("e"), F.col("ce"))
-            + F.col("_cc")
-        ).alias("d2"),
+    association), 3x fewer dots on the hot path.
+
+    r14 (optimization round, guide section 2.4 "remove shuffles
+    outright"): assignment is now a PURE MAP. The k centroids collapse
+    to ONE packed row -- array_sort(collect_list(struct(cluster, ce,
+    |c|^2))), deterministic because cluster ids are unique -- which
+    broadcasts, and the argmin runs as array expressions per vector:
+    transform over the k structs building (d2, cluster), then
+    array_min's lexicographic struct ordering, which is the SAME
+    (d2, cluster) ordering the old groupBy(vec_id).agg(min(struct))
+    computed. The old shape fanned every vector k ways through a
+    broadcast join, then shuffled all k copies -- payload array
+    included -- through a vec_id exchange just to argmin them back
+    down; at 100 TB that exchange moves k copies of the corpus. Now
+    the corpus never shuffles for assignment at all (A/B at sf0.1:
+    3-iteration loop 2.45 s -> 2.02 s warm, identical assignments)."""
+    packed = centroids.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("cluster").alias("cluster"),
+                    F.col("ce").alias("ce"),
+                    dot_expr("ce", "ce").alias("cc"),
+                )
+            )
+        ).alias("_cents")
     )
-    best = scored.groupBy("vec_id").agg(
-        F.min(F.struct("d2", "cluster")).alias("best"),
-        F.first("e").alias("e"),
+    v = vectors.withColumn("_vv", dot_expr("e", "e")).crossJoin(
+        broadcast(packed)
     )
-    return best.select("vec_id", "e", F.col("best.cluster").alias("cluster"))
+    scored = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            (
+                F.col("_vv") - 2 * dot_expr(F.col("e"), c["ce"]) + c["cc"]
+            ).alias("d2"),
+            c["cluster"].alias("cluster"),
+        ),
+    )
+    best = F.array_min(scored)
+    return v.select("vec_id", "e", best["cluster"].alias("cluster"))
 
 
 def update_centroids(assigned: DataFrame) -> DataFrame:
@@ -109,23 +132,42 @@ def kmeans(
 
     ``vectors``: ``vec_id long, e array<double>`` (quantized to the 1e-6
     grid at entry). Init = the k lowest vec_ids (deterministic; callers
-    wanting k-means++ can pass their own loop). Each iteration
-    localCheckpoints the centroids to keep the lineage flat.
+    wanting k-means++ can pass their own loop).
+
+    r14 (optimization round, guide section 1.2 "the distributed
+    algorithm first"): the loop is LAZY. Centroid relations are k rows;
+    eagerly localCheckpointing them each iteration forced one
+    materialized job per iteration (3 iterations = 4 sequential job
+    round-trips before the caller's plan even ran -- the pagerank
+    checkpoint-cadence lesson, PLANS.md round 13). The unrolled
+    dataflow is bounded (depth = iterations, each centroid subtree
+    broadcast-built exactly once inside the consumer's job), so the
+    whole run now executes inside the caller's single action. A
+    cadence pin (every 4 iterations, non-eager -- pagerank's default)
+    keeps long-iteration callers' plans from growing without bound.
+    A/B at sf0.1 (min-of-3, same session): eager 3.25 s -> lazy 2.45 s
+    -> lazy+map-assign 2.02 s, assignments identical. Checkpointing
+    never affects values, only lineage.
     """
     vectors = vectors.select("vec_id", quantize_vec("e").alias("e"))
-    centroids = (
-        vectors.orderBy("vec_id")
-        .limit(k)
-        .select(
-            F.row_number().over(Window.orderBy("vec_id")).alias("cluster"),
-            F.col("e").alias("ce"),
-        )
-        .localCheckpoint()
+    centroids = vectors.orderBy("vec_id").limit(k).select(
+        F.row_number().over(Window.orderBy("vec_id")).alias("cluster"),
+        F.col("e").alias("ce"),
     )
     assigned = None
-    for _ in range(iterations):
+    for it in range(iterations):
+        if it + 1 == iterations:
+            # non-eager pin of the LAST assignment's centroid input: a
+            # caller consuming both returned relations (assignments AND
+            # post-update centroids) otherwise re-runs the whole loop
+            # once per consumer -- the pin bounds the shared-prefix
+            # recompute to one final map-assign pass. Costs nothing
+            # when never materialized (lazy).
+            centroids = centroids.localCheckpoint(eager=False)
         assigned = assign_clusters(vectors, centroids)
-        centroids = update_centroids(assigned).localCheckpoint()
+        centroids = update_centroids(assigned)
+        if (it + 1) % 4 == 0 and it + 1 < iterations:
+            centroids = centroids.localCheckpoint(eager=False)
     return assigned, centroids
 
 
@@ -161,37 +203,50 @@ def kmeans_grouped_codebook_assign(
     """
     vectors = vectors.select("vec_id", group, quantize_vec("e").alias("e"))
     wg = Window.partitionBy(group).orderBy("vec_id")
-    centroids = (
-        vectors.withColumn("_rn", F.row_number().over(wg))
-        .filter(F.col("_rn") <= k)
-        .select(group, F.col("_rn").alias("cluster"), F.col("e").alias("ce"))
-        .localCheckpoint()
-    )
+    centroids = vectors.withColumn("_rn", F.row_number().over(wg)).filter(
+        F.col("_rn") <= k
+    ).select(group, F.col("_rn").alias("cluster"), F.col("e").alias("ce"))
 
     def _assign_groups(cent: DataFrame) -> DataFrame:
-        v = vectors.withColumn("_vv", dot_expr("e", "e"))
-        c = cent.withColumnRenamed(group, "_g").withColumn(
-            "_cc", dot_expr("ce", "ce")
+        # r14 (same map-form rewrite as assign_clusters): the full G*k
+        # codebook (64 structs for the PQ configuration) collapses to
+        # ONE packed row -- deterministic order by (group, cluster) --
+        # and per melted row the argmin runs over the row's own group's
+        # slice via filter + transform + array_min. The old shape
+        # broadcast-joined the codebook (fan x k per row) and shuffled
+        # every copy, sub-vector payload included, through a
+        # (vec_id, group) exchange; now the melt never shuffles for
+        # assignment. Same expanded-identity arithmetic, same
+        # (d2, cluster) lexicographic argmin -- bit-identical codes.
+        packed = cent.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(group).alias("g"),
+                        F.col("cluster").alias("cluster"),
+                        F.col("ce").alias("ce"),
+                        dot_expr("ce", "ce").alias("cc"),
+                    )
+                )
+            ).alias("_cents")
         )
-        # G*k rows total (the PQ codebook: 64) -- k-sized, hint legal.
-        scored = v.join(broadcast(c), F.col(group) == F.col("_g")).select(
-            "vec_id",
-            group,
-            "e",
-            "cluster",
-            (
-                F.col("_vv")
-                - 2 * dot_expr(F.col("e"), F.col("ce"))
-                + F.col("_cc")
-            ).alias("d2"),
+        v = vectors.withColumn("_vv", dot_expr("e", "e")).crossJoin(
+            broadcast(packed)
         )
-        best = scored.groupBy("vec_id", group).agg(
-            F.min(F.struct("d2", "cluster")).alias("best"),
-            F.first("e").alias("e"),
+        mine = F.filter(F.col("_cents"), lambda c: c["g"] == F.col(group))
+        scored = F.transform(
+            mine,
+            lambda c: F.struct(
+                (
+                    F.col("_vv")
+                    - 2 * dot_expr(F.col("e"), c["ce"])
+                    + c["cc"]
+                ).alias("d2"),
+                c["cluster"].alias("cluster"),
+            ),
         )
-        return best.select(
-            "vec_id", group, "e", F.col("best.cluster").alias("cluster")
-        )
+        best = F.array_min(scored)
+        return v.select("vec_id", group, "e", best["cluster"].alias("cluster"))
 
     for _ in range(iterations - 1):
         assigned = _assign_groups(centroids)
@@ -208,14 +263,18 @@ def kmeans_grouped_codebook_assign(
                 "mean_val"
             )
         )
-        centroids = (
-            dims.groupBy(group, "cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "mean_val"))),
-                    lambda s: s["mean_val"],
-                ).alias("ce")
-            )
-            .localCheckpoint()
+        # r14: lazy loop (the kmeans() rationale) -- centroid relations
+        # are G*k rows; the eager per-iteration pin serialized one job
+        # per iteration for no lineage benefit at bounded iterations.
+        centroids = dims.groupBy(group, "cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mean_val"))),
+                lambda s: s["mean_val"],
+            ).alias("ce")
         )
+    # non-eager pin of the final codebook: the returned pair's consumers
+    # (ann_index build: codes + codebook write + frozen-residual pass;
+    # the PQ training memo) each reference this chain -- the pin makes
+    # the Lloyd's prefix compute once, shared, without forcing a job.
+    centroids = centroids.localCheckpoint(eager=False)
     return _assign_groups(centroids), centroids
