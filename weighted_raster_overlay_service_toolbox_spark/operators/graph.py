@@ -68,8 +68,15 @@ def _run_rounds(
         # has a bounded task count; a no-op passthrough when unset.
         return df.repartition(num_partitions, "node") if num_partitions else df
 
-    # materialize once: the edge list re-evaluates EVERY round otherwise
-    # (it is usually an expensive similarity join upstream)
+    # pin once: the edge list re-evaluates EVERY round otherwise (it is
+    # usually an expensive similarity join upstream). r14 (optimization
+    # round, guide section 1.2): the straight-line pins (sym, initial
+    # labels, per-round labels) are NON-EAGER -- an eager pin is its own
+    # blocking job, so each round used to run THREE actions; now the
+    # per-round convergence sum materializes that round's label
+    # checkpoint as a side effect. Values are untouched (checkpointing
+    # never affects them), rounds and the convergence trace are
+    # identical.
     sym = _sized(
         edges.select(
             F.col(src).cast("long").alias("node"), F.col(dst).cast("long").alias("nbr")
@@ -80,12 +87,12 @@ def _run_rounds(
                 F.col(src).cast("long").alias("nbr"),
             )
         )
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     labels = _sized(
         sym.select("node")
         .distinct()
         .select("node", F.col("node").alias("component"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     prev_sum = None
     for _ in range(max_iter):
         # min over neighbors' labels (one shuffle keyed by node)
@@ -99,11 +106,23 @@ def _run_rounds(
             .groupBy("node")
             .agg(F.min("nbr_comp").alias("nbr_comp"))
         )
-        stepped = labels.join(nbr_min, "node", "left").select(
-            "node",
-            F.least("component", F.coalesce("nbr_comp", "component")).alias(
-                "component"
-            ),
+        # r14: pin stepped before the pointer-jump SELF-join. Unpinned,
+        # both join sides re-evaluated the whole stepped subtree --
+        # including nbr_min's join+agg -- so every round paid that work
+        # twice. This one pin stays EAGER: a lazy pin consumed by both
+        # sides of the same self-join job materialized racily in the r14
+        # A/B (both branches computing it concurrently -- 23s spikes on
+        # q_semantic_clusters); the eager job guarantees exactly one
+        # computation of the nbr_min join+agg per round.
+        stepped = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least("component", F.coalesce("nbr_comp", "component")).alias(
+                    "component"
+                ),
+            )
+            .localCheckpoint(eager=True)
         )
         # pointer jump: component <- label(component). component is always an
         # existing node id, so the inner-ish left join always hits.
@@ -123,7 +142,7 @@ def _run_rounds(
                 ),
             )
         )
-        labels = _sized(jumped).localCheckpoint(eager=True)
+        labels = _sized(jumped).localCheckpoint(eager=False)
         cur_sum = labels.agg(F.sum("component")).collect()[0][0]
         if cur_sum == prev_sum:
             break
