@@ -306,7 +306,12 @@ def bpe_train(
                 bpe_merge_fold_sql("state", _bpe_lit(left), _bpe_lit(right))
             ).alias("state"),
             "freq",
-        ).localCheckpoint()  # flat lineage per round (kmeans convention)
+        ).localCheckpoint(eager=False)
+        # flat lineage per round (kmeans convention). r14: NON-EAGER --
+        # the next round's argmax collect is the only consumer and
+        # materializes the pin as a side effect, so each round runs ONE
+        # blocking job instead of two (guide section 1.2); merges are
+        # unchanged (checkpointing never affects values).
     return merges
 
 

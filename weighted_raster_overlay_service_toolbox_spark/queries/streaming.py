@@ -1243,8 +1243,8 @@ def q_stream_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INGEST-TIME BPE tokenization (round 14): the documents table
     replayed as a deterministic file stream, each arriving document
     segmented with the 8 merges LEARNED OFFLINE on the batch corpus
-    (bpe_train re-run in-session -- the production posture exactly: a
-    tokenizer trains once on a frozen snapshot, then ships to the
+    (the _bpe_merges_of session memo -- the production posture exactly:
+    a tokenizer trains once on a frozen snapshot, then ships to the
     ingest path as frozen merge rules) and reduced to the same
     per-document subword statistics q_bpe_apply emits. Stateless per
     micro-batch, so the stream's accumulated output equals the batch
@@ -1270,10 +1270,10 @@ def q_stream_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ZERO regardless of stream length. files_per_trigger=2: stateless
     append is batch-count-invariant (the backfill convention)."""
     from ..functions.rounding import duck_round
-    from ..operators.text import _bpe_lit, bpe_merge_fold_sql, bpe_train
-    from .llm import _BPE_MERGES, _bpe_words
+    from ..operators.text import _bpe_lit, bpe_merge_fold_sql
+    from .llm import _BPE_MERGES, _bpe_merges_of
 
-    merges = bpe_train(_bpe_words(spark, sf_dir), _BPE_MERGES)
+    merges = _bpe_merges_of(spark, sf_dir, _BPE_MERGES)
     state = "array_join(split(t, ''), chr(31))"
     for left, right, _ in merges:
         state = bpe_merge_fold_sql(state, _bpe_lit(left), _bpe_lit(right))
