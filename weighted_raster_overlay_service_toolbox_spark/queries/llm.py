@@ -4277,24 +4277,22 @@ def q_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin_corpus)  # feeds the signature build AND the source list
     )
     b = g.select("source", (portable_hash60(F.col("gram")) % _MERSENNE31).alias("h"))
+    # r14 (optimization round): the 128 lane expressions and the 128-slot
+    # melt are built as SQL STRINGS parsed JVM-side in ONE call each.
+    # The previous per-lane Column composition (~8 py4j round trips per
+    # lane, ~1000 total plus per-op re-analysis) cost ~3 s of pure
+    # driver time per construction -- more than the query's entire
+    # executor work at sf0.1. Identical expressions, identical plan,
+    # identical values; only the build path changed.
     sig = b.groupBy("source").agg(
         *[
-            F.min((F.lit(a) * F.col("h") + F.lit(bb)) % _MERSENNE31).alias(f"m{i}")
+            F.expr(f"min(({a} * h + {bb}) % {_MERSENNE31}) AS m{i}")
             for i, (a, bb) in enumerate(consts)
         ]
     )
+    melt = ", ".join(f"struct({i} AS slot, m{i} AS mh)" for i in range(k))
     m = sig.select(
-        "source",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("slot"), F.col(f"m{i}").alias("mh")
-                    )
-                    for i in range(k)
-                ]
-            )
-        ).alias("x"),
+        "source", F.expr(f"explode(array({melt}))").alias("x")
     ).select("source", F.col("x.slot").alias("slot"), F.col("x.mh").alias("mh"))
     m = m.transform(pin_corpus)  # S*K rows feed both agreement sides
     agree = (
