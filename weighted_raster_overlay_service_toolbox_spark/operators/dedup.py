@@ -144,31 +144,43 @@ def minhash_candidates(
     regardless -- it only defines join buckets and never reaches the
     output, so two engines only need the TOKEN hashes to agree.
     """
+    # r14 (optimization round): the k lane expressions are SQL strings
+    # parsed JVM-side in one call (the q_source_overlap_sketch driver-
+    # time fix: per-lane Column composition cost ~0.7 s of py4j round
+    # trips per construction). Identical expressions and values; the
+    # named _base/_toks projection collapses into the scan.
     if portable:
         based = docs.select(
             F.col(id_col).alias("doc_id"),
             minhash_base_hashes(tokens_col).alias("_base"),
         )
-        sig = based.select(
-            "doc_id",
-            minhash_signature_from_base(F.col("_base"), k).alias("sig"),
+        lanes = ", ".join(
+            f"array_min(transform(_base, h -> ({a} * h + {b}) % {_MERSENNE31}))"
+            for a, b in minhash_affine_consts(k)
         )
+        sig = based.select("doc_id", F.expr(f"array({lanes})").alias("sig"))
     else:
-        sig = docs.select(
-            F.col(id_col).alias("doc_id"),
-            minhash_signature(tokens_col, k).alias("sig"),
+        lanes = ", ".join(
+            f"array_min(transform(_toks, t -> xxhash64({i}, t)))"
+            for i in range(k)
         )
+        sig = docs.select(
+            F.col(id_col).alias("doc_id"), tokens_col.alias("_toks")
+        ).select("doc_id", F.expr(f"array({lanes})").alias("sig"))
     # Pin the banded signatures before the self-join: the two aliases
     # otherwise replan the docs -> tokens -> signature subtree twice,
     # i.e. a second full corpus scan. The checkpointed relation is
     # signature-sized ((k+2) longs per banded row, no text), so caching
     # it and scanning the corpus ONCE is the right trade at any scale.
+    r = k // bands
+    band_arr = ", ".join(
+        "xxhash64(" + ", ".join(f"sig[{i}]" for i in range(b * r, (b + 1) * r)) + ")"
+        for b in range(bands)
+    )
     bandsdf = sig.select(
         "doc_id",
         "sig",
-        F.posexplode(lsh_band_hashes(F.col("sig"), k, bands)).alias(
-            "band_idx", "band_hash"
-        ),
+        F.posexplode(F.expr(f"array({band_arr})")).alias("band_idx", "band_hash"),
     ).transform(pin_corpus)
     a = bandsdf.alias("a")
     b = bandsdf.alias("b")

@@ -135,8 +135,19 @@ def hyperplane_bucket(
     """Sign-LSH bucket id (0 .. 2^n_planes - 1) from seeded hyperplanes.
 
     A plain integer column: bucket-partitioned layouts get partition
-    pruning, and probe lookups become equi-joins on bucket."""
-    planes = [F.array(*[F.lit(x) for x in _plane(dim, s)]) for s in range(n_planes)]
+    pruning, and probe lookups become equi-joins on bucket.
+
+    r14 (optimization round): each plane's 64 literals are one SQL
+    array string parsed JVM-side -- the per-literal F.lit composition
+    (dim x n_planes py4j round trips) cost ~1.8 s of pure driver time
+    per construction. repr(float) round-trips to the identical IEEE
+    double through Spark's literal parser (the 'D' suffix keeps the
+    parser in DOUBLE, not DECIMAL), so expressions and values are
+    unchanged."""
+    planes = [
+        F.expr("array(" + ", ".join(f"{x!r}D" for x in _plane(dim, s)) + ")")
+        for s in range(n_planes)
+    ]
     bucket = sum(
         (
             F.when(dot_expr(F.col(vec_col), pl) >= 0, 1 << i).otherwise(0)
