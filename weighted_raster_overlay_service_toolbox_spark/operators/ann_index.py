@@ -252,19 +252,19 @@ def ivfpq_search(
 
 def _subspace_split(pinned: DataFrame, m: int, sub: int) -> DataFrame:
     """(vec_id, e) -> (vec_id, m, e-sub): the PQ subspace melt both the
-    build and every frozen-codebook pass share."""
-    sub_parts = [
-        pinned.select(
-            "vec_id",
-            F.lit(j).alias("m"),
-            F.slice("e", j * sub + 1, sub).alias("e"),
-        )
-        for j in range(m)
-    ]
-    vm = sub_parts[0]
-    for spart in sub_parts[1:]:
-        vm = vm.unionAll(spart)
-    return vm
+    build and every frozen-codebook pass share.
+
+    r14 (optimization round, guide section 2.4): ONE posexplode pass
+    over an array of the m slices instead of an m-branch unionAll --
+    the union read the pinned relation m times (m plan branches, m
+    passes at runtime) where the explode reads it once and emits the
+    same (vec_id, m, slice) rows. posexplode's 0-based position IS the
+    subspace index, so values are identical; downstream consumers key
+    every aggregation/window on (m, ...) and are row-order-independent."""
+    slices = ", ".join(f"slice(e, {j * sub + 1}, {sub})" for j in range(m))
+    return pinned.select(
+        "vec_id", F.posexplode(F.expr(f"array({slices})")).alias("m", "e")
+    )
 
 
 def _assign_frozen(vm: DataFrame, cents: DataFrame) -> DataFrame:

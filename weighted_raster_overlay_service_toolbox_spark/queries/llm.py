@@ -5607,18 +5607,12 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (vec_id, m, e_sub): one long relation, all 4 subspaces -- trained
     # JOINTLY (one broadcast + one shuffle per Lloyd's iteration for
     # every subspace at once, instead of 4 serialized runs; measured
-    # 8.7 -> ~3 s at sf0.1, bit-identical codes).
-    sub_parts = [
-        emb.select(
-            "vec_id",
-            F.lit(j).alias("m"),
-            F.slice("e", j * _PQ_SUB + 1, _PQ_SUB).alias("e"),
-        )
-        for j in range(_PQ_M)
-    ]
-    vm = sub_parts[0]
-    for spart in sub_parts[1:]:
-        vm = vm.unionAll(spart)
+    # 8.7 -> ~3 s at sf0.1, bit-identical codes). r14: one posexplode
+    # pass instead of an m-branch unionAll (operators/ann_index.py
+    # _subspace_split rationale) -- same rows, one read of the pin.
+    from ..operators.ann_index import _subspace_split
+
+    vm = _subspace_split(emb, _PQ_M, _PQ_SUB)
     codes_full, cents = _trained_codebook(
         spark, sf_dir, vm, _PQ_M, _PQ_SUB, _PQ_K, _PQ_ITERS
     )
@@ -5950,17 +5944,11 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains(F.col("pbs"), F.col("bucket"))
         & (F.col("vec_id") != F.col("probe_id")),
     ).select("probe_id", "vec_id")
-    sub_parts = [
-        emb.select(
-            "vec_id",
-            F.lit(j).alias("m"),
-            F.slice("e", j * _IVFPQ_SUB + 1, _IVFPQ_SUB).alias("e"),
-        )
-        for j in range(_IVFPQ_M)
-    ]
-    vm = sub_parts[0]
-    for spart in sub_parts[1:]:
-        vm = vm.unionAll(spart)
+    # r14: one posexplode pass instead of a 16-branch unionAll (see
+    # operators/ann_index.py _subspace_split) -- same rows, one read.
+    from ..operators.ann_index import _subspace_split
+
+    vm = _subspace_split(emb, _IVFPQ_M, _IVFPQ_SUB)
     codes_full, cents = _trained_codebook(
         spark, sf_dir, vm, _IVFPQ_M, _IVFPQ_SUB, _IVFPQ_K, _IVFPQ_ITERS
     )
