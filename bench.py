@@ -247,6 +247,33 @@ def main() -> None:
         materialize(QUERIES[sentinel_name](spark, sf_dir))
         sentinel_best = min(sentinel_best, time.perf_counter() - t0)
 
+    # Memo honesty (round 15, VERDICT r14 "What's wrong" #1): the
+    # registry keeps session-scoped TRAINING memos (_BPE_TRAIN_MEMO,
+    # _PQ_TRAIN_MEMO) so that several registry rows sharing one
+    # deterministic training leg train it once per process. Correct for
+    # parity sweeps, but under min-of-N it made the rows whose DECLARED
+    # work *is* training time memo-warm serving from rep 2 on. Every rep
+    # of a train-declaring row now clears its memo first, so q_bpe_train
+    # includes the 8 merge rounds and the four PQ/ANN rows include
+    # codebook training in EVERY rep (their r15 numbers are therefore
+    # expected to sit above the r14 memo-warm ones -- a measurement fix,
+    # not a regression). Apply-only rows (q_bpe_apply,
+    # q_stream_bpe_apply) keep the memo-warm serving path: tokenizing
+    # with an already-trained vocabulary is their declared measurement,
+    # and their warm-min is unchanged from r14 (rep 1 retrains, the min
+    # still comes from warm reps).
+    from weighted_raster_overlay_service_toolbox_spark.queries import (
+        llm as _llm_queries,
+    )
+
+    memo_cleared_rows = {
+        "q_bpe_train": (_llm_queries._BPE_TRAIN_MEMO,),
+        "q_ann_pq": (_llm_queries._PQ_TRAIN_MEMO,),
+        "q_ann_pq_recall": (_llm_queries._PQ_TRAIN_MEMO,),
+        "q_ann_ivfpq": (_llm_queries._PQ_TRAIN_MEMO,),
+        "q_ann_ivfpq_recall": (_llm_queries._PQ_TRAIN_MEMO,),
+    }
+
     timings: dict[str, float] = {}
     for name in headline:
         if name == sentinel_name:
@@ -258,6 +285,8 @@ def main() -> None:
             continue
         best = float("inf")
         for _ in range(repeats):
+            for memo in memo_cleared_rows.get(name, ()):
+                memo.clear()
             t0 = time.perf_counter()
             materialize(QUERIES[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
@@ -280,6 +309,10 @@ def main() -> None:
         # (t_new / t_old) / (sentinel_new / sentinel_old).
         "sentinel_query": sentinel_name,
         "sentinel_sec": round(sentinel_best, 3),
+        # rows whose training memo is cleared before EVERY rep so their
+        # min-of-N includes the declared training leg (r15 measurement
+        # fix; r14 and earlier timed these memo-warm from rep 2 on)
+        "memo_cleared_rows": sorted(memo_cleared_rows),
     }
     print(json.dumps(result))
 

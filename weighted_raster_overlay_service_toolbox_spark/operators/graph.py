@@ -88,11 +88,18 @@ def _run_rounds(
             )
         )
     ).localCheckpoint(eager=False)
+    # r15 (ADVICE r14): the INITIAL labels pin is EAGER. Lazy, it was
+    # first materialized by round 1's eager 'stepped' job, which
+    # references labels on BOTH sides (directly and via nbr_min) -- the
+    # same concurrent-double-compute race the 'stepped' pin below
+    # documents, here on the distinct-node scan. One extra tiny blocking
+    # job per CC call (not per round); it also materializes the lazy
+    # 'sym' pin as a side effect (single consumer there, no race).
     labels = _sized(
         sym.select("node")
         .distinct()
         .select("node", F.col("node").alias("component"))
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     prev_sum = None
     for _ in range(max_iter):
         # min over neighbors' labels (one shuffle keyed by node)

@@ -236,6 +236,13 @@ def kmeans_grouped_codebook_assign(
         # (vec_id, group) exchange; now the melt never shuffles for
         # assignment. Same expanded-identity arithmetic, same
         # (d2, cluster) lexicographic argmin -- bit-identical codes.
+        # INVARIANT (ADVICE r14): every group in `vectors` must keep at
+        # least one centroid in `cent`, or array_min over the empty
+        # filtered slice returns a silent NULL cluster where the old
+        # broadcast join dropped the row. Holds by construction here
+        # (init keeps the k lowest vec_ids PER GROUP and Lloyd's updates
+        # never empty a group's codebook); re-check before reusing this
+        # helper against an external or sparser codebook.
         packed = cent.agg(
             F.array_sort(
                 F.collect_list(

@@ -2018,7 +2018,15 @@ def q_entity_resolution(
         F.col("k").alias("kb"),
         F.col("n").alias("nb"),
     )
-    dst = F.levenshtein("na", "nb")
+    # r15 (guide section 4 "prefer cheaper built-in kernels", VERDICT
+    # r14 #5): the census only ever CLASSIFIES distances 0..4, so the
+    # bounded 3-arg levenshtein applies -- Spark's threshold form runs
+    # the banded O(len * threshold) DP with early exit instead of the
+    # full O(len^2) table, returning -1 for any pair beyond the bound.
+    # -1 matches neither the ==0 nor the BETWEEN 1 AND 4 branch below,
+    # so n_exact / n_near / n_pairs are bit-identical to the unbounded
+    # form (oracle unchanged); only the per-pair kernel got cheaper.
+    dst = F.levenshtein("na", "nb", 4)
     # Byte-small block relation, compute-huge pair enumeration: without
     # the pin AQE coalesces the shuffle read to ONE partition and runs
     # every levenshtein on one core (measured 574s single-task at 10x

@@ -4514,14 +4514,33 @@ _BPE_TRAIN_MEMO: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
 _BPE_TRAIN_LOCK = _threading.Lock()
 
 
-def _doc_fingerprint(sf_dir: str) -> str:
+def _table_fingerprint(sf_dir: str, table: str) -> str:
+    """Source-identity key for the session training memos.
+
+    r15 (ADVICE r14): for a DIRECTORY-shaped fixture, stat the PART
+    FILES, not the directory -- rewriting a part file in place moves
+    neither the dir's mtime nor its size, so a dir-level fingerprint
+    could serve training results computed from stale data. Max mtime +
+    total size + file count across the contained parquet files moves
+    whenever any part is rewritten, added or removed."""
+    import glob
     import os
 
-    p = os.path.join(sf_dir, "documents.parquet")
+    p = os.path.join(sf_dir, f"{table}.parquet")
     if not os.path.exists(p):
-        p = os.path.join(sf_dir, "documents")
+        p = os.path.join(sf_dir, table)
+    if os.path.isdir(p):
+        parts = glob.glob(os.path.join(p, "**", "*.parquet"),
+                          recursive=True) or [p]
+        mt = max(os.stat(f).st_mtime_ns for f in parts)
+        sz = sum(os.stat(f).st_size for f in parts)
+        return f"{mt:x}_{sz:x}_{len(parts)}"
     st = os.stat(p)
     return f"{st.st_mtime_ns:x}_{st.st_size:x}"
+
+
+def _doc_fingerprint(sf_dir: str) -> str:
+    return _table_fingerprint(sf_dir, "documents")
 
 
 def _bpe_merges_of(
@@ -5102,9 +5121,15 @@ def _mutual_knn_edges(
         base = base.filter(F.col("vec_id") < max_vec_id)
     auto_planes = n_planes == "auto"
     built_planes = AUTO_PLANES_MAX if auto_planes else int(n_planes)
-    vb = with_norm(hyperplane_bucket(base, n_planes=built_planes)).transform(
-        pin_corpus
-    )  # one scan feeds both self-join sides
+    # r15 (optimization round, guide section 2.4): the pin moved from
+    # HERE (pre-census) to AFTER the census/mask/lane annotation below.
+    # Pinned this early, every downstream reference re-evaluated the
+    # census crossJoin + the two lane windows -- the r14 plan computed
+    # that subtree FOUR times (a/b sides x k/rev legs of the mutual
+    # join: 36 physical Exchanges). The census count pass now re-scans
+    # the source once more (column-pruned count -- cheap) in exchange
+    # for annotating lanes exactly once.
+    vb = with_norm(hyperplane_bucket(base, n_planes=built_planes))
     need_census = auto_planes or max_block == "auto"
     if need_census:
         total = vb.agg(F.count(F.lit(1)).alias("_tot"))
@@ -5152,6 +5177,9 @@ def _mutual_knn_edges(
         )
     else:
         vb = vb.withColumn("_lane", F.lit(0))
+    # ONE pinned lane-annotated candidate relation feeds both self-join
+    # sides and the node universe (r15; was pinned pre-annotation).
+    vb = vb.transform(pin_corpus)
     a = vb.select(
         F.col("vec_id").alias("src"),
         F.col("e").alias("ea"),
@@ -5194,15 +5222,39 @@ def _mutual_knn_edges(
     k = (
         j.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
-        .select("src", "dst", "sim")
+        .select("bucket", "_lane", "src", "dst", "sim")
     )
-    rev = k.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # r15 (guide section 2.4): the mutual check used to be a self-join
+    # of k against its reversed alias -- which re-evaluated the whole
+    # within-bucket pair join + rank (the expensive stage) on BOTH legs
+    # and paid two more Exchanges keyed (src, dst). But candidate pairs
+    # only ever form INSIDE one (bucket, _lane) partition (each vector
+    # belongs to exactly one bucket and one lane), so "both directions
+    # present" is decidable locally: group the directed top-3 edges by
+    # the unordered pair WITHIN the partition keys -- HashPartitioning
+    # on {bucket, _lane} satisfies the aggregation's required clustering
+    # (subset rule, same as the rank window above), so NO new exchange
+    # -- and keep pairs seen from both sides. k is evaluated exactly
+    # once by construction; no pin, no barrier, no reversed leg. `sim`
+    # is taken from the (src < dst) directed row, exactly the row the
+    # old join's `where(src < dst)` kept (the reverse row's sim is the
+    # same dot product, but the selection makes equivalence structural
+    # rather than arithmetic).
     edges = (
-        k.join(rev, ["src", "dst"])
-        .where(F.col("src") < F.col("dst"))
-        .select(
-            F.col("src").alias("vec_a"), F.col("dst").alias("vec_b"), "sim"
+        k.groupBy(
+            "bucket",
+            "_lane",
+            F.least("src", "dst").alias("vec_a"),
+            F.greatest("src", "dst").alias("vec_b"),
         )
+        .agg(
+            F.count(F.lit(1)).alias("_n_dir"),
+            F.max(
+                F.when(F.col("src") < F.col("dst"), F.col("sim"))
+            ).alias("sim"),
+        )
+        .where(F.col("_n_dir") == 2)
+        .select("vec_a", "vec_b", "sim")
     )
     return edges, vb.select("vec_id")
 
@@ -5511,13 +5563,9 @@ _PQ_TRAIN_LOCK = _threading.Lock()
 
 
 def _emb_fingerprint(sf_dir: str) -> str:
-    import os
-
-    p = os.path.join(sf_dir, "embeddings.parquet")
-    if not os.path.exists(p):
-        p = os.path.join(sf_dir, "embeddings")
-    st = os.stat(p)
-    return f"{st.st_mtime_ns:x}_{st.st_size:x}"
+    # part-file-level fingerprint for dir-shaped fixtures (ADVICE r14);
+    # shared helper next to _doc_fingerprint.
+    return _table_fingerprint(sf_dir, "embeddings")
 
 
 def _trained_codebook(

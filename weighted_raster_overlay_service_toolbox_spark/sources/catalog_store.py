@@ -161,7 +161,11 @@ def append_rows(spark: SparkSession, path: str, rows: DataFrame) -> None:
             for c in cat.columns
         ]
     )
-    aligned.write.mode("append").parquet(path)
+    # ONE file per append (r15, guide section 6): the catalog is
+    # layer-metadata-sized, but an un-coalesced write emits one tiny
+    # part file per upstream partition plus per-file commit ceremony --
+    # the small-files cost paid again on every subsequent load.
+    aligned.coalesce(1).write.mode("append").parquet(path)
 
 
 def merge_rows(
@@ -274,7 +278,14 @@ def replace_catalog(
     recover_catalog(path)
     tmp, old = _swap_paths(path)
     shutil.rmtree(tmp, ignore_errors=True)
-    updated.write.parquet(tmp)
+    # ONE file per snapshot commit (r15, VERDICT r14 #6 / guide section
+    # 6): the merged/updated relation arrives with join-output
+    # partitioning (mostly empty tasks at catalog size), and every
+    # versioned replace used to commit that many part files. Coalescing
+    # the metadata-sized snapshot to a single file cuts write-task and
+    # per-file commit overhead per MERGE/replace and keeps history dirs
+    # one-file-per-version. Values and MERGE semantics untouched.
+    updated.coalesce(1).write.parquet(tmp)
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
     os.rename(tmp, path)

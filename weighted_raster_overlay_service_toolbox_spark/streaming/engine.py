@@ -319,6 +319,21 @@ def stream_session(spark: SparkSession, n: int = 8) -> SparkSession:
             from .near_dup import ROCKSDB_PROVIDER, _PROVIDER_KEY
 
             s.conf.set(_PROVIDER_KEY, ROCKSDB_PROVIDER)
+            # r15 (VERDICT r14 #3, guide section 1.2 "don't compute
+            # things you throw away"): changelog checkpointing makes
+            # each micro-batch commit upload only that batch's CHANGES
+            # to the checkpoint instead of a full RocksDB snapshot per
+            # partition per batch -- the per-batch commit cost the
+            # profiler attributes to stateCommit. Snapshots still
+            # happen, just asynchronously in the maintenance thread.
+            # Recovery semantics are unchanged (snapshot + changelog
+            # replay); answers never depend on it. The crash-recovery
+            # and statestore-reader tests run against this layout.
+            s.conf.set(
+                "spark.sql.streaming.stateStore.rocksdb."
+                "changelogCheckpointing.enabled",
+                "true",
+            )
         _STREAM_SESSIONS[key] = s
     return s
 
@@ -369,7 +384,14 @@ def run_to_parquet_log(
     shutil.rmtree(checkpoint_dir, ignore_errors=True)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(
+        # ONE file per batch directory (r15, guide section 6 / VERDICT
+        # r14 #3): update/append emission logs are key-cardinality-sized
+        # per batch but arrive with the stateful op's shuffle
+        # partitioning (8 at test scale) -- un-coalesced, every
+        # micro-batch commits that many tiny part files and downstream
+        # read-back pays per-file opens. coalesce is narrow (no extra
+        # shuffle) and never changes rows, only file layout.
+        batch_df.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(sink_dir, f"batch_id={batch_id}")
         )
 

@@ -283,7 +283,17 @@ def run_near_dup_ingest(
             )
             .select("doc_id")
         )
-        surv.write.mode("overwrite").parquet(
+        # ONE file per batch directory (r15, guide section 6 / VERDICT
+        # r14 #3 "sink commit coalescing"): the survivor relation
+        # arrives with the state store's shuffle partitioning (8 at
+        # test scale), so an un-coalesced write commits that many tiny
+        # part files PER MICRO-BATCH plus per-file ceremony, and the
+        # read-back pays per-file open cost again. Survivor rows are
+        # id-only (one long each) -- even a 100 TB ingest's per-batch
+        # survivor list coalesces into file counts of ones, not
+        # hundreds; narrow (no shuffle), values and batch_id layout
+        # unchanged.
+        surv.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(sink_dir, f"batch_id={batch_id}")
         )
         if _on_batch_end is not None:
