@@ -40,10 +40,26 @@ def empty_sf_dir(spark):
 
 
 def test_every_query_executes_on_empty_tables(spark, empty_sf_dir):
-    fails = []
-    for name, fn in QUERIES.items():
+    # r15 (VERDICT r14 #4 -- the suite must fit the driver's pytest
+    # budget): batch queries run through the sanctioned 4-thread
+    # in-process pool (the parity_all.py convention); the q_stream_*
+    # family stays SEQUENTIAL because streaming queries own fixed
+    # scratch sinks and a state-store conf window a racing twin could
+    # corrupt. Same coverage, same failure attribution, ~3x less wall
+    # clock on the suite's second-slowest test.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run_one(name: str) -> str | None:
         try:
-            fn(spark, empty_sf_dir).count()
+            QUERIES[name](spark, empty_sf_dir).count()
+            return None
         except Exception as e:  # noqa: BLE001 - collecting the full list
-            fails.append(f"{name}: {str(e).splitlines()[0][:100]}")
+            return f"{name}: {str(e).splitlines()[0][:100]}"
+
+    batch = [n for n in QUERIES if not n.startswith("q_stream")]
+    stream = [n for n in QUERIES if n.startswith("q_stream")]
+    fails = []
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        fails.extend(r for r in pool.map(run_one, batch) if r)
+    fails.extend(r for r in map(run_one, stream) if r)
     assert not fails, f"{len(fails)} queries fail on empty inputs: {fails[:10]}"

@@ -78,8 +78,11 @@ NON_EQUI_ALLOWED = {
     # cross join (unigram path) now sits BEHIND global_rank's pinned
     # range-partitioned relation, so the registered plan shows a Scan
     # ExistingRDD instead -- see CHECKPOINTED_ALLOWED.
-    "q_knn_graph",        # r9: scalar occupancy-census cross join (auto cap)
-    "q_semantic_clusters",  # r9: same census cross join via _mutual_knn_edges
+    # r15: q_knn_graph / q_semantic_clusters left this list -- the
+    # census cross join moved above the corpus pin (one evaluation) so
+    # it no longer appears in the post-pin plan, and the mutual-kNN
+    # self-join (the other non-equi shape) was replaced by an
+    # in-partition unordered-pair aggregation.
     "q_semantic_dedup",   # r9: scalar occupancy-census cross join (auto cap)
     "q_rrf_fusion",       # r14: scalar query-set-size cross join (1-row
                           # BNLJ feeding the Jaccard denominator)
@@ -203,9 +206,23 @@ CHECKPOINTED_ALLOWED = {
 
 
 def test_python_non_equi_and_checkpoint_shapes_are_allowlisted(spark):
+    # r15 (VERDICT r14 #4): batch-query plans are built through the
+    # sanctioned 4-thread in-process pool; q_stream_* stay sequential
+    # (streaming queries EXECUTE during construction against the shared
+    # scratch sinks -- the module docstring's coverage caveat -- and a
+    # racing twin could corrupt them).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def audit_one(name: str) -> tuple[str, dict]:
+        return name, audit_plan(formatted_plan(QUERIES[name](spark, SF_SMOKE)))
+
+    batch = [n for n in QUERIES if not n.startswith("q_stream")]
+    stream = [n for n in QUERIES if n.startswith("q_stream")]
     python_eval, non_equi, checkpointed = set(), set(), set()
-    for name, fn in QUERIES.items():
-        a = audit_plan(formatted_plan(fn(spark, SF_SMOKE)))
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        audits = list(pool.map(audit_one, batch))
+    audits.extend(audit_one(n) for n in stream)
+    for name, a in audits:
         if a["python_eval"]:
             python_eval.add(name)
         if a["non_equi_join"]:
