@@ -69,15 +69,25 @@ def _run_rounds(
         return df.repartition(num_partitions, "node") if num_partitions else df
 
     # pin once: the edge list re-evaluates EVERY round otherwise (it is
-    # usually an expensive similarity join upstream). r14 (optimization
-    # round, guide section 1.2): the straight-line pins (sym, initial
-    # labels, per-round labels) are NON-EAGER -- an eager pin is its own
-    # blocking job, so each round used to run THREE actions; now the
-    # per-round convergence sum materializes that round's label
-    # checkpoint as a side effect. Values are untouched (checkpointing
-    # never affects them), rounds and the convergence trace are
-    # identical.
-    sym = _sized(
+    # usually an expensive similarity join upstream). r15 (guide section
+    # 2.4 "remove shuffles outright"): the pin is now a PERSIST of the
+    # edge list hash-partitioned by the per-round join key ``nbr`` --
+    # r14's localCheckpoint ERASED the partitioning (an RDD-scan leaf
+    # reports unknown outputPartitioning), so every round's nbr_min join
+    # re-shuffled the whole EDGE LIST by nbr; an InMemoryTableScan keeps
+    # its child's HashPartitioning visible, so the per-round join now
+    # shuffles only the node-sized label vector. One up-front exchange
+    # (which round 1 used to pay anyway) buys rounds x (edge-list
+    # exchange) -- the dominant per-round cost on data-sized graphs.
+    # MEMORY_AND_DISK: blocks spill instead of failing, and lineage is
+    # KEPT so a lost block recomputes (the pin_corpus 'disk' rationale);
+    # unpersisted before return.
+    n_part = num_partitions or int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    from pyspark import StorageLevel
+
+    sym = (
         edges.select(
             F.col(src).cast("long").alias("node"), F.col(dst).cast("long").alias("nbr")
         )
@@ -87,14 +97,16 @@ def _run_rounds(
                 F.col(src).cast("long").alias("nbr"),
             )
         )
-    ).localCheckpoint(eager=False)
+        .repartition(n_part, "nbr")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # r15 (ADVICE r14): the INITIAL labels pin is EAGER. Lazy, it was
     # first materialized by round 1's eager 'stepped' job, which
     # references labels on BOTH sides (directly and via nbr_min) -- the
     # same concurrent-double-compute race the 'stepped' pin below
     # documents, here on the distinct-node scan. One extra tiny blocking
-    # job per CC call (not per round); it also materializes the lazy
-    # 'sym' pin as a side effect (single consumer there, no race).
+    # job per CC call (not per round); it also populates the persisted
+    # 'sym' cache as a side effect (single evaluation there, no race).
     labels = _sized(
         sym.select("node")
         .distinct()
@@ -154,6 +166,9 @@ def _run_rounds(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    # the returned labels are a materialized checkpoint (the convergence
+    # sum above ran them); the edge cache is no longer referenced.
+    sym.unpersist()
     return labels
 
 
