@@ -238,27 +238,53 @@ def kmeans_grouped_codebook_assign(
         # (d2, cluster) lexicographic argmin -- bit-identical codes.
         # INVARIANT (ADVICE r14): every group in `vectors` must keep at
         # least one centroid in `cent`, or array_min over the empty
-        # filtered slice returns a silent NULL cluster where the old
+        # group slice returns a silent NULL cluster where the old
         # broadcast join dropped the row. Holds by construction here
         # (init keeps the k lowest vec_ids PER GROUP and Lloyd's updates
         # never empty a group's codebook); re-check before reusing this
         # helper against an external or sparser codebook.
-        packed = cent.agg(
+        #
+        # r15 (guide section 4.1 "higher-order functions are
+        # interpreted"): the packed codebook is a MAP keyed by group,
+        # not one flat G*k struct array. The old flat form ran
+        # F.filter(_cents, c -> c.g == group) PER MELTED ROW -- an
+        # interpreted scan of all G*k structs (1024 at the IVFPQ
+        # config) that allocated a fresh k-slice per row; element_at
+        # on a G-key map is a G-step key probe (16 vs 1024 interpreted
+        # evals per row). Per-group order is unchanged (array_sort by
+        # unique cluster id == the old global (g, cluster) sort
+        # restricted to the group), so codes and centroids are
+        # bit-identical -- verified by exceptAll at both PQ configs.
+        # Paired A/B (same session, alternating, 3-iteration train +
+        # materialize, sf0.1): 16x64 codebook 14.7-23.4s -> 8.7-11.6s;
+        # 4x16 flat. (Unrolling the sub-dim dot was also tried and is
+        # SLOWER at sub=16 -- the r8 dot_expr dead-end note holds.)
+        per_g = cent.groupBy(group).agg(
             F.array_sort(
                 F.collect_list(
                     F.struct(
-                        F.col(group).alias("g"),
                         F.col("cluster").alias("cluster"),
                         F.col("ce").alias("ce"),
                         dot_expr("ce", "ce").alias("cc"),
                     )
                 )
-            ).alias("_cents")
+            ).alias("_gc")
+        )
+        packed = per_g.agg(
+            F.map_from_entries(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(group).alias("g"), F.col("_gc").alias("cs")
+                        )
+                    )
+                )
+            ).alias("_cmap")
         )
         v = vectors.withColumn("_vv", dot_expr("e", "e")).crossJoin(
             broadcast(packed)
         )
-        mine = F.filter(F.col("_cents"), lambda c: c["g"] == F.col(group))
+        mine = F.element_at(F.col("_cmap"), F.col(group))
         scored = F.transform(
             mine,
             lambda c: F.struct(

@@ -165,7 +165,13 @@ def append_rows(spark: SparkSession, path: str, rows: DataFrame) -> None:
     # layer-metadata-sized, but an un-coalesced write emits one tiny
     # part file per upstream partition plus per-file commit ceremony --
     # the small-files cost paid again on every subsequent load.
-    aligned.coalesce(1).write.mode("append").parquet(path)
+    # repartition(1), NOT coalesce(1): coalesce propagates the 1-task
+    # constraint up through the aligning projection into the upstream
+    # plan, serializing its computation (paired A/B on q_catalog_merge:
+    # coalesce ~6.3s vs repartition ~1.9s); the keyless repartition is
+    # a tiny exchange of metadata-sized rows that leaves the upstream
+    # stage parallel.
+    aligned.repartition(1).write.mode("append").parquet(path)
 
 
 def merge_rows(
@@ -281,11 +287,15 @@ def replace_catalog(
     # ONE file per snapshot commit (r15, VERDICT r14 #6 / guide section
     # 6): the merged/updated relation arrives with join-output
     # partitioning (mostly empty tasks at catalog size), and every
-    # versioned replace used to commit that many part files. Coalescing
-    # the metadata-sized snapshot to a single file cuts write-task and
-    # per-file commit overhead per MERGE/replace and keeps history dirs
-    # one-file-per-version. Values and MERGE semantics untouched.
-    updated.coalesce(1).write.parquet(tmp)
+    # versioned replace used to commit that many part files. A single
+    # file per snapshot cuts write-task and per-file commit overhead
+    # per MERGE/replace and keeps history dirs one-file-per-version.
+    # repartition(1), NOT coalesce(1): coalesce folds the full-outer
+    # MERGE join itself into one task (paired A/B on q_catalog_merge:
+    # ~6.3s vs ~1.9s); the keyless repartition exchanges only the
+    # metadata-sized snapshot rows and keeps the join parallel. Values
+    # and MERGE semantics untouched.
+    updated.repartition(1).write.parquet(tmp)
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
     os.rename(tmp, path)

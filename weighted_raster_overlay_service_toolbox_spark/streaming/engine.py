@@ -389,9 +389,15 @@ def run_to_parquet_log(
         # per batch but arrive with the stateful op's shuffle
         # partitioning (8 at test scale) -- un-coalesced, every
         # micro-batch commits that many tiny part files and downstream
-        # read-back pays per-file opens. coalesce is narrow (no extra
-        # shuffle) and never changes rows, only file layout.
-        batch_df.coalesce(1).write.mode("overwrite").parquet(
+        # read-back pays per-file opens. repartition(1), NOT
+        # coalesce(1): batch_df IS the stateful operator's output, and
+        # a narrow coalesce folds every state-store partition into one
+        # task that runs them serially per batch -- invisible at the
+        # fixture's 8 tiny partitions (paired A/B: flat), a straggler
+        # by construction at production partition counts. The keyless
+        # repartition exchanges only the batch's emitted rows and
+        # leaves the stateful stage parallel.
+        batch_df.repartition(1).write.mode("overwrite").parquet(
             os.path.join(sink_dir, f"batch_id={batch_id}")
         )
 
