@@ -291,6 +291,22 @@ def main() -> None:
             materialize(QUERIES[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        if name in memo_cleared_rows:
+            # continuity row (ADDED, never renames the main row): the
+            # pre-r15 artifacts timed these rows memo-warm from rep 2 on
+            # (min-of-N over a populated training memo), so the main
+            # row's r15 number is not comparable to its r14 number by
+            # construction. <name>_warm preserves the OLD methodology --
+            # min over `repeats` reps with the memo left populated (the
+            # honest loop above just trained it) -- purely so
+            # round-over-round comparisons keep an apples-to-apples
+            # series for the serving path.
+            warm = float("inf")
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                materialize(QUERIES[name](spark, sf_dir))
+                warm = min(warm, time.perf_counter() - t0)
+            timings[f"{name}_warm"] = round(warm, 3)
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     result = {
@@ -311,7 +327,10 @@ def main() -> None:
         "sentinel_sec": round(sentinel_best, 3),
         # rows whose training memo is cleared before EVERY rep so their
         # min-of-N includes the declared training leg (r15 measurement
-        # fix; r14 and earlier timed these memo-warm from rep 2 on)
+        # fix; r14 and earlier timed these memo-warm from rep 2 on).
+        # Each such row also publishes an ADDED "<name>_warm" companion
+        # entry that keeps the OLD memo-warm methodology, so the pre-r15
+        # per-row series stays comparable ("keep the old numbers too").
         "memo_cleared_rows": sorted(memo_cleared_rows),
     }
     print(json.dumps(result))
