@@ -217,8 +217,30 @@ def kmeans_grouped_codebook_assign(
     # lazy pin of the quantized melt -- the kmeans() rationale verbatim
     # (one scan + quantize shared by every unrolled iteration, flat
     # analysis leaf); values untouched.
-    vectors = vectors.select(
-        "vec_id", group, quantize_vec("e").alias("e")
+    #
+    # r15 (guide section 2.5 "input skew: repartition immediately after
+    # the read"): the melt is key-repartitioned BEFORE the pin. The
+    # whole training is map-only on the assignment side -- no operator
+    # between the source scan and the per-row argmin ever redistributes
+    # -- so the pinned layout IS the compute parallelism for every
+    # assignment pass, and a single-file fixture scan (1 partition at
+    # every test SF; measured: rdd.getNumPartitions() == 1) serialized
+    # all G*k interpreted candidate evaluations on one core. One tiny
+    # keyed exchange of the byte-small melt (pin_parallelism: exempt
+    # from AQE coalescing, count follows the session's shuffle
+    # partitions) buys 3 parallel passes. Paired A/B (same session,
+    # alternating, 16x64 config, train + materialize): 7.1-8.1 s ->
+    # 2.6-2.9 s, codes and centroids bit-identical (exceptAll == 0 both
+    # directions). The UNGROUPED kmeans() deliberately does NOT get
+    # this: at k=8 over unmelted rows its per-pass work is ~1/40th, and
+    # the same A/B measured the added exchange as a small consistent
+    # LOSS there (q_kmeans 1.8 -> 2.1 s).
+    from ..plans.pinning import pin_parallelism
+
+    vectors = pin_parallelism(
+        vectors.select("vec_id", group, quantize_vec("e").alias("e")),
+        "vec_id",
+        group,
     ).localCheckpoint(eager=False)
     wg = Window.partitionBy(group).orderBy("vec_id")
     centroids = vectors.withColumn("_rn", F.row_number().over(wg)).filter(
